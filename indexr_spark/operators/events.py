@@ -1,0 +1,215 @@
+"""Event-stream operators over the `events` table (batch form).
+
+These are the batch equivalents of the reference's realtime-ingest
+semantics (SURVEY.md §2.4): Druid-style rollup with
+{sum,first,last,min,max} metric aggregators (rt/AggType.java:8-29,
+rt/UTF8Row.java:39-64), time treated as an ordinary dimension column
+(no windows/watermarks in the reference — §2.5), plus Spark-superset
+event analytics (sessionization, hourly windows, JSON extraction,
+pivot). The streaming forms live in indexr_spark/streaming/.
+
+first/last parity note: the reference's FIRST/LAST pick the first/last
+event *in arrival order* for a dim key (AggType.java:43-85). Batch
+arrival order is undefined, so we pin order with the unique event_id:
+first = min_by(value, event_id), last = max_by(value, event_id) —
+deterministic and identical to DuckDB's arg_min/arg_max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from indexr_spark.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+SESSION_GAP_SEC = 1800.0
+
+
+def q20_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rollup parity: group by dims, merge metrics with
+    {sum, min, max, first, last, count} (rt/AggType.java:8-29;
+    rollup merge contract rt/UTF8Row.java:39-64). At scale this is a
+    single map-side-combined hash aggregate over the dims."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min_by("value", "event_id").alias("first_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+ORACLE["q20_events_rollup"] = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+       event_type,
+       round(sum(value), 2)        AS sum_value,
+       min(value)                  AS min_value,
+       max(value)                  AS max_value,
+       arg_min(value, event_id)    AS first_value,
+       arg_max(value, event_id)    AS last_value,
+       count(*)                    AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY event_date, event_type
+"""
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + running flag-sum per
+    user, then per-session aggregation. The reference has no session
+    concept (SURVEY.md §2.5) — this is a required training-pipeline
+    superset op. Both window and groupBy partition on user_id, so the
+    second aggregation reuses the shuffle under AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.select("user_id", "event_id", sec.alias("sec")).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | ((F.col("sec") - F.lag("sec").over(w)) > SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_events"),
+            F.floor(F.max("sec") - F.min("sec")).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE["q21_sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch(CAST(ts AS TIMESTAMP)) AS sec FROM events
+), flagged AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                   OR sec - lag(sec) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), sess AS (
+  SELECT user_id, event_id, sec,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(event_id)                          AS first_event_id,
+       count(*)                               AS n_events,
+       CAST(floor(max(sec) - min(sec)) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def q22_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation expressed as date+hour dims — exactly
+    how the reference models time (ordinary dim columns, SURVEY.md
+    §2.5; example_schema.json groups by `date`,`datetime`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_date", "hr", "event_type")
+    )
+
+
+ORACLE["q22_events_hourly"] = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE)           AS event_date,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER)  AS hr,
+       event_type,
+       count(*)                                      AS n,
+       round(sum(value), 2)                          AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY event_date, hr, event_type
+"""
+
+
+def q23_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction — parity with the reference's UTF-8
+    JSON event parsing at ingest (rt/UTF8JsonRowCreator.java:14-120,
+    indexr-common UTF8JsonDeserializer). get_json_object runs JVM-side
+    (no Python boundary) and column-prunes to the one string column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_k_gt50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q23_json_props"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)       AS avg_k,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT)                             AS n_k_gt50
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q24_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into metric columns — one scan, one shuffle
+    (Catalyst rewrites pivot to conditional aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("event_date")
+    )
+
+
+ORACLE["q24_events_pivot"] = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+       round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+
+QUERIES = {
+    "q20_events_rollup": q20_events_rollup,
+    "q21_sessionize": q21_sessionize,
+    "q22_events_hourly": q22_events_hourly,
+    "q23_json_props": q23_json_props,
+    "q24_events_pivot": q24_events_pivot,
+}

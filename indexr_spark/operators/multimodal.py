@@ -1,0 +1,152 @@
+"""Multimodal column plumbing — binary payloads + Pandas-UDF decode.
+
+Treats media as opaque `binary` columns with typed metadata, exactly
+as a 100 TB multimodal pipeline would: the Spark-side plumbing
+(schema, Arrow batching, mapInPandas signatures, partitioning) is
+real; the *codec* step is a deterministic fake because no image/audio
+libraries ship in this environment. Swap `_fake_decode` for PIL/ffmpeg
+and nothing else changes.
+
+The payload here is the document text encoded as UTF-8 bytes, so the
+"decode" results (byte length, md5 checksum, derived fake dimensions)
+are still exactly oracle-checkable in DuckDB — the rare case where a
+Python-boundary operator gets a full value-hash correctness gate.
+
+Real decode entry point: `decode_image` raises NotImplementedError —
+clearly marked stub per the build contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indexr_spark.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, checksum string, fake_width int, fake_height int"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL/libjpeg, absent here."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; _fake_decode supplies the deterministic stand-in"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, str, int, int]:
+    """Deterministic stand-in for a codec: metadata from the bytes.
+
+    fake_width/height are derived from the md5 prefix, mirroring the
+    'parse the header' step of a real decoder.
+    """
+    md5 = hashlib.md5(payload).hexdigest()
+    h = int(md5[:8], 16)
+    return len(payload), md5, h % 640 + 16, (h >> 8) % 480 + 16
+
+
+def with_binary_payload(df: DataFrame) -> DataFrame:
+    """Attach the opaque binary column (text → UTF-8 bytes here; in a
+    real pipeline this is the raw media column read from Parquet)."""
+    return df.withColumn("payload", F.col("text").cast("binary"))
+
+
+def _make_decode_batches():
+    """Build the mapInPandas worker as a self-contained closure.
+
+    Deliberately a nested function with its own imports: cloudpickle
+    serializes local functions *by value*, so Python workers never
+    need `indexr_spark` on their import path (the driver process may
+    have it only via a runtime sys.path entry, which executors don't
+    inherit).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-shaped on purpose — a real decoder amortizes codec
+        # setup across the batch; rows never round-trip one at a time.
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_decode(payload: bytes) -> tuple[int, str, int, int]:
+            md5 = _hashlib.md5(payload).hexdigest()
+            h = int(md5[:8], 16)
+            return len(payload), md5, h % 640 + 16, (h >> 8) % 480 + 16
+
+        for pdf in batches:
+            decoded = [fake_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [d[0] for d in decoded],
+                    "checksum": [d[1] for d in decoded],
+                    "fake_width": [d[2] for d in decoded],
+                    "fake_height": [d[3] for d in decoded],
+                }
+            )
+
+    return decode_batches
+
+
+def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary 'decode' via mapInPandas (Arrow-vectorized Python path).
+
+    The preference order for custom operators (SURVEY.md build rules)
+    puts Pandas-UDF batch transforms second after built-ins; decode is
+    the canonical operator that genuinely needs the Python boundary.
+    """
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    out = d.select("doc_id", "payload").mapInPandas(_make_decode_batches(), DECODE_SCHEMA)
+    return out.orderBy("doc_id")
+
+
+ORACLE["mm01_decode_metadata"] = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       md5(text)                     AS checksum,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 640 + 16 AS INTEGER) AS fake_width,
+       CAST((('0x' || substr(md5(text), 1, 8))::BIGINT >> 8) % 480 + 16 AS INTEGER) AS fake_height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def mm02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for 'video' payloads: one output row
+    per sampled frame (every 100 bytes → one frame), done with a pure
+    Catalyst explode — the decode of each frame would then be a
+    mapInPandas over this exploded, repartitioned frame table."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = F.floor(F.length("payload") / 100).cast("int")
+    return (
+        d.select("doc_id", n_frames.alias("n_frames"))
+        .filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+ORACLE["mm02_frame_sample"] = """
+SELECT doc_id, CAST(unnest(range(0, CAST(floor(strlen(text) / 100) AS BIGINT))) AS INTEGER) AS frame_idx
+FROM documents
+WHERE floor(strlen(text) / 100) > 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = {
+    "mm01_decode_metadata": mm01_decode_metadata,
+    "mm02_frame_sample": mm02_frame_sample,
+}

@@ -1,0 +1,632 @@
+"""Relational operator surface — reference parity + Spark superset.
+
+The reference's embedded engine covers single-table
+Project/Filter/Aggregate(partial+final)/Sort/Limit(offset,count) with
+HAVING rewritten to a post-aggregate Filter (SURVEY.md §2.1;
+indexr-query-opt .../plan/physical/{Project,Filter,TungstenAggregate,
+Sort,Limit}.java). Everything here is expressed declaratively on the
+DataFrame/SQL API so Catalyst supplies predicate pushdown, column
+pruning, partial aggregation and whole-stage codegen; joins, windows,
+set ops and rollup are the Spark-superset operators the reference
+delegates to its host engines (SURVEY.md §3.2).
+
+Every query returns deterministic values against the DuckDB oracle in
+ORACLE: computed columns share names on both sides, double aggregates
+are rounded (sums→2dp, ratios/avgs→6dp) so floating summation order
+cannot flip the value hash, and every LIMIT sits under a total order.
+
+Scale notes (100 TB): filters here push to the Parquet scan
+(PushedFilters), dimension joins are explicitly broadcast, large
+fact-fact joins shuffle on their join key and survive skew via AQE;
+nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from indexr_spark.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+
+def _r2(c, name):
+    return F.round(c, 2).alias(name)
+
+
+def _r4(c, name):
+    return F.round(c, 4).alias(name)
+
+
+def _r6(c, name):
+    return F.round(c, 6).alias(name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (single-table scan/filter/agg/having/sort/limit)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: Filter → partial/final Aggregate → Sort.
+
+    Parity: TungstenAggregate partial+final planning (reference
+    indexr-query-opt .../plan/physical/TungstenAggregate.java:25-130,
+    planner Utils.java:24-74); Spark's HashAggregateExec does the same
+    split automatically, map-side combine included.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity"), "sum_qty"),
+            _r2(F.sum(price), "sum_base_price"),
+            _r4(F.sum(price * (1 - disc)), "sum_disc_price"),
+            _r6(F.sum(price * (1 - disc) * (1 + F.col("l_tax"))), "sum_charge"),
+            _r6(F.avg("l_quantity"), "avg_qty"),
+            _r6(F.avg(price), "avg_price"),
+            _r6(F.avg(disc), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)      AS sum_charge,
+       round(avg(l_quantity), 6)                                            AS avg_qty,
+       round(avg(l_extendedprice), 6)                                       AS avg_price,
+       round(avg(l_discount), 6)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicate scan.
+
+    Parity: the rough-check pushdown algebra Equal/Between/In/And
+    (reference segment/rc/{Equal,Between,In,And}.java; Spark adapter
+    SparkFilter.java:38-97). Expressed declaratively these predicates
+    reach the Parquet reader as PushedFilters and prune row groups via
+    min/max stats — the same three-level skip cascade, supplied by the
+    format (SURVEY.md §2.2).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(5, 15)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            _r4(F.col("l_extendedprice") * (1 - F.col("l_discount")), "net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE["q02_filter_scan"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_quantity BETWEEN 5 AND 15
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus = 'F'
+  AND l_shipdate >= TIMESTAMP '1996-06-01'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q03_scalar_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression battery: If / Cast / Greatest / Least /
+    arithmetic / bitwise / modulo.
+
+    Parity: reference expression nodes expr/If.java, expr/Cast.java,
+    expr/Greatest.java, expr/Least.java, expr/arith/*.java (SURVEY.md
+    §2.1 scalar table). Floor before integer cast because Spark
+    truncates double→long while DuckDB rounds — floor pins both.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    key = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(price > 150000, F.lit("big")).otherwise(F.lit("small")).alias("size_tag"),
+            _r4((price * 0.9 + 1) / 2 - 3, "arith"),
+            F.floor(price).cast("bigint").alias("price_floor"),
+            F.greatest(price, F.lit(100000.0)).alias("price_floor100k"),
+            F.least(price, F.lit(400000.0)).alias("price_cap400k"),
+            key.bitwiseAND(F.lit(255)).alias("key_and"),
+            key.bitwiseOR(F.lit(4096)).alias("key_or"),
+            key.bitwiseXOR(F.lit(1024)).alias("key_xor"),
+            (key % 7).alias("key_mod"),
+            key.cast("string").alias("key_str"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+ORACLE["q03_scalar_expr"] = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_tag,
+       round((o_totalprice * 0.9 + 1) / 2 - 3, 4)                  AS arith,
+       CAST(floor(o_totalprice) AS BIGINT)                         AS price_floor,
+       greatest(o_totalprice, 100000.0)                            AS price_floor100k,
+       least(o_totalprice, 400000.0)                               AS price_cap400k,
+       o_orderkey & 255                                            AS key_and,
+       o_orderkey | 4096                                           AS key_or,
+       xor(o_orderkey, 1024)                                       AS key_xor,
+       o_orderkey % 7                                              AS key_mod,
+       CAST(o_orderkey AS VARCHAR)                                 AS key_str
+FROM orders
+ORDER BY o_orderkey
+LIMIT 1000
+"""
+
+
+def q04_agg_having_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING + ORDER BY + LIMIT/OFFSET.
+
+    Parity: HAVING is parsed as Filter-over-Aggregate in the reference
+    (IndexRQL.java:126-130, Analyzer.java:337-421) — identical rewrite
+    in Catalyst; Limit(offset, count) parity with reference
+    plan/physical/Limit.java:14-29 via df.offset(n).limit(m).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            _r2(F.sum("l_quantity"), "total_qty"),
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("n_items") > 20)
+        .orderBy(F.desc("n_items"), "l_suppkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+ORACLE["q04_agg_having_limit_offset"] = """
+SELECT l_suppkey,
+       round(sum(l_quantity), 2)                                  AS total_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)          AS revenue,
+       count(*)                                                   AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 20
+ORDER BY n_items DESC, l_suppkey
+LIMIT 20 OFFSET 10
+"""
+
+
+def q05_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark-superset (reference has no distinct
+    aggregate anywhere, SURVEY.md §2.1). Catalyst plans it as a
+    two-stage expand+aggregate; at scale prefer approx_count_distinct
+    (HLL) when exactness isn't required.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q05_distinct_agg"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-superset operators (delegated to host engines by the reference)
+# ---------------------------------------------------------------------------
+
+
+def q06_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension. customer (small) is explicitly
+    broadcast so the 100 TB-side orders scan joins map-side with no
+    shuffle — the canonical star-schema plan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            _r2(F.sum("o_totalprice"), "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q06_join_broadcast"] = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q07_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, dims broadcast, fact-fact
+    (orders⋈lineitem) shuffled on the join key. Catalyst reorders and
+    AQE handles skew; region/nation/supplier/customer all broadcast.
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "supplier", "orders", "lineitem")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("n_name")
+        .agg(_r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE["q07_multi_join"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q08_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window — the standard distributed
+    top-K: partial top-K per partition, shuffle only per-group heads.
+    Tie-broken by o_orderkey so ranks are deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+ORACLE["q08_window_topk"] = """
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 5
+ORDER BY o_orderpriority, rn
+"""
+
+
+def q09_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Sort + Limit(offset, count) — reference
+    plan/physical/Sort.java:22-70 + Limit.java:14-29. Spark executes
+    limit+offset without a full global sort materialization (TakeOrdered).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .offset(100)
+        .limit(50)
+    )
+
+
+ORACLE["q09_sort_limit_offset"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 50 OFFSET 100
+"""
+
+
+def q10_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — Spark-superset set operation."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+ORACLE["q10_intersect"] = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q11_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — Spark-superset set operation."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+ORACLE["q11_except"] = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals (Spark-superset;
+    Catalyst plans it as a single Expand+Aggregate, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_r2(F.sum("l_quantity"), "sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE["q12_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q13_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + aggregation (reference DATE/DATETIME
+    semantics, SURVEY.md §1.2 — epoch-millis mapped to Spark
+    timestamps at the boundary)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(_r2(F.sum("o_totalprice"), "revenue"), F.count("*").alias("n_orders"))
+        .orderBy("yr", "mo")
+    )
+
+
+ORACLE["q13_date_agg"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER)  AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       round(sum(o_totalprice), 2)         AS revenue,
+       count(*)                            AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, mo
+"""
+
+
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """If() inside aggregates (reference expr/If.java composed under
+    expr/agg/Sum.java) — a single scan computes all branches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r2(F.sum(F.when(F.col("l_discount") > 0.05, price).otherwise(F.lit(0.0))), "rev_high_disc"),
+            _r2(F.sum(F.when(F.col("l_quantity") < 10, price).otherwise(F.lit(0.0))), "rev_small_qty"),
+            F.sum(F.when(F.col("l_tax") > 0.04, 1).otherwise(0)).alias("n_high_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q14_conditional_agg"] = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS rev_high_disc,
+       round(sum(CASE WHEN l_quantity < 10 THEN l_extendedprice ELSE 0.0 END), 2)   AS rev_small_qty,
+       CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT)                AS n_high_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate per key — ordered window frame.
+    Deterministic: frame order fully tie-broken by o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            _r2(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), "running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+ORACLE["q15_window_running"] = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+def q16_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE / `_` wildcard — reference rc/Like.java,
+    rc/NotLike.java + SQLLike matcher (`%`, `_`; SQLLike.java:10-13).
+    Prefix patterns (`Brand#1%`) push down to Parquet as
+    StringStartsWith; the CMap rough index this replaces is SURVEY.md
+    §2.3."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_brand").like("Brand#1_")
+            & F.col("p_type").like("%a%")
+            & ~F.col("p_name").like("%zz%")
+            & F.col("p_size").between(10, 30)
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE["q16_like_filters"] = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_brand LIKE 'Brand#1_'
+  AND p_type LIKE '%a%'
+  AND p_name NOT LIKE '%zz%'
+  AND p_size BETWEEN 10 AND 30
+ORDER BY p_partkey
+"""
+
+
+def q17_union_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL over two slices then aggregate — the HybridTable
+    pattern (reference HybridTable.java:22-66: one logical table =
+    historical pool ∪ realtime pool; queries run over the union).
+    Catalyst pushes the aggregate below the union (partial aggs per
+    branch), so the union itself costs nothing extra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1999-01-01").cast("timestamp_ntz")
+    hist = li.filter(F.col("l_shipdate") < cut)
+    rt = li.filter(F.col("l_shipdate") >= cut)
+    return (
+        hist.unionAll(rt)
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), _r2(F.sum("l_extendedprice"), "sum_price"))
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE["q17_union_hybrid"] = """
+SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM (
+  SELECT * FROM lineitem WHERE l_shipdate <  TIMESTAMP '1999-01-01'
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+)
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q18_sql_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's embedded-SQL smoke query shape run through
+    spark.sql — SegmentScanTest.java:140-147 / IndexRQL.java:427-429:
+    group by + having on a select ratio + order by aggregate + limit
+    offset. Exercises the SQL entry path end to end (parse → analyze →
+    optimize → plan, all Catalyst — SURVEY.md §3.1)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice), 2)                    AS sum_price,
+               max(l_discount)                                   AS max_disc,
+               round(sum(l_extendedprice) / sum(l_quantity), 6)  AS price_per_qty
+        FROM lineitem
+        WHERE l_orderkey > 100 AND l_linenumber != 0
+        GROUP BY l_orderkey
+        HAVING sum(l_extendedprice) / sum(l_quantity) > 1000
+        ORDER BY sum_price DESC, l_orderkey
+        LIMIT 20 OFFSET 5
+        """
+    )
+
+
+ORACLE["q18_sql_embedded"] = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice), 2)                    AS sum_price,
+       max(l_discount)                                   AS max_disc,
+       round(sum(l_extendedprice) / sum(l_quantity), 6)  AS price_per_qty
+FROM lineitem
+WHERE l_orderkey > 100 AND l_linenumber != 0
+GROUP BY l_orderkey
+HAVING sum(l_extendedprice) / sum(l_quantity) > 1000
+ORDER BY sum_price DESC, l_orderkey
+LIMIT 20 OFFSET 5
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_scan": q02_filter_scan,
+    "q03_scalar_expr": q03_scalar_expr,
+    "q04_agg_having_limit_offset": q04_agg_having_limit_offset,
+    "q05_distinct_agg": q05_distinct_agg,
+    "q06_join_broadcast": q06_join_broadcast,
+    "q07_multi_join": q07_multi_join,
+    "q08_window_topk": q08_window_topk,
+    "q09_sort_limit_offset": q09_sort_limit_offset,
+    "q10_intersect": q10_intersect,
+    "q11_except": q11_except,
+    "q12_rollup": q12_rollup,
+    "q13_date_agg": q13_date_agg,
+    "q14_conditional_agg": q14_conditional_agg,
+    "q15_window_running": q15_window_running,
+    "q16_like_filters": q16_like_filters,
+    "q17_union_hybrid": q17_union_hybrid,
+    "q18_sql_embedded": q18_sql_embedded,
+}

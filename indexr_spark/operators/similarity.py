@@ -1,0 +1,164 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Brute-force cosine top-k as the correctness baseline, plus a blocked
+pair search (the shape of a bucketed/IVF scale path: candidate pairs
+form only inside a block, never across the full n² space).
+
+All vector math is pure Catalyst: cast to double, zip_with for the
+elementwise product, aggregate for the left-to-right fold — no Python
+boundary, identical accumulation order to the DuckDB oracle's
+list_dot_product over DOUBLE[], and rounded to 6dp before hashing.
+
+Scale notes: top-k broadcasts the (tiny) query set against the
+embedding corpus — a map-side cross product followed by a per-query
+top-k (rank ≤ k) that AQE keeps shuffle-light. The blocked pair
+search shuffles on the block key only. For 100 TB, swap the block key
+for an IVF cell id (k-means centroid assignment) — the join topology
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from indexr_spark.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+TOPK_QUERIES = 5
+TOPK_K = 3
+PAIR_THRESHOLD = 0.35
+
+
+def _as_double(e: Column) -> Column:
+    return F.transform(e, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    e = _as_double(F.col("embedding"))
+    return df.select(
+        "vec_id", "label", e.alias("e"), F.sqrt(_dot(e, e)).alias("nrm")
+    )
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vectors (vec_id < 5) broadcast
+    against the whole corpus, ranked per query."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    pairs = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_K)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE["s01_cosine_topk"] = f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < {TOPK_QUERIES}
+), pairs AS (
+  SELECT q_id, vec_id, list_dot_product(qe, e) / (qn * nrm) AS cos
+  FROM q JOIN n ON vec_id != q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOPK_K}
+ORDER BY q_id, rank
+"""
+
+
+def s02_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked cosine similarity pairs: candidates only within the
+    same label block (the IVF-cell pattern), kept above a threshold.
+    Embedding-cosine near-dup detection at scale is exactly this with
+    a learned cell id as the block key."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("label"), F.col("e").alias("ae"), F.col("nrm").alias("an")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("label_b"), F.col("e").alias("be"), F.col("nrm").alias("bn")
+    )
+    cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", "label", cos.alias("cos"))
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+        .select("a_id", "b_id", "label", F.round("cos", 6).alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE["s02_embedding_pairs"] = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {PAIR_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block centroid + stats — the "coarse quantizer" build step
+    of an IVF index, as a single aggregation (posexplode → mean per
+    dimension → re-assemble). Returns one row per (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    return (
+        pos.groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count("*").alias("n_vecs"))
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE["s03_label_centroids"] = """
+SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
+       round(avg(x), 6) AS centroid,
+       count(*)         AS n_vecs
+FROM (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+QUERIES = {
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_embedding_pairs": s02_embedding_pairs,
+    "s03_label_centroids": s03_label_centroids,
+}

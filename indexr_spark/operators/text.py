@@ -1,0 +1,414 @@
+"""Text-analysis + deduplication operators over `documents`.
+
+Beyond-reference, first-class training-data-pipeline ops (BASELINE.json
+north star): token statistics, language-ID heuristic, quality scoring,
+fingerprinting, exact + canonical dedup, MinHash-LSH near-dup, SimHash,
+n-gram Jaccard. All pure Catalyst expressions (split / higher-order
+array functions / md5) — no Python UDFs — so they run in whole-stage
+codegen and scale linearly; every op has an exact DuckDB oracle built
+from the same portable md5-derived hashes (functions/text.py).
+
+Scale notes: the explode-based ops (MinHash, Jaccard) shuffle on
+(doc, token)-grain keys; at 100 TB the band/bucket joins are the
+standard LSH pattern — shuffle by bucket, pair only within buckets —
+and the ORDER BY tails here exist only for oracle determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indexr_spark.functions.text import (
+    distinct_tokens,
+    hash32,
+    hash60,
+    shingles,
+    tokens,
+)
+from indexr_spark.tables import load_table
+
+ORACLE: dict[str, str] = {}
+
+# Shared DuckDB fragments (kept textually identical across oracles).
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+EN_MARKERS = ("the", "a", "of", "to", "and", "in", "is")
+
+MINHASH_SEEDS = 16
+MINHASH_BANDS = 2  # 2 bands x 8 rows: pair-detect P = 1-(1-J^8)^2
+JACCARD_NGRAM = 2
+JACCARD_THRESHOLD = 0.1
+SIMHASH_BITS = 32
+
+
+def d01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenizer): counts,
+    distinct counts, average token length, char length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(sum_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.length("text").alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d01_token_stats"] = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS INTEGER)                 AS n_tokens,
+       CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)  AS n_distinct,
+       round(CAST(list_sum(list_transform({_DUCK_TOKS}, x -> length(x))) AS DOUBLE)
+             / len({_DUCK_TOKS}), 6)                      AS avg_token_len,
+       CAST(length(text) AS INTEGER)                      AS n_chars_calc
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def d02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: ratio of English function
+    words among tokens. (The corpus vocabulary is English-ish, so the
+    interesting part is the deterministic ratio computation, not the
+    verdict.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    markers = F.size(F.filter(toks, lambda x: x.isin(*EN_MARKERS)))
+    ratio = markers.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_marker_ratio"),
+        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+_markers_sql = "('" + "', '".join(EN_MARKERS) + "')"
+ORACLE["d02_lang_id"] = f"""
+SELECT doc_id, lang,
+       round(CAST(len(list_filter({_DUCK_TOKS}, x -> x IN {_markers_sql})) AS DOUBLE)
+             / len({_DUCK_TOKS}), 6) AS en_marker_ratio,
+       CASE WHEN CAST(len(list_filter({_DUCK_TOKS}, x -> x IN {_markers_sql})) AS DOUBLE)
+                 / len({_DUCK_TOKS}) >= 0.08
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def d03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: token volume, lexical diversity,
+    punctuation ratio, mean token length — the standard cheap
+    pre-training quality gates, composed as one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    avg_len = sum_len.cast("double") / n_tok
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
+    punct_ratio = punct / F.length("text")
+    score = (
+        0.3 * F.least(F.lit(1.0), n_tok / 100.0)
+        + 0.3 * distinct_ratio
+        + 0.2 * (1.0 - punct_ratio)
+        + 0.2 * F.least(F.lit(1.0), avg_len / 8.0)
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d03_quality_score"] = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+           / CAST(len({_DUCK_TOKS}) AS DOUBLE) AS distinct_ratio,
+         CAST(list_sum(list_transform({_DUCK_TOKS}, x -> length(x))) AS DOUBLE)
+           / CAST(len({_DUCK_TOKS}) AS DOUBLE) AS avg_len,
+         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(0.3 * least(1.0, n_tok / 100.0)
+             + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - punct_ratio)
+             + 0.2 * least(1.0, avg_len / 8.0), 6) AS quality_score,
+       round(distinct_ratio, 6)                    AS distinct_ratio,
+       round(punct_ratio, 6)                       AS punct_ratio
+FROM q
+ORDER BY doc_id
+"""
+
+
+def d04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 plus the minimum
+    3-shingle rolling hash (the winnowing-style representative
+    fingerprint used for container-level dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens("text"), 3)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.array_min(F.transform(sh, hash60)).alias("fp_min_shingle"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d04_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks, text FROM documents)
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       list_min(list_transform(
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS fp_min_shingle
+FROM t
+ORDER BY doc_id
+"""
+
+
+def d05_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on md5(text): one shuffle on the
+    hash key, min(doc_id) survives — at 100 TB this is the cheapest
+    dedup pass and runs before any near-dup machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+ORACLE["d05_exact_dedup"] = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+def d06_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized dedup: documents with the same *sorted distinct
+    token set* are duplicates (word-order-insensitive). This corpus
+    does contain such collisions, unlike raw-text duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " "))
+    return (
+        d.groupBy(canon.alias("canon_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+ORACLE["d06_canonical_dedup"] = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS canon_hash,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    Pipeline: distinct unigram token sets → K=16 portable min-hashes
+    (seeded md5) → 2 bands × 8 rows → band-signature bucket join →
+    candidate pairs (a < b). The bucket join is the scale move: pairs
+    are only formed within identical (band, signature) buckets, never
+    across the full n² space. Same construction in the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
+    seeded = tok.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_SEEDS - 1))).alias("seed"),
+    )
+    rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
+    mh = (
+        seeded.select(
+            "doc_id", "seed", hash32(F.col("tok"), F.col("seed")).alias("h")
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    sigs = (
+        mh.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda s: s["minh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE["d07_minhash_lsh"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), seeded AS (
+  SELECT doc_id, tok, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM tok
+), mh AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 8))::BIGINT) AS minh
+  FROM seeded GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, seed // {MINHASH_SEEDS // MINHASH_BANDS} AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM sigs a JOIN sigs b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY a_id, b_id
+"""
+
+
+def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens: per bit j, sum +1/-1 over
+    token hashes' bit j; bit set iff the sum is >= 0. Integer
+    arithmetic end to end — exactly reproducible on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
+    h = tok.select("doc_id", hash32(F.col("tok")).alias("h"))
+    bits = h.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("contrib"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") >= 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["d08_simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, unnest(range(0, {SIMHASH_BITS})) AS bit, h FROM h
+), contrib AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM bits
+), sums AS (
+  SELECT doc_id, bit, sum(contrib) AS s FROM contrib GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (2-token shingle) Jaccard similarity pairs above a
+    threshold, via the inverted shingle→doc join (pairs form only
+    where a shingle is shared — never the n² cross product). Jaccard
+    is a ratio of integers, so values are bit-exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), JACCARD_NGRAM))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    j = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE["d09_ngram_jaccard"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS sh
+  FROM t
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+QUERIES = {
+    "d01_token_stats": d01_token_stats,
+    "d02_lang_id": d02_lang_id,
+    "d03_quality_score": d03_quality_score,
+    "d04_fingerprint": d04_fingerprint,
+    "d05_exact_dedup": d05_exact_dedup,
+    "d06_canonical_dedup": d06_canonical_dedup,
+    "d07_minhash_lsh": d07_minhash_lsh,
+    "d08_simhash": d08_simhash,
+    "d09_ngram_jaccard": d09_ngram_jaccard,
+}

@@ -1,0 +1,88 @@
+"""SparkSession construction tuned for columnar OLAP scans.
+
+The reference engine's performance levers (SURVEY.md §4): vectorized
+columnar reads sized to cache (DefaultPackReader.java:44-52), off-heap
+memory (IndexRRecordReader.java:41), partial+final aggregation
+(query-opt Utils.java:24-74), locality-aware scan assignment
+(SegmentAssigner.java:29-60). On Spark all of these are configuration,
+not code: the vectorized Parquet reader, AQE, and whole-stage codegen
+are on by default; we pin the handful of settings that matter for an
+analytics workload and would matter more on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Settings that are safe (and desirable) to flip on an existing session
+# at runtime — e.g. the session the correctness driver hands us.
+RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+    # refuses by default; read as long and convert (tables.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB (the correctness oracle) is UTC-naive; pin the session so
+    # any LTZ<->NTZ conversion is a no-op shift.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing + skew-join splitting. At 100 TB this is
+    # the difference between a stuck straggler task and a re-planned
+    # stage; locally it trims empty shuffle partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF boundary (the sanctioned slow path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply session-settable confs; safe on a session we didn't build."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be marked static on some builds; every query we
+            # emit must still be correct, just possibly slower.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "indexr-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession for this engine.
+
+    Local mode is a stand-in for a real cluster: ``local[N]`` = one JVM
+    with N executor threads. Shuffle partitions default to the core
+    count — on a real cluster this would instead be sized so that
+    (input bytes / partitions) fits executor memory; AQE coalescing
+    makes over-partitioning cheap, so erring high is fine at scale.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scan sizing: 128 MiB splits keep task count sane at
+        # 100 TB (~800k tasks) while small local files still parallelize
+        # via multiple row groups per file.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Read/write Parquet with zstd: best scan-per-byte at scale.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,64 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+The only normalization performed here is the ``events.ts`` column:
+the file stores TIMESTAMP(NANOS) which Spark reads (only) as a raw
+long under ``spark.sql.legacy.parquet.nanosAsLong``; we convert to a
+microsecond TIMESTAMP_NTZ so it behaves like every other timestamp
+column (and matches DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation).
+All conversions are bound at analysis time under a UTC session zone,
+so later session-timezone changes cannot shift results.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indexr_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table, normalizing the events timestamp column."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-long -> microsecond LTZ -> NTZ; the LTZ->NTZ cast resolves
+        # its zone id at analysis time, which apply_runtime_confs just
+        # pinned to UTC, making the round trip a pure truncation.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so operators can be written in pure SQL."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
