@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Headline set: one representative per operator family (reference-parity
+scan/agg/sort, joins, windows, sessionization, dedup/MinHash-LSH,
+SimHash, similarity search, Pandas-UDF decode). d09_ngram_jaccard is
+deliberately excluded: exact all-pairs Jaccard on this corpus's
+31-word vocabulary degenerates to ~1e8 intermediate pairs — at scale
+that op runs on LSH candidates (d07), not the full corpus.
+
+Timing = full query wall time (plan + execute + count), after a small
+session warm-up so JVM/session startup isn't attributed to the first
+query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from indexr_spark import operators
+from indexr_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_scan",
+    "q04_agg_having_limit_offset",
+    "q05_distinct_agg",
+    "q06_join_broadcast",
+    "q07_multi_join",
+    "q08_window_topk",
+    "q12_rollup",
+    "q15_window_running",
+    "q18_sql_embedded",
+    "q20_events_rollup",
+    "q21_sessionize",
+    "q22_events_hourly",
+    "d01_token_stats",
+    "d05_exact_dedup",
+    "d06_canonical_dedup",
+    "d07_minhash_lsh",
+    "d08_simhash",
+    "s01_cosine_topk",
+    "s02_embedding_pairs",
+    "mm01_decode_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="indexr-bench")
+
+    # Warm up session + parquet footers once; not attributed to queries.
+    spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        operators.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
