@@ -1,0 +1,205 @@
+"""JSON table catalog — TableSchema / AggSchema parity.
+
+The reference keeps one JSON schema per table (TableSchema.java,
+example: indexr-tool/example/example_schema.json): column list with
+SQL type + optional per-column `index` flag + optional `default`
+value; realtime tables add an AggSchema (grouping flag, dims, metrics
+with agg ∈ {sum, first, last, min, max} — AggSchema.java:10-26,
+AggType.java:8-29) and ingest settings (aliases, tag filter —
+RealtimeSetting.java:10-26).
+
+This module is the same contract as plain dataclasses ⇄ JSON, plus
+the Spark-type mapping from SURVEY.md §1.2 (DATE/TIME/DATETIME are
+stored as Spark date/int/timestamp — the reference's epoch-millis
+encodings are storage details Parquet subsumes).
+
+No-NULL emulation: the reference has no NULLs, only per-column
+defaults (ColumnSchema.java:45-54). `apply_defaults` fills nulls with
+the declared default on read/ingest, giving exact reference semantics
+while the storage stays nullable (superset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# SQLType → Spark type (SURVEY.md §1.2 mapping table)
+SQL_TO_SPARK: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "varchar": T.StringType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+    "time": T.IntegerType(),  # ms-of-day; no native Spark TIME
+    "datetime": T.TimestampNTZType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+AGG_TYPES = ("sum", "first", "last", "min", "max")  # AggType.java:8-29
+
+
+@dataclass
+class ColumnSpec:
+    """ColumnSchema.java:27-54 parity: name, type, index flag, default."""
+
+    name: str
+    sql_type: str
+    index: bool = False
+    default: object | None = None
+
+    def spark_type(self) -> T.DataType:
+        return SQL_TO_SPARK[self.sql_type.lower()]
+
+
+@dataclass
+class Metric:
+    """(name, agg) pair — AggSchema.java metrics."""
+
+    name: str
+    agg: str
+
+    def __post_init__(self) -> None:
+        if self.agg not in AGG_TYPES:
+            raise ValueError(f"unknown agg {self.agg!r}; expected one of {AGG_TYPES}")
+
+
+@dataclass
+class AggSchema:
+    """Ingest-time rollup spec (AggSchema.java:10-26)."""
+
+    grouping: bool
+    dims: list[str]
+    metrics: list[Metric] = field(default_factory=list)
+
+
+@dataclass
+class RealtimeSpec:
+    """Ingest settings subset (RealtimeSetting.java:10-26): field
+    aliases (`name.alias`), tag-based event filter (TagSetting.java),
+    empty-event ignore strategy (EventIgnoreStrategy.java:7-12)."""
+
+    aliases: dict[str, str] = field(default_factory=dict)  # event field → column
+    tag_field: str | None = None
+    accept_tags: list[str] = field(default_factory=list)
+    ignore_empty: bool = False
+    agg: AggSchema | None = None
+
+
+@dataclass
+class TableSpec:
+    """TableSchema.java parity: the full JSON-declared table."""
+
+    name: str
+    columns: list[ColumnSpec]
+    realtime: RealtimeSpec | None = None
+    sort_by: list[str] = field(default_factory=list)  # segment sort dims
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type(), True) for c in self.columns]
+        )
+
+    def indexed_columns(self) -> list[str]:
+        return [c.name for c in self.columns if c.index]
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TableSpec":
+        raw = json.loads(text)
+        cols = [ColumnSpec(**c) for c in raw["columns"]]
+        rt = None
+        if raw.get("realtime"):
+            r = dict(raw["realtime"])
+            if r.get("agg"):
+                a = dict(r["agg"])
+                a["metrics"] = [Metric(**m) for m in a.get("metrics", [])]
+                r["agg"] = AggSchema(**a)
+            rt = RealtimeSpec(**r)
+        return cls(
+            name=raw["name"],
+            columns=cols,
+            realtime=rt,
+            sort_by=raw.get("sort_by", []),
+        )
+
+
+def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """No-NULL emulation: replace nulls with declared defaults
+    (ColumnSchema defaultNumberValue/defaultStringValue parity)."""
+    for c in spec.columns:
+        if c.default is not None and c.name in df.columns:
+            df = df.withColumn(
+                c.name,
+                F.coalesce(F.col(c.name), F.lit(c.default).cast(c.spark_type())),
+            )
+    return df
+
+
+class Catalog:
+    """Directory-backed catalog: one JSON spec + one data dir per
+    table (the ZooKeeper-held schema registry of the reference —
+    HybridTable.java:64-82 — reduced to files; on a cluster this
+    would be the metastore)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "_schemas"), exist_ok=True)
+
+    def _spec_path(self, name: str) -> str:
+        return os.path.join(self.root, "_schemas", f"{name}.json")
+
+    def table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def rt_dir(self, name: str) -> str:
+        return os.path.join(self.root, name + "_rt")
+
+    def save(self, spec: TableSpec) -> None:
+        with open(self._spec_path(spec.name), "w") as f:
+            f.write(spec.to_json())
+
+    def load(self, name: str) -> TableSpec:
+        with open(self._spec_path(name)) as f:
+            return TableSpec.from_json(f.read())
+
+    def list_tables(self) -> list[str]:
+        d = os.path.join(self.root, "_schemas")
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Historical segments as a DataFrame (defaults applied)."""
+        spec = self.load(name)
+        df = spark.read.schema(spec.schema()).parquet(self.table_dir(name))
+        return apply_defaults(df, spec)
+
+    def read_hybrid(self, spark: SparkSession, name: str) -> DataFrame:
+        """HybridTable parity (HybridTable.java:22-66): one logical
+        table = historical pool ∪ realtime pool, as a UNION ALL view.
+        Readable mid-ingest; the compactor later folds rt → historical."""
+        spec = self.load(name)
+        hist = self.read(spark, name)
+        rt_path = self.rt_dir(name)
+        if not _has_parquet(rt_path):
+            return hist
+        rt = spark.read.schema(spec.schema()).parquet(rt_path)
+        return hist.unionByName(apply_defaults(rt, spec))
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

@@ -1,0 +1,206 @@
+"""Segment writer + stats sidecar + pruned reads.
+
+The reference's segment layout invariants (SURVEY.md §2.4):
+
+- SortedSegmentGenerator (storage/SortedSegmentGenerator.java:26-56):
+  segments are written dim-sorted so the pack min/max indexes are
+  tight → `repartitionByRange(dims).sortWithinPartitions(dims)`.
+- Rollup-on-write (AggSchema; rt/UTF8Row.java:39-64): rows with equal
+  dims merge, metrics combined by {sum, first, last, min, max} →
+  `groupBy(dims).agg(...)` with first/last pinned to an explicit
+  event-order column (min_by/max_by) for determinism.
+- Pack size 65,536 rows (DataPack.java:36-38) → Parquet row-group
+  sizing; index-flagged string columns get Parquet Bloom filters
+  (the CMap/outer-index replacement, SURVEY.md §2.3).
+- Per-segment ColumnNode min/max (storage/ColumnNode.java:12-22) →
+  the `_indexr_stats.json` sidecar: per-file, per-column min/max
+  folded from parquet row-group footers, powering plans/rough_check
+  file pruning before a scan is even planned.
+
+Scale: the sidecar is written from parquet footers only (no data
+re-read); at 100 TB the fold runs as one metadata pass per new
+segment batch and the pruner reads one small JSON per table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indexr_spark.plans.rough_check import ColStats, FileStats, PruneResult, RCOperator, prune
+from indexr_spark.sources.catalog import AggSchema
+
+SIDECAR_NAME = "_indexr_stats.json"
+DEFAULT_ROWS_PER_GROUP = 65536  # DataPack.java:36-38 pack size
+
+
+def apply_rollup(df: DataFrame, agg: AggSchema, order_col: str | None = None) -> DataFrame:
+    """Rollup rows with equal dims (AggType.java:43-85 semantics).
+
+    first/last need a total order; `order_col` pins it (the reference
+    uses arrival order, which a distributed batch doesn't have).
+    """
+    if not agg.grouping:
+        return df
+    exprs = []
+    for m in agg.metrics:
+        if m.agg == "sum":
+            exprs.append(F.sum(m.name).alias(m.name))
+        elif m.agg == "min":
+            exprs.append(F.min(m.name).alias(m.name))
+        elif m.agg == "max":
+            exprs.append(F.max(m.name).alias(m.name))
+        elif m.agg == "first":
+            if order_col is None:
+                raise ValueError("first/last rollup requires order_col")
+            exprs.append(F.min_by(m.name, order_col).alias(m.name))
+        elif m.agg == "last":
+            if order_col is None:
+                raise ValueError("first/last rollup requires order_col")
+            exprs.append(F.max_by(m.name, order_col).alias(m.name))
+    return df.groupBy(*agg.dims).agg(*exprs)
+
+
+def write_segments(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str] | None = None,
+    agg: AggSchema | None = None,
+    order_col: str | None = None,
+    bloom_cols: list[str] | None = None,
+    row_group_bytes: int = 128 << 20,
+    num_segments: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """SortedSegmentGenerator parity: rollup → range-partition on the
+    sort dims → sort within each segment → parquet with row-group
+    sizing + optional Bloom filters → stats sidecar."""
+    if agg is not None:
+        df = apply_rollup(df, agg, order_col)
+        sort_by = sort_by or list(agg.dims)
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        if num_segments:
+            df = df.repartitionByRange(num_segments, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
+    elif num_segments:
+        df = df.repartition(num_segments)
+
+    # Row-group sizing: the reference's 65,536-row pack is its unit of
+    # compression/index/vectorized-read (DataPack.java:36-38); Parquet's
+    # equivalent knob is the row-group byte size. 128 MiB default —
+    # the scan/skip granularity that holds up at 100 TB.
+    writer = df.write.mode(mode).option("parquet.block.size", str(row_group_bytes))
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
+    write_sidecar(path)
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    return v
+
+
+def write_sidecar(path: str) -> dict:
+    """Fold parquet row-group footer stats into per-file min/max —
+    ColumnNode.java:33-60's fold of pack min/max, at file grain.
+    Metadata-only: no row data is read."""
+    files: list[dict] = []
+    for root, _dirs, names in os.walk(path):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, name)
+            meta = pq.ParquetFile(fpath).metadata
+            cols: dict[str, dict] = {}
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    cname = col.path_in_schema
+                    cur = cols.get(cname)
+                    mn, mx = st.min, st.max
+                    nulls = st.null_count or 0
+                    if cur is None:
+                        cols[cname] = {"min": mn, "max": mx, "null_count": nulls}
+                    else:
+                        cur["min"] = min(cur["min"], mn)
+                        cur["max"] = max(cur["max"], mx)
+                        cur["null_count"] += nulls
+            files.append(
+                {
+                    "path": os.path.relpath(fpath, path),
+                    "num_rows": meta.num_rows,
+                    "columns": {
+                        k: {
+                            "min": _jsonable(v["min"]),
+                            "max": _jsonable(v["max"]),
+                            "null_count": v["null_count"],
+                            "type": type(v["min"]).__name__,
+                        }
+                        for k, v in cols.items()
+                    },
+                }
+            )
+    sidecar = {"version": 1, "files": files}
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+        json.dump(sidecar, f, indent=1, default=str)
+    return sidecar
+
+
+_PARSERS = {
+    "datetime": dt.datetime.fromisoformat,
+    "date": dt.date.fromisoformat,
+}
+
+
+def load_sidecar(path: str) -> dict[str, FileStats]:
+    """Sidecar → {absolute file path: {col: ColStats}}."""
+    with open(os.path.join(path, SIDECAR_NAME)) as f:
+        raw = json.load(f)
+    out: dict[str, FileStats] = {}
+    for entry in raw["files"]:
+        stats: FileStats = {}
+        for col, s in entry["columns"].items():
+            parser = _PARSERS.get(s.get("type"))
+            mn, mx = s["min"], s["max"]
+            if parser is not None:
+                mn, mx = parser(mn), parser(mx)
+            stats[col] = ColStats(min=mn, max=mx, null_count=s["null_count"])
+        out[os.path.join(path, entry["path"])] = stats
+    return out
+
+
+def read_pruned(
+    spark: SparkSession, path: str, predicate: RCOperator
+) -> tuple[DataFrame, PruneResult]:
+    """Rough-check file pruning + exact scan.
+
+    Mirrors the reference's cascade (IndexRRecordReader.java:119-154):
+    segment-level rough check drops files that can't match (NONE);
+    surviving files are scanned with the exact predicate re-applied —
+    row-group/page skipping inside the scan is Parquet's job. Returns
+    the DataFrame plus the prune decision for observability.
+    """
+    result = prune(load_sidecar(path), predicate.optimize())
+    if not result.scan:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema), result
+    df = spark.read.parquet(*result.scan).filter(F.expr(predicate.to_spark_sql()))
+    return df, result

@@ -1,0 +1,104 @@
+"""Catalog (TableSchema/AggSchema JSON parity) + hybrid view tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from indexr_spark.sources.catalog import (
+    AggSchema,
+    Catalog,
+    ColumnSpec,
+    Metric,
+    RealtimeSpec,
+    TableSpec,
+    apply_defaults,
+)
+from indexr_spark.sources.segments import write_segments
+
+# The reference's example table (indexr-tool/example/example_schema.json
+# restated; FIXTURES.md F2): dims date/datetime/d1, metrics m1..m4.
+RT_EVENTS = TableSpec(
+    name="rt_events",
+    columns=[
+        ColumnSpec("date", "date"),
+        ColumnSpec("datetime", "datetime"),
+        ColumnSpec("d1", "varchar", index=True),
+        ColumnSpec("m1", "int"),
+        ColumnSpec("m2", "bigint"),
+        ColumnSpec("m3", "float", default=-0.1),
+        ColumnSpec("m4", "double"),
+    ],
+    realtime=RealtimeSpec(
+        aliases={"dt": "date", "m1_alias": "m1"},
+        tag_field="tag",
+        accept_tags=["a", "b"],
+        agg=AggSchema(
+            grouping=True,
+            dims=["date", "datetime", "d1"],
+            metrics=[
+                Metric("m1", "sum"),
+                Metric("m2", "min"),
+                Metric("m3", "max"),
+                Metric("m4", "first"),
+            ],
+        ),
+    ),
+    sort_by=["date", "datetime", "d1"],
+)
+
+
+def test_spec_json_roundtrip(tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.save(RT_EVENTS)
+    loaded = cat.load("rt_events")
+    assert loaded == RT_EVENTS
+    assert cat.list_tables() == ["rt_events"]
+    assert loaded.indexed_columns() == ["d1"]
+    assert loaded.schema()["m3"].dataType == T.FloatType()
+
+
+def test_apply_defaults(spark):
+    df = spark.createDataFrame(
+        [(1.5,), (None,)], T.StructType([T.StructField("m3", T.FloatType())])
+    )
+    spec = TableSpec(name="t", columns=[ColumnSpec("m3", "float", default=-0.1)])
+    vals = sorted(
+        r.m3 for r in apply_defaults(df, spec).collect()
+    )
+    assert vals[0] == -0.10000000149011612  # float32 of -0.1
+    assert vals[1] == 1.5
+
+
+def test_hybrid_view_union(spark, tmp_path):
+    """HybridTable parity: historical ∪ realtime behind one read."""
+    cat = Catalog(str(tmp_path))
+    spec = TableSpec(
+        name="t",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    cat.save(spec)
+    hist = spark.createDataFrame([(1, 1.0), (2, 2.0)], spec.schema())
+    rt = spark.createDataFrame([(3, 3.0)], spec.schema())
+    write_segments(hist, cat.table_dir("t"), sort_by=["k"], num_segments=1)
+
+    # before any rt data: hybrid == historical
+    assert cat.read_hybrid(spark, "t").count() == 2
+
+    rt.write.parquet(cat.rt_dir("t"), mode="overwrite")
+    got = {tuple(r) for r in cat.read_hybrid(spark, "t").collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+
+
+def test_read_applies_defaults(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    spec = TableSpec(
+        name="d",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double", default=0.5)],
+    )
+    cat.save(spec)
+    df = spark.createDataFrame([(1, None), (2, 9.0)], spec.schema())
+    write_segments(df, cat.table_dir("d"), num_segments=1)
+    got = {tuple(r) for r in cat.read(spark, "d").collect()}
+    assert got == {(1, 0.5), (2, 9.0)}

@@ -1,0 +1,206 @@
+"""Segment writer + stats sidecar + rough-check pruning tests.
+
+Validates the M2/M3 invariants: dim-sorted segments produce tight
+per-file min/max; the pruner skips files a predicate can't match
+(counted!) while the pruned result stays byte-equal to a full scan;
+rollup-on-write merges dim-duplicate rows with the declared agg.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from indexr_spark.plans.rough_check import (
+    RS,
+    And,
+    Between,
+    ColStats,
+    Equal,
+    Greater,
+    In,
+    LessEqual,
+    LikePrefix,
+    NotOp,
+    Or,
+    prune,
+)
+from indexr_spark.sources.catalog import AggSchema, Metric
+from indexr_spark.sources.segments import (
+    load_sidecar,
+    read_pruned,
+    write_segments,
+)
+from tests.conftest import SMOKE_SF
+
+
+@pytest.fixture(scope="module")
+def lineitem_segments(spark, tmp_path_factory):
+    """lineitem written as 8 shipdate-sorted segments + sidecar."""
+    out = str(tmp_path_factory.mktemp("seg") / "lineitem")
+    df = spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet")
+    write_segments(
+        df,
+        out,
+        sort_by=["l_shipdate"],
+        bloom_cols=["l_returnflag"],
+        num_segments=8,
+    )
+    return out
+
+
+def test_sidecar_written_and_typed(lineitem_segments):
+    stats = load_sidecar(lineitem_segments)
+    assert len(stats) == 8
+    for fstats in stats.values():
+        s = fstats["l_shipdate"]
+        assert isinstance(s.min, dt.datetime)
+        assert s.min <= s.max
+        assert fstats["l_quantity"].min >= 1.0
+
+
+def test_sorted_segments_are_disjoint(lineitem_segments):
+    """Range partitioning on the sort dim must produce (nearly)
+    non-overlapping per-file ranges — that's what makes min/max
+    skipping effective (SortedSegmentGenerator's whole point)."""
+    stats = load_sidecar(lineitem_segments)
+    ranges = sorted((s["l_shipdate"].min, s["l_shipdate"].max) for s in stats.values())
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "segment shipdate ranges overlap"
+
+
+def test_prune_skips_files_and_matches_full_scan(spark, lineitem_segments):
+    pred = Between(
+        "l_shipdate", dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31)
+    )
+    df, decision = read_pruned(spark, lineitem_segments, pred)
+    assert decision.skipped, "expected at least one file skipped"
+    assert len(decision.scan) < decision.n_total
+
+    full = (
+        spark.read.parquet(lineitem_segments)
+        .filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+    )
+    assert df.count() == full.count()
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+
+
+def test_prune_none_selects_nothing(spark, lineitem_segments):
+    pred = Greater("l_shipdate", dt.datetime(2005, 1, 1))
+    df, decision = read_pruned(spark, lineitem_segments, pred)
+    assert not decision.scan
+    assert df.count() == 0
+
+
+def test_prune_all_shortcircuit(lineitem_segments):
+    """A predicate satisfied by every row of a file must mark it ALL —
+    the reference's skip-the-row-bitmap fast path
+    (IndexRRecordReader.java:129-154)."""
+    stats = load_sidecar(lineitem_segments)
+    result = prune(stats, Greater("l_quantity", 0.0))
+    assert len(result.all_match) == len(result.scan) == len(stats)
+
+
+def test_rollup_on_write(spark, tmp_path):
+    out = str(tmp_path / "rolled")
+    ev = spark.createDataFrame(
+        [
+            ("a", 1, 10.0, 1),
+            ("a", 1, 5.0, 2),
+            ("b", 1, 7.0, 3),
+        ],
+        "dim string, day int, v double, seq int",
+    )
+    agg = AggSchema(
+        grouping=True,
+        dims=["dim", "day"],
+        metrics=[Metric("v", "sum"), Metric("seq", "first")],
+    )
+    write_segments(ev, out, agg=agg, order_col="seq")
+    rows = {
+        tuple(r)
+        for r in spark.read.parquet(out).select("dim", "day", "v", "seq").collect()
+    }
+    assert rows == {("a", 1, 15.0, 1), ("b", 1, 7.0, 3)}
+
+
+# ---------------------------------------------------------------------------
+# rough-check algebra unit tests (rc/RCTest.java parity + three-valued laws)
+# ---------------------------------------------------------------------------
+
+STATS = {"a": ColStats(10, 20), "s": ColStats("apple", "mango")}
+
+
+@pytest.mark.parametrize(
+    "op,expected",
+    [
+        (Equal("a", 5), RS.NONE),
+        (Equal("a", 15), RS.SOME),
+        (Greater("a", 20), RS.NONE),
+        (Greater("a", 9), RS.ALL),
+        (LessEqual("a", 9), RS.NONE),
+        (Between("a", 10, 20), RS.ALL),
+        (Between("a", 21, 30), RS.NONE),
+        (In("a", (1, 2, 3)), RS.NONE),
+        (In("a", (1, 15)), RS.SOME),
+        (LikePrefix("s", "zebra"), RS.NONE),
+        (LikePrefix("s", "b"), RS.SOME),
+        (And((Greater("a", 9), Equal("a", 5))), RS.NONE),
+        (Or((Equal("a", 5), Greater("a", 9))), RS.ALL),
+        (NotOp(Between("a", 10, 20)), RS.NONE),
+    ],
+)
+def test_rough_values(op, expected):
+    assert op.rough(STATS) is expected
+
+
+def test_not_pushdown_optimize():
+    """NOT(a=1 OR a=2) optimizes through the In-merge to a NOT IN —
+    the same fixed point the reference reaches via
+    doOptimize().applyNot() (RCOperator.java:117-123, RCTest.java)."""
+    from indexr_spark.plans.rough_check import NotIn
+
+    op = NotOp(Or((Equal("a", 1), Equal("a", 2)))).optimize()
+    assert op == NotIn("a", (1, 2))
+    # and the rough semantics agree with the unoptimized tree
+    stats = {"a": ColStats(1, 1)}
+    assert op.rough(stats) is RS.NONE
+    assert NotOp(Or((Equal("a", 1), Equal("a", 2)))).rough(stats) is RS.NONE
+
+
+def test_or_of_equals_becomes_in():
+    """a=1 OR a=2 OR a=3 → a IN (1,2,3) (Or.java merge)."""
+    op = Or((Equal("a", 1), Equal("a", 2), Equal("a", 3))).optimize()
+    assert op == In("a", (1, 2, 3))
+
+
+def test_bloom_filter_written(spark, tmp_path):
+    """Index-flagged columns get Parquet Bloom filters (the CMap /
+    inverted-outer-index replacement). Neither pyarrow 1x nor DuckDB
+    1.0 introspects bloom offsets, so observe the artifact directly:
+    the bloom-filtered file must be measurably larger."""
+    import glob
+    import os
+
+    # High-cardinality column: parquet-mr emits blooms only where
+    # dictionary encoding gives up (dictionary is the better index at
+    # low cardinality — same per-column index choice the reference
+    # makes in VersionAdapter_Basic).
+    df = spark.range(100_000).select(
+        F.md5(F.col("id").cast("string")).alias("s")
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    write_segments(df, plain, num_segments=1)
+    write_segments(df, bloomed, num_segments=1, bloom_cols=["s"])
+
+    size = lambda d: sum(
+        os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+    )
+    assert size(bloomed) > size(plain) + 1024, (
+        "bloom option produced no extra index bytes — option not applied?"
+    )
