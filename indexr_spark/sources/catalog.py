@@ -178,9 +178,13 @@ class Catalog:
         return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        """Historical segments as a DataFrame (defaults applied)."""
+        """Historical segments as a DataFrame (defaults applied).
+        An empty pool (pre-first-compaction) reads as zero rows."""
         spec = self.load(name)
-        df = spark.read.schema(spec.schema()).parquet(self.table_dir(name))
+        path = self.table_dir(name)
+        if not _has_parquet(path):
+            return spark.createDataFrame([], spec.schema())
+        df = spark.read.schema(spec.schema()).parquet(path)
         return apply_defaults(df, spec)
 
     def read_hybrid(self, spark: SparkSession, name: str) -> DataFrame:
@@ -192,7 +196,13 @@ class Catalog:
         rt_path = self.rt_dir(name)
         if not _has_parquet(rt_path):
             return hist
-        rt = spark.read.schema(spec.schema()).parquet(rt_path)
+        # explicit select: partition discovery (batch=<epoch> dirs)
+        # appends a partition column beyond the declared schema
+        rt = (
+            spark.read.schema(spec.schema())
+            .parquet(rt_path)
+            .select(*[c.name for c in spec.columns])
+        )
         return hist.unionByName(apply_defaults(rt, spec))
 
 

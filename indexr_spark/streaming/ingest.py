@@ -1,0 +1,208 @@
+"""Realtime ingest pipeline — the reference's rt/ subsystem, Spark-first.
+
+Reference flow (SURVEY.md §3.3): Kafka JSON event → UTF8JsonRowCreator
+(alias / tag-filter / default handling, UTF8Row.java:69-100) → insert
+into a sorted in-memory map with rollup merge (RealtimeSegment.java:59)
+→ periodic dump to a segment → upload → Rt2His moves it under the
+historical layout → HybridTable serves historical ∪ realtime.
+
+Spark mapping:
+
+    Kafka fetcher           readStream (kafka/json/csv file source)
+    UTF8Row transforms      prepare_events(): alias, tag filter,
+                            empty-event ignore, defaults, casts
+    in-memory rollup        per-micro-batch groupBy(dims).agg(...)
+                            (the reference also rolls up only within
+                            a segment — cross-segment merge happens
+                            at compaction; RTSMerge.java:30-86)
+    save/upload period      trigger(processingTime=...) + foreachBatch
+    segment state machine   idempotent epoch-keyed output dirs
+                            (batch=<epoch>) — a retried epoch
+                            overwrites its own directory, giving
+                            exactly-once file output on top of the
+                            checkpointed source offsets
+    RTSMerge compaction     compact(): re-rollup rt across batches
+                            (order-bound bookkeeping keeps first/last
+                            deterministic), write dim-sorted segments
+                            into the historical table, clear rt
+    HybridTable             Catalog.read_hybrid (union view)
+
+first/last across merges: each rt group carries _min_ord/_max_ord
+(the order bounds of the rows it absorbed). Re-rollup picks the
+first-value of the group with the smallest _min_ord via min_by —
+associative, so any merge tree yields the same answer the reference
+gets from arrival order (AggType.java:43-85).
+
+Query semantics over a hybrid table: rows with equal dims may exist
+once per segment (historical + each rt batch) until compaction folds
+them — identical to the reference, where rollup is per-segment and
+queries re-aggregate across segments.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from indexr_spark.sources.catalog import Catalog, TableSpec, apply_defaults
+from indexr_spark.sources.segments import write_segments
+
+MIN_ORD, MAX_ORD = "_min_ord", "_max_ord"
+
+
+def prepare_events(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """UTF8Row.Creator parity: alias mapping → tag filter →
+    empty-event ignore → defaults → project/cast to the table schema.
+
+    Works identically on a batch or streaming DataFrame (pure narrow
+    transformations — no shuffle; filters push into the source scan).
+    Extra event fields (e.g. the order/sequence column) pass through.
+    """
+    rt = spec.realtime
+    if rt is None:
+        raise ValueError(f"table {spec.name} has no realtime spec")
+
+    for event_field, column in rt.aliases.items():
+        if event_field in df.columns:
+            df = df.withColumnRenamed(event_field, column)
+
+    if rt.tag_field and rt.accept_tags and rt.tag_field in df.columns:
+        # TagSetting.java:7-22: keep events whose tag set intersects
+        # accept.tags; tags arrive as a comma-separated field.
+        tags = F.split(F.col(rt.tag_field), ",")
+        accept = F.array(*[F.lit(t) for t in rt.accept_tags])
+        df = df.filter(F.arrays_overlap(tags, accept))
+
+    metric_cols = [m.name for m in rt.agg.metrics] if rt.agg else []
+    if rt.ignore_empty and metric_cols:
+        # EventIgnoreStrategy.IGNORE_EMPTY: drop events carrying no
+        # metric values at all.
+        non_null = [F.col(c).isNotNull().cast("int") for c in metric_cols]
+        total = non_null[0]
+        for c in non_null[1:]:
+            total = total + c
+        df = df.filter(total > 0)
+
+    df = apply_defaults(df, spec)
+    spec_names = {c.name for c in spec.columns}
+    projected = [
+        F.col(c.name).cast(c.spark_type()).alias(c.name)
+        for c in spec.columns
+        if c.name in df.columns
+    ]
+    extra = [F.col(c) for c in df.columns if c not in spec_names]
+    return df.select(*projected, *extra)
+
+
+def _rollup_batch(batch: DataFrame, spec: TableSpec, order_col: str | None) -> DataFrame:
+    """Within-batch rollup (the realtime segment's in-memory merge),
+    keeping order bounds so compaction can re-merge first/last."""
+    agg = spec.realtime.agg if spec.realtime else None
+    if agg is None or not agg.grouping:
+        return batch
+    exprs = []
+    for m in agg.metrics:
+        if m.agg == "sum":
+            exprs.append(F.sum(m.name).alias(m.name))
+        elif m.agg == "min":
+            exprs.append(F.min(m.name).alias(m.name))
+        elif m.agg == "max":
+            exprs.append(F.max(m.name).alias(m.name))
+        elif m.agg == "first":
+            exprs.append(F.min_by(m.name, order_col).alias(m.name))
+        elif m.agg == "last":
+            exprs.append(F.max_by(m.name, order_col).alias(m.name))
+    if order_col is not None:
+        exprs.append(F.min(order_col).alias(MIN_ORD))
+        exprs.append(F.max(order_col).alias(MAX_ORD))
+    return batch.groupBy(*agg.dims).agg(*exprs)
+
+
+def start_ingest(
+    spark: SparkSession,
+    events: DataFrame,
+    catalog: Catalog,
+    table: str,
+    order_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Attach the ingest pipeline to a streaming DataFrame of raw
+    events and start writing rt segments.
+
+    `events` is any readStream source (kafka value-parsed JSON, file
+    source, rate…). Each micro-batch is rolled up, sorted on the dims
+    and written to `rt/<table>/batch=<epoch>` — overwrite per epoch ⇒
+    idempotent under retries (exactly-once on top of checkpointing).
+    """
+    spec = catalog.load(table)
+    rt_dir = catalog.rt_dir(table)
+    prepared = prepare_events(events, spec)
+    sort_cols = spec.realtime.agg.dims if (spec.realtime and spec.realtime.agg) else spec.sort_by
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        rolled = _rollup_batch(batch, spec, order_col)
+        if sort_cols:
+            rolled = rolled.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        rolled.write.mode("overwrite").parquet(os.path.join(rt_dir, f"batch={epoch_id}"))
+
+    writer = prepared.writeStream.foreachBatch(sink).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(catalog.root, "_checkpoints", table),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def compact(spark: SparkSession, catalog: Catalog, table: str) -> int:
+    """RTSMerge parity (rt/RTSMerge.java:30-86): merge all rt batches
+    with re-rollup, append the result to the historical table as
+    dim-sorted segments, then drop the rt batches. Returns the number
+    of rows moved. The shuffle of the groupBy *is* the k-way merge —
+    at 100 TB this runs as an ordinary batch job on its own schedule.
+    """
+    spec = catalog.load(table)
+    rt_dir = catalog.rt_dir(table)
+    if not os.path.isdir(rt_dir) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(rt_dir) for f in fs
+    ):
+        return 0
+    rt = spark.read.parquet(rt_dir)
+    agg = spec.realtime.agg if spec.realtime else None
+    if agg is not None and agg.grouping:
+        has_ord = MIN_ORD in rt.columns
+        exprs = []
+        for m in agg.metrics:
+            if m.agg == "sum":
+                exprs.append(F.sum(m.name).alias(m.name))
+            elif m.agg == "min":
+                exprs.append(F.min(m.name).alias(m.name))
+            elif m.agg == "max":
+                exprs.append(F.max(m.name).alias(m.name))
+            elif m.agg == "first":
+                exprs.append(
+                    F.min_by(m.name, F.col(MIN_ORD) if has_ord else F.col(m.name)).alias(m.name)
+                )
+            elif m.agg == "last":
+                exprs.append(
+                    F.max_by(m.name, F.col(MAX_ORD) if has_ord else F.col(m.name)).alias(m.name)
+                )
+        merged = rt.groupBy(*agg.dims).agg(*exprs)
+    else:
+        merged = rt
+
+    merged = merged.select(*[c.name for c in spec.columns if c.name in merged.columns])
+    n = merged.count()
+    sort_by = (agg.dims if agg else None) or spec.sort_by or None
+    # write_segments refreshes the sidecar over the whole table dir.
+    write_segments(merged, catalog.table_dir(table), sort_by=sort_by, mode="append")
+    shutil.rmtree(rt_dir)
+    return n
