@@ -610,6 +610,36 @@ LIMIT 20 OFFSET 5
 """
 
 
+def q19_update_column_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateColumnJob expression semantics as a query: the new
+    column's value is a SQL expression over existing columns —
+    the reference's own example shape `if((a > 100), a - 100, a + 100)`
+    (UpdateColumnJob.java:73-105, UpdateColSchema.java:12-41). The
+    offline rewrite tool (sources/tools.update_column) applies exactly
+    this expression before persisting."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.expr(
+                "round(if(o_totalprice > 100000, o_totalprice - 100000, "
+                "o_totalprice + 100000), 2)"
+            ).alias("adjusted_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE["q19_update_column_expr"] = """
+SELECT o_orderkey, o_totalprice,
+       round(CASE WHEN o_totalprice > 100000 THEN o_totalprice - 100000
+                  ELSE o_totalprice + 100000 END, 2) AS adjusted_price
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -629,4 +659,5 @@ QUERIES = {
     "q16_like_filters": q16_like_filters,
     "q17_union_hybrid": q17_union_hybrid,
     "q18_sql_embedded": q18_sql_embedded,
+    "q19_update_column_expr": q19_update_column_expr,
 }

@@ -1,0 +1,115 @@
+"""Offline tooling — CSV load/export and online column update.
+
+Reference parity (SURVEY.md §2.4):
+
+- CSVSegmentLoader / CSVSegmentExporter (indexr-server
+  tool/CSVSegmentLoader.java:50,192-211; CSVSegmentExporter.java):
+  CSV ⇄ segments with an explicit schema and custom delimiter.
+- UpdateColumnJob (tool/UpdateColumnJob.java:73-113, config
+  UpdateColSchema.java:12-41): offline rewrite with ADDCOL / DELCOL /
+  ALTCOL, where a new/altered column's value is a SQL *expression*
+  over the existing columns (e.g. `"if((a > 100), a - 100, a + 100)"`)
+  evaluated by the embedded engine. Here the expression is any Spark
+  SQL expression — a strict superset — and the rewrite is a
+  read → withColumn(expr) → write-to-temp → atomic swap.
+
+Scale notes: the column update rewrites data once, distributed; at
+100 TB you run it per partition-directory (exactly how the MR job
+sharded by segment). CSV load goes straight to dim-sorted segments so
+the result is immediately prunable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indexr_spark.sources.catalog import TableSpec, apply_defaults
+from indexr_spark.sources.segments import write_segments
+
+
+def csv_load(
+    spark: SparkSession,
+    csv_path: str,
+    spec: TableSpec,
+    out_path: str,
+    delimiter: str = ",",
+    header: bool = False,
+) -> int:
+    """CSVSegmentLoader parity: CSV (explicit schema, custom
+    delimiter) → dim-sorted segments + sidecar. Returns rows loaded."""
+    df = (
+        spark.read.schema(spec.schema())
+        .option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .csv(csv_path)
+    )
+    df = apply_defaults(df, spec)
+    write_segments(df, out_path, sort_by=spec.sort_by or None)
+    return spark.read.parquet(out_path).count()
+
+
+def csv_export(
+    spark: SparkSession,
+    table_path: str,
+    csv_path: str,
+    delimiter: str = ",",
+    header: bool = False,
+) -> None:
+    """CSVSegmentExporter parity: segments → CSV."""
+    (
+        spark.read.parquet(table_path)
+        .write.mode("overwrite")
+        .option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .csv(csv_path)
+    )
+
+
+def update_column(
+    spark: SparkSession,
+    table_path: str,
+    mode: str,
+    column: str,
+    value_expr: str | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """UpdateColumnJob parity: ADDCOL / DELCOL / ALTCOL via a
+    distributed rewrite. `value_expr` is a Spark SQL expression over
+    the existing columns (UpdateColSchema.java's `value`).
+
+    The rewrite lands in a temp directory first and swaps in only on
+    success — the job-level atomicity the MR implementation got from
+    task commits.
+    """
+    mode = mode.upper()
+    df = spark.read.parquet(table_path)
+    if mode == "ADDCOL":
+        if value_expr is None:
+            raise ValueError("ADDCOL requires value_expr")
+        if column in df.columns:
+            raise ValueError(f"column {column} already exists")
+        out = df.withColumn(column, F.expr(value_expr))
+    elif mode == "ALTCOL":
+        if value_expr is None:
+            raise ValueError("ALTCOL requires value_expr")
+        if column not in df.columns:
+            raise ValueError(f"column {column} does not exist")
+        out = df.withColumn(column, F.expr(value_expr))
+    elif mode == "DELCOL":
+        if column not in df.columns:
+            raise ValueError(f"column {column} does not exist")
+        out = df.drop(column)
+    else:
+        raise ValueError(f"unknown mode {mode!r}; expected ADDCOL/ALTCOL/DELCOL")
+
+    tmp = table_path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
+    write_segments(out, tmp, sort_by=sort_by)
+    old = table_path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old)

@@ -1,0 +1,124 @@
+"""Physical-plan assertions — the scale-readiness gates.
+
+Correctness tests prove the answers; these prove the *plans* are the
+ones that survive 100×: filters reach the Parquet scan
+(PushedFilters), projections prune the read schema, dimension joins
+broadcast instead of shuffling, aggregates are partial+final, and the
+hot paths stay inside WholeStageCodegen. A green bench with a red
+plan here would mean we're fast only by luck of the data size.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from indexr_spark import operators
+from tests.conftest import SMOKE_SF
+
+
+def plan_of(spark, name: str) -> str:
+    df = operators.QUERIES[name](spark, SMOKE_SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark):
+    plan = plan_of(spark, "q02_filter_scan")
+    assert "PushedFilters:" in plan
+    # range + in + equality predicates all reach the scan
+    for frag in (
+        "GreaterThanOrEqual(l_quantity,5.0)",
+        "In(l_returnflag",
+        "EqualTo(l_linestatus,F)",
+        "GreaterThanOrEqual(l_shipdate,",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}\n{plan}"
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q02_filter_scan")
+    # ReadSchema must NOT include untouched wide columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_tax" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_join_for_dimensions(spark):
+    plan = plan_of(spark, "q06_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q07_multi_join")
+    # all four dimension tables broadcast; only the fact-fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_partial_final_aggregation(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "HashAggregate" in plan
+    # partial + final pair (the reference plans this explicitly,
+    # Utils.java:24-74; Catalyst does it automatically)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark):
+    """The hot path must compile to whole-stage codegen. The formatted
+    explain of an unexecuted AQE plan hides codegen subtrees, so ask
+    for the codegen explain mode explicitly."""
+    df = operators.QUERIES["q01_pricing_summary"](spark, SMOKE_SF)
+    df.collect()  # AQE finalizes stages (and codegen) only at execution
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert "*(1)" in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_like_pushdown(spark):
+    """LIKE shapes push down as far as Parquet allows: `%a%` →
+    StringContains, NOT LIKE '%zz%' → Not(StringContains). (A `_`
+    wildcard pattern like 'Brand#1_' is correctly NOT pushed — it
+    isn't a prefix — and is evaluated in the codegen'd Filter.)"""
+    plan = plan_of(spark, "q16_like_filters")
+    assert "StringContains(p_type,a)" in plan
+    assert "Not(StringContains(p_name,zz))" in plan
+
+
+def test_like_prefix_pushes_as_startswith(spark):
+    """A pure-prefix LIKE pushes as StringStartsWith — the rough-check
+    level the reference got from its CMap index (SURVEY.md §2.3)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{SMOKE_SF}/part.parquet")
+        .filter(F.col("p_brand").like("Brand#2%"))
+        .select("p_partkey")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "StringStartsWith(p_brand,Brand#2)" in plan
+
+
+def test_limit_does_not_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject — a
+    per-partition top-K + merge, not a full global sort."""
+    plan = plan_of(spark, "q09_sort_limit_offset")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["d05_exact_dedup", "q20_events_rollup", "q13_date_agg"]
+)
+def test_single_shuffle_aggregations(spark, name):
+    """One logical aggregation = at most one exchange (plus AQE reads)."""
+    plan = plan_of(spark, name)
+    exchanges = plan.count("Exchange")
+    # orderBy adds a range exchange for output ordering; the agg itself
+    # must contribute only one hash-partition exchange
+    assert plan.count("hashpartitioning") <= 1, plan

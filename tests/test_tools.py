@@ -1,0 +1,99 @@
+"""CSV load/export + update-column rewrite tests (M5 tooling)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+from indexr_spark.sources.segments import load_sidecar, write_segments
+from indexr_spark.sources.tools import csv_export, csv_load, update_column
+from tests.conftest import SMOKE_SF
+
+SPEC = TableSpec(
+    name="csvt",
+    columns=[
+        ColumnSpec("k", "int"),
+        ColumnSpec("name", "varchar"),
+        ColumnSpec("v", "double", default=0.0),
+    ],
+    sort_by=["k"],
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("3|c|3.5\n1|a|1.5\n2|b|\n")  # missing v -> default
+    seg = str(tmp_path / "seg")
+    n = csv_load(spark, str(src), SPEC, seg, delimiter="|")
+    assert n == 3
+    rows = {tuple(r) for r in spark.read.parquet(seg).collect()}
+    assert rows == {(1, "a", 1.5), (2, "b", 0.0), (3, "c", 3.5)}
+    assert load_sidecar(seg)  # immediately prunable
+
+    out = str(tmp_path / "out_csv")
+    csv_export(spark, seg, out, delimiter=";")
+    text = "".join(
+        open(f).read() for f in sorted(glob.glob(f"{out}/part-*"))
+    )
+    assert "a;1.5" in text.replace("1;a;1.5", "a;1.5")
+
+
+@pytest.fixture()
+def orders_table(spark, tmp_path):
+    path = str(tmp_path / "orders")
+    write_segments(
+        spark.read.parquet(f"{SMOKE_SF}/orders.parquet"),
+        path,
+        sort_by=["o_orderdate"],
+        num_segments=2,
+    )
+    return path
+
+
+def test_update_column_addcol(spark, orders_table):
+    update_column(
+        spark,
+        orders_table,
+        "ADDCOL",
+        "adjusted",
+        "if(o_totalprice > 100000, o_totalprice - 100000, o_totalprice + 100000)",
+        sort_by=["o_orderdate"],
+    )
+    df = spark.read.parquet(orders_table)
+    assert "adjusted" in df.columns
+    bad = df.filter(
+        (
+            F.when(
+                F.col("o_totalprice") > 100000, F.col("o_totalprice") - 100000
+            ).otherwise(F.col("o_totalprice") + 100000)
+        )
+        != F.col("adjusted")
+    ).count()
+    assert bad == 0
+    assert load_sidecar(orders_table)  # sidecar rebuilt after rewrite
+
+
+def test_update_column_delcol_and_errors(spark, orders_table):
+    update_column(spark, orders_table, "DELCOL", "o_orderpriority")
+    assert "o_orderpriority" not in spark.read.parquet(orders_table).columns
+
+    with pytest.raises(ValueError, match="does not exist"):
+        update_column(spark, orders_table, "DELCOL", "nope")
+    with pytest.raises(ValueError, match="already exists"):
+        update_column(spark, orders_table, "ADDCOL", "o_orderkey", "1")
+    with pytest.raises(ValueError, match="unknown mode"):
+        update_column(spark, orders_table, "RENAME", "x")
+    # failed rewrites must not clobber the table
+    assert spark.read.parquet(orders_table).count() > 0
+
+
+def test_update_column_altcol(spark, orders_table):
+    before = spark.read.parquet(orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
+    update_column(spark, orders_table, "ALTCOL", "o_totalprice", "o_totalprice * 2")
+    after = spark.read.parquet(orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
+    assert after == pytest.approx(before * 2)
