@@ -13,9 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from indexr_spark.operators import events, multimodal, relational, similarity, text
+from indexr_spark.operators import (
+    asof,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
-_MODULES = (relational, events, text, similarity, multimodal)
+_MODULES = (relational, events, text, similarity, multimodal, asof)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -157,8 +157,144 @@ ORDER BY label, dim
 """
 
 
+ANN_PLANES = 4  # 2^4 = 16 buckets; ~n/16 candidates per query
+ANN_QUERIES = 20
+ANN_K = 3
+
+
+def _bucket_of(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Hyperplane weights are derived from the portable md5 hash —
+    w[p][i] = (hash32(f"{p}_{i}") % 2001 - 1000) / 1000 ∈ [-1, 1] —
+    so both engines build the *same* planes with no RNG state. Sign
+    bits of the 4 plane dot products concatenate into the bucket id.
+    """
+    pos = emb.select(
+        "vec_id", F.posexplode(F.col("e")).alias("dim", "x")
+    )
+    planes = (
+        spark.range(ANN_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("dim")))
+    )
+    from indexr_spark.functions.text import hash32
+
+    planes = planes.withColumn(
+        "w",
+        (hash32(F.concat_ws("_", F.col("p"), F.col("dim"))) % 2001 - 1000) / 1000.0,
+    )
+    dots = (
+        pos.join(planes, "dim")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    return (
+        dots.select(
+            "vec_id",
+            F.when(F.col("dot") >= 0, F.expr("CAST(1 AS BIGINT) << p"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bv"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bv").alias("bucket"))
+    )
+
+
+def s04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via random-hyperplane LSH:
+    candidates come only from the query's bucket (≈ n/16 of the
+    corpus), then exact cosine ranks them. This is the scale path for
+    s01 — at 100 TB the bucket id becomes the shuffle/partition key
+    and each query touches one bucket instead of the whole corpus.
+    Recall < 1.0 by design; determinism (and the oracle) is exact."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    buckets = _bucket_of(spark, emb)
+    embb = emb.join(buckets, "vec_id")
+    q = embb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    pairs = embb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", cos.alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE["s04_ann_lsh_topk"] = f"""
+WITH planes AS (
+  SELECT p, dim,
+         (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT
+          % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, {ANN_PLANES})) AS p),
+       (SELECT unnest(range(0, 64)) AS dim)
+), pos AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, p, sum(x * w) AS dot
+  FROM pos JOIN planes USING (dim)
+  GROUP BY vec_id, p
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), n AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb
+  FROM n WHERE vec_id < {ANN_QUERIES}
+), pairs AS (
+  SELECT q_id, n.vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN n ON n.bucket = qb AND n.vec_id != q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY q_id, rank
+"""
+
+
+def s05_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL) + approximate quantiles per group —
+    the at-scale substitutes for exact countDistinct / percentiles
+    (sketches merge associatively; one map-side-combined pass). No SQL
+    oracle: sketch results are implementation-defined, so the driver
+    records the weaker rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+            F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_pairs": s02_embedding_pairs,
     "s03_label_centroids": s03_label_centroids,
+    "s04_ann_lsh_topk": s04_ann_lsh_topk,
+    "s05_approx_stats": s05_approx_stats,
 }
