@@ -105,6 +105,9 @@ def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical operator that genuinely needs the Python boundary.
     """
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    # Decode is CPU-bound; fan the rows across Python workers instead
+    # of inheriting the byte-based scan split (often 1 for small files).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     out = d.select("doc_id", "payload").mapInPandas(_make_decode_batches(), DECODE_SCHEMA)
     return out.orderBy("doc_id")
 

@@ -44,6 +44,10 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
+    # Vector math is CPU-bound on tiny input bytes; spread rows across
+    # cores explicitly (Spark splits scans by bytes, not by work). At
+    # real scale the scan supplies the parallelism and AQE coalesces.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
     e = _as_double(F.col("embedding"))
     return df.select(
         "vec_id", "label", e.alias("e"), F.sqrt(_dot(e, e)).alias("nrm")

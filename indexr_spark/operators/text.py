@@ -37,6 +37,12 @@ EN_MARKERS = ("the", "a", "of", "to", "and", "in", "is")
 
 MINHASH_SEEDS = 16
 MINHASH_BANDS = 2  # 2 bands x 8 rows: pair-detect P = 1-(1-J^8)^2
+# Universal hash family over one base md5 hash: mh_j(t) = (A_j*h(t)+B_j) mod P.
+# One md5 per token instead of one per (token, seed) — 16x fewer digests.
+# A_j bounded so A_j*h < 2^63 (no BIGINT overflow on either engine).
+MINHASH_P = 2147483647
+MINHASH_A = [999961 + 2 * j for j in range(MINHASH_SEEDS)]
+MINHASH_B = [997 * (j + 1) for j in range(MINHASH_SEEDS)]
 JACCARD_NGRAM = 2
 JACCARD_THRESHOLD = 0.1
 SIMHASH_BITS = 32
@@ -230,34 +236,48 @@ def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (a < b). The bucket join is the scale move: pairs
     are only formed within identical (band, signature) buckets, never
     across the full n² space. Same construction in the oracle.
+
+    Shuffle economics: all 16 min-hashes are computed as array
+    expressions over the token set *within the row* — signature
+    building costs ZERO shuffles (the earlier explode(tokens × seeds)
+    + groupBy formulation shuffled |docs|·|tokens|·16 rows). Each
+    token is md5-hashed ONCE; the 16 family members are cheap modular
+    arithmetic over that base hash. The only shuffle left is the
+    bucket join itself, on (band, sig).
+
+    The hashing stage is CPU-bound on tiny input *bytes* (Spark
+    splits scans by bytes, not by work), so the docs are explicitly
+    repartitioned across cores first — at 100 TB the scan itself
+    provides the parallelism and the repartition coalesces away.
     """
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
-    seeded = tok.select(
-        "doc_id",
-        "tok",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_SEEDS - 1))).alias("seed"),
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    toks = distinct_tokens("text")
     rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
-    mh = (
-        seeded.select(
-            "doc_id", "seed", hash32(F.col("tok"), F.col("seed")).alias("h")
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-    )
-    sigs = (
-        mh.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                    lambda s: s["minh"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
-        )
+    base = F.transform(toks, lambda t: hash32(t))
+
+    def family_member(j: int):
+        # closure factory: a 2-arg lambda would be treated by PySpark
+        # as the (element, index) form, so bind A/B outside the lambda
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return F.array_min(F.transform(base, lambda h: (h * a + b) % MINHASH_P))
+
+    mh_cols = [
+        family_member(j).cast("string").alias(f"mh{j}")
+        for j in range(MINHASH_SEEDS)
+    ]
+    sig_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        ).alias(f"sig{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    per_doc = d.select("doc_id", *mh_cols).select("doc_id", *sig_cols)
+    # one row per (doc, band): band id + its signature
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(MINHASH_BANDS))
+    sigs = per_doc.selectExpr(
+        "doc_id", f"stack({MINHASH_BANDS}, {stack_args}) AS (band, sig)"
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -276,11 +296,15 @@ def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["d07_minhash_lsh"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
 ), seeded AS (
-  SELECT doc_id, tok, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM tok
+  SELECT doc_id, h, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM h
 ), mh AS (
+  -- universal hash family over the base hash: (A_j*h + B_j) mod P,
+  -- A_j = 999961 + 2*seed, B_j = 997*(seed+1) — matches MINHASH_A/B
   SELECT doc_id, seed,
-         min(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 8))::BIGINT) AS minh
+         min((h * (999961 + 2 * seed) + 997 * (seed + 1)) % {MINHASH_P}) AS minh
   FROM seeded GROUP BY doc_id, seed
 ), sigs AS (
   SELECT doc_id, seed // {MINHASH_SEEDS // MINHASH_BANDS} AS band,
@@ -299,30 +323,36 @@ def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token hashes' bit j; bit set iff the sum is >= 0. Integer
     arithmetic end to end — exactly reproducible on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(distinct_tokens("text")).alias("tok"))
-    h = tok.select("doc_id", hash32(F.col("tok")).alias("h"))
-    bits = h.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("contrib"),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") >= 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
-                F.lit(0).cast("long")
-            ),
+    # Shuffle economics: the whole simhash is computed within the row
+    # (hash array → per-bit majority → bit recombination), so the
+    # operator is embarrassingly parallel — zero shuffles; the
+    # trailing orderBy exists only for oracle determinism. Bit test
+    # (h >> j) & 1 is floor(h / 2^j) % 2 — exact in doubles for
+    # h < 2^32, and expressible with a captured lambda variable.
+    hashes = F.transform(distinct_tokens("text"), lambda t: hash32(t))
+    n = F.size(hashes)
+
+    def bit_set(j):
+        ones = F.size(
+            F.filter(
+                hashes,
+                lambda h: (h / F.pow(F.lit(2.0), j)).cast("long") % 2 == 1,
+            )
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-        .orderBy("doc_id")
+        return 2 * ones >= n  # ⇔ sum of +1/-1 contributions >= 0
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.when(bit_set(j), F.pow(F.lit(2.0), j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
+    return d.select(
+        "doc_id",
+        F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "simhash"
+        ),
+    ).orderBy("doc_id")
 
 
 ORACLE["d08_simhash"] = f"""

