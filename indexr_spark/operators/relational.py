@@ -640,6 +640,39 @@ ORDER BY o_orderkey
 """
 
 
+def q26_div_zero_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference division semantics: divide/modulo by zero yields 0,
+    not NULL (expr/arith/Divide.java) — via functions.compat. The
+    zero divisor here is manufactured (l_linenumber % 3) so all three
+    branches (zero / nonzero divisor, div and mod) are exercised."""
+    from indexr_spark.functions.compat import indexr_div, indexr_mod
+
+    li = load_table(spark, sf_dir, "lineitem")
+    divisor = (F.col("l_linenumber") % 3).cast("double")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _r4(indexr_div(F.col("l_extendedprice"), divisor), "price_div"),
+            _r4(indexr_mod(F.col("l_quantity"), divisor), "qty_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5000)
+    )
+
+
+ORACLE["q26_div_zero_compat"] = """
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN CAST(l_linenumber % 3 AS DOUBLE) = 0 THEN 0
+                  ELSE l_extendedprice / CAST(l_linenumber % 3 AS DOUBLE) END, 4) AS price_div,
+       round(CASE WHEN CAST(l_linenumber % 3 AS DOUBLE) = 0 THEN 0
+                  ELSE l_quantity % CAST(l_linenumber % 3 AS DOUBLE) END, 4)      AS qty_mod
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 5000
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -660,4 +693,5 @@ QUERIES = {
     "q17_union_hybrid": q17_union_hybrid,
     "q18_sql_embedded": q18_sql_embedded,
     "q19_update_column_expr": q19_update_column_expr,
+    "q26_div_zero_compat": q26_div_zero_compat,
 }

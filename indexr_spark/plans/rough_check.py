@@ -320,7 +320,10 @@ class LikePrefix(RCOperator):
         return RS.SOME
 
     def apply_not(self) -> RCOperator:
-        return NotOp(self)
+        # no negated-prefix leaf exists; signal the caller to keep a
+        # NotOp wrapper (returning NotOp(self) here would make
+        # NotOp.optimize() recurse forever)
+        raise NotImplementedError
 
     def to_spark_sql(self) -> str:
         escaped = self.prefix.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
@@ -408,10 +411,14 @@ class NotOp(RCOperator):
         return self.child
 
     def optimize(self) -> RCOperator:
+        child = self.child.optimize()
         try:
-            return self.child.optimize().apply_not().optimize()
+            pushed = child.apply_not()
         except NotImplementedError:
-            return self
+            # child (or a descendant) has no negated form — keep the
+            # NOT wrapper over the optimized child
+            return NotOp(child)
+        return pushed.optimize()
 
     def to_spark_sql(self) -> str:
         return f"(NOT {self.child.to_spark_sql()})"

@@ -206,6 +206,19 @@ class Catalog:
         return hist.unionByName(apply_defaults(rt, spec))
 
 
+    def register_sql_views(self, spark: SparkSession, hybrid: bool = True) -> list[str]:
+        """Expose every catalog table to plain `spark.sql(...)` — the
+        equivalent of the reference publishing tables to its host
+        engines (Drill storage plugin / Hive SerDe / Spark relation,
+        SURVEY.md §2.4). With hybrid=True queries see realtime rows
+        too, exactly like HybridTable."""
+        names = self.list_tables()
+        for name in names:
+            df = self.read_hybrid(spark, name) if hybrid else self.read(spark, name)
+            df.createOrReplaceTempView(name)
+        return names
+
+
 def _has_parquet(path: str) -> bool:
     if not os.path.isdir(path):
         return False

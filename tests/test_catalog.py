@@ -91,6 +91,26 @@ def test_hybrid_view_union(spark, tmp_path):
     assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
 
 
+def test_register_sql_views(spark, tmp_path):
+    """Catalog tables become plain SQL names — the host-engine
+    publishing surface (Drill/Hive/Spark adapters of the reference)."""
+    cat = Catalog(str(tmp_path))
+    spec = TableSpec(
+        name="sales",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    cat.save(spec)
+    hist = spark.createDataFrame([(1, 1.0), (2, 2.0)], spec.schema())
+    write_segments(hist, cat.table_dir("sales"), sort_by=["k"], num_segments=1)
+    spark.createDataFrame([(3, 3.0)], spec.schema()).write.parquet(
+        cat.rt_dir("sales"), mode="overwrite"
+    )
+    assert cat.register_sql_views(spark) == ["sales"]
+    got = spark.sql("SELECT sum(v) AS s, count(*) AS n FROM sales").collect()[0]
+    assert (got.s, got.n) == (6.0, 3)  # hybrid: historical + realtime
+
+
 def test_read_applies_defaults(spark, tmp_path):
     cat = Catalog(str(tmp_path))
     spec = TableSpec(
