@@ -78,10 +78,20 @@ def write_segments(
     row_group_bytes: int = 128 << 20,
     num_segments: int | None = None,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    file_format: str = "parquet",
 ) -> None:
     """SortedSegmentGenerator parity: rollup → range-partition on the
-    sort dims → sort within each segment → parquet with row-group
-    sizing + optional Bloom filters → stats sidecar."""
+    sort dims → sort within each segment → parquet/orc with row-group
+    sizing + optional Bloom filters → stats sidecar.
+
+    partition_by adds hive-style partition directories — the
+    Rt2HisOnHive layout (Rt2HisOnHive.java:47-60: realtime segments
+    land under historical partition dirs); Spark prunes partitions
+    before the rough-check pruner even runs.
+    """
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported format {file_format!r}")
     if agg is not None:
         df = apply_rollup(df, agg, order_col)
         sort_by = sort_by or list(agg.dims)
@@ -102,8 +112,15 @@ def write_segments(
     writer = df.write.mode(mode).option("parquet.block.size", str(row_group_bytes))
     for c in bloom_cols or []:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    writer.parquet(path)
-    write_sidecar(path)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, file_format)(path)
+    if file_format == "parquet":
+        write_sidecar(path)
+    else:
+        # ORC stripe stats aren't readable via pyarrow; fold per-file
+        # min/max with one distributed pass instead.
+        write_sidecar_spark(df.sparkSession, path, file_format)
 
 
 def _jsonable(v: Any) -> Any:
@@ -164,6 +181,52 @@ def write_sidecar(path: str) -> dict:
     return sidecar
 
 
+def write_sidecar_spark(spark: SparkSession, path: str, file_format: str) -> dict:
+    """Format-agnostic sidecar: per-file min/max/null-count folded by
+    one distributed aggregation over input_file_name(). One data pass
+    (vs. the parquet footer path's zero) — still a metadata-sized
+    output, and the only option for formats whose footers pyarrow
+    can't read (ORC)."""
+    df = getattr(spark.read, file_format)(path)
+    aggs = []
+    for f in df.schema.fields:
+        aggs.append(F.min(f.name).alias(f"min_{f.name}"))
+        aggs.append(F.max(f.name).alias(f"max_{f.name}"))
+        aggs.append(
+            F.sum(F.col(f.name).isNull().cast("long")).alias(f"nulls_{f.name}")
+        )
+    rows = (
+        df.groupBy(F.input_file_name().alias("_file"))
+        .agg(F.count("*").alias("_rows"), *aggs)
+        .collect()
+    )
+    files = []
+    for r in rows:
+        fpath = r["_file"].removeprefix("file://")
+        cols = {}
+        for f in df.schema.fields:
+            mn, mx = r[f"min_{f.name}"], r[f"max_{f.name}"]
+            if mn is None:
+                continue
+            cols[f.name] = {
+                "min": _jsonable(mn),
+                "max": _jsonable(mx),
+                "null_count": int(r[f"nulls_{f.name}"]),
+                "type": type(mn).__name__,
+            }
+        files.append(
+            {
+                "path": os.path.relpath(fpath, path),
+                "num_rows": int(r["_rows"]),
+                "columns": cols,
+            }
+        )
+    sidecar = {"version": 1, "files": files}
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+        json.dump(sidecar, f, indent=1, default=str)
+    return sidecar
+
+
 _PARSERS = {
     "datetime": dt.datetime.fromisoformat,
     "date": dt.date.fromisoformat,
@@ -188,7 +251,10 @@ def load_sidecar(path: str) -> dict[str, FileStats]:
 
 
 def read_pruned(
-    spark: SparkSession, path: str, predicate: RCOperator
+    spark: SparkSession,
+    path: str,
+    predicate: RCOperator,
+    file_format: str = "parquet",
 ) -> tuple[DataFrame, PruneResult]:
     """Rough-check file pruning + exact scan.
 
@@ -199,8 +265,10 @@ def read_pruned(
     the DataFrame plus the prune decision for observability.
     """
     result = prune(load_sidecar(path), predicate.optimize())
+    reader = getattr(spark.read, file_format)
     if not result.scan:
-        schema = spark.read.parquet(path).schema
-        return spark.createDataFrame([], schema), result
-    df = spark.read.parquet(*result.scan).filter(F.expr(predicate.to_spark_sql()))
+        return spark.createDataFrame([], reader(path).schema), result
+    # parquet() takes *paths; orc() takes a single path-or-list arg
+    src = reader(*result.scan) if file_format == "parquet" else reader(result.scan)
+    df = src.filter(F.expr(predicate.to_spark_sql()))
     return df, result

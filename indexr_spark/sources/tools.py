@@ -70,6 +70,21 @@ def csv_export(
     )
 
 
+def describe_segments(spark: SparkSession, table_path: str) -> DataFrame:
+    """Segment inspection (the reference ships a segment-inspect tool
+    on its embedded engine): one row per (file, column) with rows and
+    min/max/null stats, straight from the sidecar — no data read."""
+    from indexr_spark.sources.segments import load_sidecar
+
+    rows = []
+    for fpath, stats in load_sidecar(table_path).items():
+        for col, s in stats.items():
+            rows.append((os.path.basename(fpath), col, str(s.min), str(s.max), s.null_count))
+    return spark.createDataFrame(
+        rows, "file string, column string, min string, max string, null_count long"
+    )
+
+
 def update_column(
     spark: SparkSession,
     table_path: str,
