@@ -43,17 +43,29 @@ HEADLINE = [
     "q12_rollup",
     "q15_window_running",
     "q18_sql_embedded",
+    "q13_date_agg",
+    "q17_union_hybrid",
+    "q19_update_column_expr",
     "q20_events_rollup",
     "q21_sessionize",
     "q22_events_hourly",
+    "q23_json_props",
+    "q25_asof_join",
+    "q26_div_zero_compat",
+    "q27_salted_agg",
     "d01_token_stats",
+    "d02_lang_id",
+    "d03_quality_score",
+    "d04_fingerprint",
     "d05_exact_dedup",
     "d06_canonical_dedup",
     "d07_minhash_lsh",
     "d08_simhash",
     "s01_cosine_topk",
     "s02_embedding_pairs",
+    "s04_ann_lsh_topk",
     "mm01_decode_metadata",
+    "mm02_frame_sample",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Table CLI — tooling-parity entry point (the reference ships table
+tools under indexr-tool; SURVEY.md §7 M5).
+
+Usage (python -m indexr_spark.cli ...):
+
+    create   <catalog_root> <spec.json>          register a table spec
+    tables   <catalog_root>                      list tables
+    load-csv <catalog_root> <table> <csv> [-d X] CSV → sorted segments
+    describe <catalog_root> <table>              per-file column stats
+    compact  <catalog_root> <table>              fold rt → historical
+    query    <catalog_root> <sql>                SQL over all tables
+                                                 (hybrid views)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="indexr_spark.cli", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("create")
+    p.add_argument("root")
+    p.add_argument("spec_json")
+
+    p = sub.add_parser("tables")
+    p.add_argument("root")
+
+    p = sub.add_parser("load-csv")
+    p.add_argument("root")
+    p.add_argument("table")
+    p.add_argument("csv_path")
+    p.add_argument("-d", "--delimiter", default=",")
+    p.add_argument("--header", action="store_true")
+
+    p = sub.add_parser("describe")
+    p.add_argument("root")
+    p.add_argument("table")
+
+    p = sub.add_parser("compact")
+    p.add_argument("root")
+    p.add_argument("table")
+
+    p = sub.add_parser("query")
+    p.add_argument("root")
+    p.add_argument("sql")
+
+    args = ap.parse_args(argv)
+
+    from indexr_spark.sources.catalog import Catalog, TableSpec
+
+    cat = Catalog(args.root)
+
+    if args.cmd == "create":
+        with open(args.spec_json) as f:
+            spec = TableSpec.from_json(f.read())
+        cat.save(spec)
+        print(f"created table {spec.name} ({len(spec.columns)} columns)")
+        return 0
+
+    if args.cmd == "tables":
+        for t in cat.list_tables():
+            print(t)
+        return 0
+
+    # remaining commands need a session
+    from indexr_spark.session import get_spark
+
+    spark = get_spark(app_name=f"indexr-cli-{args.cmd}")
+    try:
+        if args.cmd == "load-csv":
+            from indexr_spark.sources.tools import csv_load
+
+            spec = cat.load(args.table)
+            n = csv_load(
+                spark,
+                args.csv_path,
+                spec,
+                cat.table_dir(args.table),
+                delimiter=args.delimiter,
+                header=args.header,
+            )
+            print(f"loaded {n} rows into {args.table}")
+        elif args.cmd == "describe":
+            from indexr_spark.sources.tools import describe_segments
+
+            describe_segments(spark, cat.table_dir(args.table)).show(
+                100, truncate=False
+            )
+        elif args.cmd == "compact":
+            from indexr_spark.streaming.ingest import compact
+
+            n = compact(spark, cat, args.table)
+            print(f"compacted {n} rows into {args.table}")
+        elif args.cmd == "query":
+            cat.register_sql_views(spark)
+            spark.sql(args.sql).show(100, truncate=False)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,10 +19,11 @@ from indexr_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     text,
 )
 
-_MODULES = (relational, events, text, similarity, multimodal, asof)
+_MODULES = (relational, events, text, similarity, multimodal, asof, skew)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}

@@ -42,6 +42,40 @@ def test_parse_json_counts_malformed(spark):
     assert "_corrupt" not in clean.columns
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicates on a key) — the stream
+    form of d05; duplicates across micro-batches are suppressed by
+    keyed state."""
+    src = str(tmp_path / "dup_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for ts, k, v in [
+            ("2024-01-01 00:00:01", "a", 1.0),
+            ("2024-01-01 00:00:02", "a", 1.0),  # dup key in same batch
+            ("2024-01-01 00:00:03", "b", 2.0),
+        ]:
+            f.write(json.dumps({"ts": ts, "k": k, "v": v}) + "\n")
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = (
+        stream.dropDuplicates(["k"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: all duplicates of already-seen keys
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write(json.dumps({"ts": "2024-01-01 00:00:09", "k": "a", "v": 9.0}) + "\n")
+        q.processAllAvailable()
+        ks = sorted(r.k for r in spark.sql("SELECT k FROM dedup_out").collect())
+    finally:
+        q.stop()
+    assert ks == ["a", "b"]
+
+
 def test_windowed_metrics_streaming(spark, tmp_path):
     """Drive a watermarked 10-minute tumbling window over a file
     stream to completion (guide pattern: memory sink +
