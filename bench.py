@@ -61,9 +61,12 @@ HEADLINE = [
     "d06_canonical_dedup",
     "d07_minhash_lsh",
     "d08_simhash",
+    "d09_ngram_jaccard",
+    "d10_embedding_neardup",
     "s01_cosine_topk",
     "s02_embedding_pairs",
     "s04_ann_lsh_topk",
+    "s06_ivf_topk",
     "mm01_decode_metadata",
     "mm02_frame_sample",
 ]

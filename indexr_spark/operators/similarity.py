@@ -276,6 +276,206 @@ ORDER BY q_id, rank
 """
 
 
+NEARDUP_THRESHOLD = 0.35
+
+
+def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over the full corpus.
+
+    The scale shape of semantic dedup: candidates form only inside an
+    LSH bucket (same random-hyperplane signature — never the n² cross
+    product), exact cosine confirms ≥ threshold, and each confirmed
+    duplicate elects the lowest-id match as its representative
+    (arg-min greedy — the standard keep-first policy). At 100 TB the
+    bucket id is the shuffle key; everything downstream of the bucket
+    join touches only candidate pairs.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    embb = emb.join(_bucket_of(spark, emb), "vec_id")
+    a = embb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("an"),
+        F.col("bucket").alias("ab"),
+    )
+    b = embb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("e").alias("be"),
+        F.col("nrm").alias("bn"),
+        F.col("bucket").alias("bb"),
+    )
+    cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+    pairs = (
+        a.join(b, (F.col("ab") == F.col("bb")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= NEARDUP_THRESHOLD)
+    )
+    return (
+        pairs.groupBy(F.col("b_id").alias("dup_id"))
+        .agg(
+            F.min("a_id").alias("keep_id"),
+            F.round(F.min_by("cos", "a_id"), 6).alias("rep_cosine"),
+            F.count("*").alias("n_matches"),
+        )
+        .orderBy("dup_id")
+    )
+
+
+ORACLE["d10_embedding_neardup"] = f"""
+WITH planes AS (
+  SELECT p, dim,
+         (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT
+          % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, {ANN_PLANES})) AS p),
+       (SELECT unnest(range(0, 64)) AS dim)
+), pos AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, p, sum(x * w) AS dot
+  FROM pos JOIN planes USING (dim)
+  GROUP BY vec_id, p
+), buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), n AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {NEARDUP_THRESHOLD}
+)
+SELECT b_id AS dup_id,
+       min(a_id)                  AS keep_id,
+       round(arg_min(cos, a_id), 6) AS rep_cosine,
+       count(*)                   AS n_matches
+FROM pairs
+GROUP BY b_id
+ORDER BY dup_id
+"""
+
+
+IVF_QUERIES = 20
+IVF_K = 3
+
+
+def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the s03 centroid build
+    is the coarse quantizer — every vector is assigned to its
+    nearest-centroid cell, and each query probes ONLY its own cell
+    (nprobe=1) before exact cosine ranks the candidates.
+
+    At 100 TB this is the classic two-level ANN layout: the corpus is
+    *partitioned by cell id on disk*, the (tiny) centroid table is
+    broadcast, and a query reads one cell instead of the corpus —
+    partition pruning does the candidate cut before any shuffle.
+
+    Determinism: centroids are rounded to 6dp BEFORE the dot product
+    so both engines fold identical inputs; assignment ties break by
+    label asc (margins here are far beyond float noise).
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    pos = emb.select("vec_id", F.posexplode(F.col("e")).alias("dim", "x"))
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cent_dims = (
+        pos.join(lab, "vec_id")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = (
+        cent_dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            F.col("cv"),
+            F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+        )
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "e",
+        "nrm",
+        "cell",
+        (_dot(F.col("e"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "nrm", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qc"),
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    pairs = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qc")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", "vec_id", cos.alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE["s06_ivf_topk"] = f"""
+WITH pos AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), cent_dims AS (
+  SELECT label, dim, round(avg(x), 6) AS c
+  FROM pos GROUP BY label, dim
+), cent AS (
+  SELECT label AS cell, list(c ORDER BY dim) AS cv,
+         sqrt(list_dot_product(list(c ORDER BY dim), list(c ORDER BY dim))) AS cn
+  FROM cent_dims GROUP BY label
+), n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent.cell,
+         list_dot_product(n.v, cent.cv) / (n.nrm * cent.cn) AS ccos
+  FROM n CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, v, nrm, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+        FROM scored)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS qc
+  FROM assigned WHERE vec_id < {IVF_QUERIES}
+), pairs AS (
+  SELECT q_id, a.vec_id, list_dot_product(qv, a.v) / (qn * a.nrm) AS cos
+  FROM q JOIN assigned a ON a.cell = qc AND a.vec_id != q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT q_id, rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {IVF_K}
+ORDER BY q_id, rank
+"""
+
+
 def s05_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HLL) + approximate quantiles per group —
     the at-scale substitutes for exact countDistinct / percentiles
@@ -301,4 +501,6 @@ QUERIES = {
     "s03_label_centroids": s03_label_centroids,
     "s04_ann_lsh_topk": s04_ann_lsh_topk,
     "s05_approx_stats": s05_approx_stats,
+    "s06_ivf_topk": s06_ivf_topk,
+    "d10_embedding_neardup": d10_embedding_neardup,
 }
