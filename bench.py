@@ -61,7 +61,6 @@ HEADLINE = [
     "d06_canonical_dedup",
     "d07_minhash_lsh",
     "d08_simhash",
-    "d09_ngram_jaccard",
     "d10_embedding_neardup",
     "s01_cosine_topk",
     "s02_embedding_pairs",

@@ -166,43 +166,40 @@ ANN_QUERIES = 20
 ANN_K = 3
 
 
-def _bucket_of(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
-
-    Hyperplane weights are derived from the portable md5 hash —
+def _plane_weights() -> list[list[float]]:
+    """Hyperplane weights, derived from the portable md5 hash —
     w[p][i] = (hash32(f"{p}_{i}") % 2001 - 1000) / 1000 ∈ [-1, 1] —
-    so both engines build the *same* planes with no RNG state. Sign
-    bits of the 4 plane dot products concatenate into the bucket id.
-    """
-    pos = emb.select(
-        "vec_id", F.posexplode(F.col("e")).alias("dim", "x")
-    )
-    planes = (
-        spark.range(ANN_PLANES)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("dim")))
-    )
-    from indexr_spark.functions.text import hash32
+    so both engines build the *same* planes with no RNG state.
+    Computed driver-side (hashlib md5 ≡ SQL md5); the planes are a
+    4×64 constant, i.e. broadcast-sized by construction."""
+    import hashlib
 
-    planes = planes.withColumn(
-        "w",
-        (hash32(F.concat_ws("_", F.col("p"), F.col("dim"))) % 2001 - 1000) / 1000.0,
-    )
-    dots = (
-        pos.join(planes, "dim")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return (
-        dots.select(
-            "vec_id",
-            F.when(F.col("dot") >= 0, F.expr("CAST(1 AS BIGINT) << p"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("bv"),
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        [(h32(f"{p}_{i}") % 2001 - 1000) / 1000.0 for i in range(64)]
+        for p in range(ANN_PLANES)
+    ]
+
+
+def _bucket_of(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: sign bits of the
+    plane dot products concatenate into the bucket id.
+
+    The dot products fold *within the row* against literal plane
+    arrays — bucket assignment costs ZERO shuffles and stays in
+    whole-stage codegen (an earlier posexplode→join→groupBy
+    formulation shuffled |vecs|·64 rows twice). Only the dot's sign
+    is consumed, so summation-order float noise cannot flip results
+    away from the oracle's equivalent construction."""
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(_plane_weights()):
+        dot = _dot(F.col("e"), F.array(*[F.lit(x) for x in w]))
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("vec_id")
-        .agg(F.sum("bv").alias("bucket"))
-    )
+    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 def s04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
