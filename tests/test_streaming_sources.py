@@ -113,3 +113,111 @@ def test_windowed_metrics_streaming(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "a")] == (2, 3.0)
     assert got[("2024-01-01 00:10:00", "a")] == (1, 4.0)
     assert got[("2024-01-01 00:00:00", "b")] == (1, 8.0)
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for user, ts, v in rows:
+            f.write(json.dumps({"user_id": user, "ts": ts, "value": v}) + "\n")
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: an in-batch gap closes a
+    session immediately; the trailing open session closes via
+    event-time timeout once the watermark passes last + gap."""
+    from indexr_spark.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    # user 1: two events 5 min apart (one session), then a 2h gap
+    # (in-batch close) and one more event; user 2: a single event.
+    _write_jsonl(
+        os.path.join(src, "a.jsonl"),
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:05:00", 2.0),
+            (1, "2024-01-01 02:00:00", 4.0),
+            (2, "2024-01-01 00:00:00", 8.0),
+        ],
+    )
+    stream = spark.readStream.schema(SESSION_SCHEMA).json(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.user_id, str(r.session_start), r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+        # the 2h in-batch gap closed user 1's first session
+        assert (1, "2024-01-01 00:00:00", 2, 3.0) in got1
+
+        # far-future events advance the watermark past every open
+        # session's timeout → state-timeout emissions
+        _write_jsonl(
+            os.path.join(src, "b.jsonl"), [(3, "2024-01-01 09:00:00", 0.5)]
+        )
+        q.processAllAvailable()
+        got2 = {
+            (r.user_id, str(r.session_start), r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, "2024-01-01 02:00:00", 1, 4.0) in got2
+    assert (2, "2024-01-01 00:00:00", 1, 8.0) in got2
+
+
+def test_session_window_builtin(spark, tmp_path):
+    """Built-in F.session_window path produces the same three closed
+    sessions for the same inputs."""
+    from indexr_spark.streaming.stateful import session_window_metrics
+
+    src = str(tmp_path / "sw_in")
+    os.makedirs(src)
+    _write_jsonl(
+        os.path.join(src, "a.jsonl"),
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:05:00", 2.0),
+            (1, "2024-01-01 02:00:00", 4.0),
+            (2, "2024-01-01 00:00:00", 8.0),
+        ],
+    )
+    stream = spark.readStream.schema(SESSION_SCHEMA).json(src)
+    q = (
+        session_window_metrics(stream, gap="30 minutes", watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sw_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(
+            os.path.join(src, "b.jsonl"), [(3, "2024-01-01 09:00:00", 0.5)]
+        )
+        q.processAllAvailable()
+        got = {
+            (r.user_id, str(r.session_start), r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sw_out").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, "2024-01-01 00:00:00", 2, 3.0) in got
+    assert (1, "2024-01-01 02:00:00", 1, 4.0) in got
+    assert (2, "2024-01-01 00:00:00", 1, 8.0) in got
