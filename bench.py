@@ -62,6 +62,7 @@ HEADLINE = [
     "d07_minhash_lsh",
     "d08_simhash",
     "d10_embedding_neardup",
+    "d11_bpe_tokens",
     "s01_cosine_topk",
     "s02_embedding_pairs",
     "s04_ann_lsh_topk",

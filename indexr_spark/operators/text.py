@@ -431,6 +431,39 @@ ORDER BY a_id, b_id
 """
 
 
+BPE_CHUNK = "[a-z]{1,3}"  # greedy subword chunker — engine-portable
+
+
+def d11_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting: a greedy fixed-width chunk
+    regex stands in for a merged BPE vocabulary (real BPE is a learned
+    merge table; the *pipeline shape* — regex pre-tokenize, per-doc
+    subword stats, corpus fan-in — is identical). tokens_per_word is
+    the compression-ratio diagnostic used to spot tokenizer-hostile
+    documents. Single-alternative greedy regex keeps Java regex and
+    RE2 behavior identical."""
+    d = load_table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all(F.col("text"), F.lit(BPE_CHUNK), 0)
+    n_words = F.size(tokens("text"))
+    return d.select(
+        "doc_id",
+        F.size(sub).alias("n_subwords"),
+        F.size(F.array_distinct(sub)).alias("n_distinct_subwords"),
+        F.round(F.size(sub).cast("double") / n_words, 6).alias("tokens_per_word"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d11_bpe_tokens"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_CHUNK}')) AS INTEGER) AS n_subwords,
+       CAST(len(list_distinct(regexp_extract_all(text, '{BPE_CHUNK}'))) AS INTEGER) AS n_distinct_subwords,
+       round(CAST(len(regexp_extract_all(text, '{BPE_CHUNK}')) AS DOUBLE)
+             / len({_DUCK_TOKS}), 6) AS tokens_per_word
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -441,4 +474,5 @@ QUERIES = {
     "d07_minhash_lsh": d07_minhash_lsh,
     "d08_simhash": d08_simhash,
     "d09_ngram_jaccard": d09_ngram_jaccard,
+    "d11_bpe_tokens": d11_bpe_tokens,
 }

@@ -122,3 +122,42 @@ def test_single_shuffle_aggregations(spark, name):
     # orderBy adds a range exchange for output ordering; the agg itself
     # must contribute only one hash-partition exchange
     assert plan.count("hashpartitioning") <= 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d01_token_stats",
+        "d04_fingerprint",
+        "d07_minhash_lsh",
+        "d08_simhash",
+        "d11_bpe_tokens",
+        "s01_cosine_topk",
+        "s04_ann_lsh_topk",
+        "d10_embedding_neardup",
+    ],
+)
+def test_text_and_vector_ops_stay_jvm_side(spark, name):
+    """Dedup/text/similarity hot paths must be pure Catalyst — any
+    Python boundary (row UDF or Arrow batch) in these plans would be
+    a 10-100x regression at scale. mm01/mm02 are the only ops allowed
+    a Python stage (decode genuinely needs it)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
+def test_ivf_broadcasts_centroids(spark):
+    """s06's centroid table (10 rows) must broadcast — a shuffle there
+    would serialize the corpus-sized side through the tiny side's
+    partitioning."""
+    plan = plan_of(spark, "s06_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    """q27 must plan exactly two hash-aggregation pairs: the salted
+    partial spread over (key, salt) and the final merge on the key."""
+    plan = plan_of(spark, "q27_salted_agg")
+    assert plan.count("HashAggregate") >= 4, plan
