@@ -53,6 +53,9 @@ HEADLINE = [
     "q25_asof_join",
     "q26_div_zero_compat",
     "q27_salted_agg",
+    "q28_cube",
+    "q29_anti_join",
+    "q30_correlated_avg",
     "d01_token_stats",
     "d02_lang_id",
     "d03_quality_score",

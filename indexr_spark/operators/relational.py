@@ -673,6 +673,92 @@ LIMIT 5000
 """
 
 
+def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (event_type, hour) — all four grouping-set
+    combinations in ONE pass: Catalyst expands the cube before the
+    aggregate, so the fact table is scanned once and partial
+    aggregation still applies (the reference has no grouping sets at
+    all — superset). The NULLs in grouping columns are the standard
+    subtotal markers."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube(F.col("event_type"), F.hour("ts").alias("hr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("hr").asc_nulls_first()
+        )
+    )
+
+
+ORACLE["q28_cube"] = """
+SELECT event_type,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hr)
+ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST
+"""
+
+
+def q29_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no big-ticket
+    order (> 300k). The filter on the right side prunes BEFORE the
+    join (pushed to the orders scan); the anti join then shuffles only
+    the surviving keys — at scale Catalyst picks broadcast vs
+    shuffled-hash from stats, and no driver-side NOT IN list is ever
+    materialized."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE["q29_anti_join"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+def q30_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape — suppliers above their nation's
+    average balance — decorrelated the way Catalyst itself rewrites
+    it: aggregate once per nation, then a broadcast equi-join back
+    (25 nation rows), instead of re-running the subquery per row."""
+    s = load_table(spark, sf_dir, "supplier")
+    # Compare against the avg ROUNDED at 6dp in both engines: the raw
+    # double differs in the last bits between engines (summation
+    # order), and a strict > on it would make the boundary row
+    # engine-dependent.
+    nation_avg = s.groupBy("s_nationkey").agg(
+        F.round(F.avg("s_acctbal"), 6).alias("nation_avg")
+    )
+    return (
+        s.join(F.broadcast(nation_avg), "s_nationkey")
+        .filter(F.col("s_acctbal") > F.col("nation_avg"))
+        .select("s_suppkey", "s_nationkey", "s_acctbal", "nation_avg")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q30_correlated_avg"] = """
+WITH nat AS (
+  SELECT s_nationkey, round(avg(s_acctbal), 6) AS nation_avg
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT s_suppkey, s_nationkey, s_acctbal, nation_avg
+FROM supplier JOIN nat USING (s_nationkey)
+WHERE s_acctbal > nation_avg
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -694,4 +780,7 @@ QUERIES = {
     "q18_sql_embedded": q18_sql_embedded,
     "q19_update_column_expr": q19_update_column_expr,
     "q26_div_zero_compat": q26_div_zero_compat,
+    "q28_cube": q28_cube,
+    "q29_anti_join": q29_anti_join,
+    "q30_correlated_avg": q30_correlated_avg,
 }
