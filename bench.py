@@ -11,6 +11,10 @@ SimHash, similarity search, Pandas-UDF decode). d09_ngram_jaccard is
 deliberately excluded: exact all-pairs Jaccard on this corpus's
 31-word vocabulary degenerates to ~1e8 intermediate pairs — at scale
 that op runs on LSH candidates (d07), not the full corpus.
+d12_dup_clusters is excluded for the same single-number reason: it is
+an iterative multi-job algorithm (connected components), so its wall
+time is round-count × d07's, measuring convergence not throughput;
+its correctness is still oracle-gated at sf0.01.
 
 Timing = full query wall time (plan + execute + count), after a small
 session warm-up so JVM/session startup isn't attributed to the first

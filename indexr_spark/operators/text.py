@@ -464,6 +464,105 @@ ORDER BY doc_id
 """
 
 
+CC_MAX_ITERS = 50
+
+
+def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash-LSH
+    candidate graph (d07's pairs as edges), by iterative min-label
+    propagation — each round every node takes the minimum label among
+    itself and its neighbours, until fixpoint. Documents in no
+    candidate pair are their own singleton cluster.
+
+    This is the iterative half of dedup-at-scale: LSH emits pairs,
+    components turn pairs into keep/drop groups. Each round is one
+    shuffle-join + one aggregation; `localCheckpoint` truncates the
+    lineage so round N doesn't replay rounds 1..N-1 (and at 100 TB
+    keeps the DAG from growing unboundedly). Rounds ≈ graph diameter
+    — small for near-dup families. The fixpoint is the exact
+    component minimum, so results are deterministic and the DuckDB
+    oracle (recursive-CTE transitive closure) matches value-for-value.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = d07_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    # Pin the edge list's partitioning to the join key: every round's
+    # und⋈labels join then reuses it instead of re-shuffling the
+    # (static) edges. The candidate graph is a small fraction of the
+    # corpus, so a modest fixed partition count is right even at scale.
+    und = (
+        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .repartition(8, "u")
+        .localCheckpoint()  # materialize the edge list once
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    # Labels only ever decrease, so the total label sum is strictly
+    # monotone until fixpoint — an O(1)-row aggregate detects
+    # convergence without a self-join per round.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            und.join(labels, und.u == labels.doc_id)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.v, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "lbl")
+        .select("doc_id", F.col("lbl").alias("cluster_id"), "n_members")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["d12_dup_clusters"] = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), seeded AS (
+  SELECT doc_id, h, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM h
+), mh AS (
+  SELECT doc_id, seed,
+         min((h * (999961 + 2 * seed) + 997 * (seed + 1)) % {MINHASH_P}) AS minh
+  FROM seeded GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, seed // {MINHASH_SEEDS // MINHASH_BANDS} AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+), e AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), und AS (
+  SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e
+), reach(s, t) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, und.v FROM reach r JOIN und ON und.u = r.t
+), cl AS (
+  SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+), sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, n_members
+FROM cl JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -475,4 +574,5 @@ QUERIES = {
     "d08_simhash": d08_simhash,
     "d09_ngram_jaccard": d09_ngram_jaccard,
     "d11_bpe_tokens": d11_bpe_tokens,
+    "d12_dup_clusters": d12_dup_clusters,
 }
