@@ -68,6 +68,46 @@ def apply_rollup(df: DataFrame, agg: AggSchema, order_col: str | None = None) ->
     return df.groupBy(*agg.dims).agg(*exprs)
 
 
+ZORDER_BITS = 16
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS):
+    """Z-value (Morton code) column for multi-dimensional clustering.
+
+    Each numeric column is min/max-normalized to a `bits`-wide integer
+    (one tiny global agg, broadcast as literals), then the bit planes
+    are interleaved — columns contribute alternating bits, so sorting
+    by the z-value clusters ALL participating columns at once and the
+    per-file min/max stats stay tight on EVERY z-ordered column, not
+    just the leading sort key. This is what single-key dim-sorting
+    (SortedSegmentGenerator) cannot give a second predicate column.
+
+    Returns (zcol_expression, df) — df unchanged; caller attaches it.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+        )
+        for b in range(bits):
+            # bit b of column i lands at interleaved position b*n + i
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    return z
+
+
 def write_segments(
     df: DataFrame,
     path: str,
@@ -80,6 +120,7 @@ def write_segments(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     file_format: str = "parquet",
+    zorder_by: list[str] | None = None,
 ) -> None:
     """SortedSegmentGenerator parity: rollup → range-partition on the
     sort dims → sort within each segment → parquet/orc with row-group
@@ -89,13 +130,26 @@ def write_segments(
     Rt2HisOnHive layout (Rt2HisOnHive.java:47-60: realtime segments
     land under historical partition dirs); Spark prunes partitions
     before the rough-check pruner even runs.
+
+    zorder_by (mutually exclusive with sort_by) clusters segments on a
+    Morton code over several numeric columns, so the sidecar/row-group
+    pruning cascade skips on any of them.
     """
     if file_format not in ("parquet", "orc"):
         raise ValueError(f"unsupported format {file_format!r}")
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     if agg is not None:
         df = apply_rollup(df, agg, order_col)
-        sort_by = sort_by or list(agg.dims)
-    if sort_by:
+        sort_by = sort_by or (list(agg.dims) if not zorder_by else None)
+    if zorder_by:
+        df = df.withColumn("_zval", zorder_value(df, zorder_by))
+        if num_segments:
+            df = df.repartitionByRange(num_segments, F.col("_zval"))
+        else:
+            df = df.repartitionByRange(F.col("_zval"))
+        df = df.sortWithinPartitions("_zval").drop("_zval")
+    elif sort_by:
         cols = [F.col(c) for c in sort_by]
         if num_segments:
             df = df.repartitionByRange(num_segments, *cols)

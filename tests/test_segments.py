@@ -204,3 +204,28 @@ def test_bloom_filter_written(spark, tmp_path):
     assert size(bloomed) > size(plain) + 1024, (
         "bloom option produced no extra index bytes — option not applied?"
     )
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered segments skip files on EITHER z column; a single-key
+    sorted layout only skips on its leading key. Same rows either way."""
+    df = spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet")
+    zdir = str(tmp_path / "z")
+    sdir = str(tmp_path / "s")
+    write_segments(df, zdir, zorder_by=["l_orderkey", "l_partkey"], num_segments=16)
+    write_segments(df, sdir, sort_by=["l_orderkey"], num_segments=16)
+
+    lo, hi = 1, 20  # narrow l_partkey band
+    pred = Between("l_partkey", lo, hi)
+    zdf, zdec = read_pruned(spark, zdir, pred)
+    _, sdec = read_pruned(spark, sdir, pred)
+
+    assert zdec.skipped, "z-order must skip files on the second column"
+    # the leading-key-sorted layout scatters l_partkey → no skipping
+    assert len(sdec.scan) == sdec.n_total
+    # and z-order still skips on the *first* column too
+    _, zdec1 = read_pruned(spark, zdir, Between("l_orderkey", 1, 100))
+    assert zdec1.skipped
+
+    full = df.filter(F.col("l_partkey").between(lo, hi))
+    assert {tuple(r) for r in zdf.collect()} == {tuple(r) for r in full.collect()}
