@@ -394,17 +394,20 @@ ORDER BY nationkey
 
 
 def q11_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — Spark-superset set operation."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s).orderBy("nationkey")
+    """EXCEPT (distinct) — Spark-superset set operation: parts that
+    ship in bulk (quantity ≥ 45) but never in small lots (≤ 5). Both
+    branches push their quantity filter into the same scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("partkey"))
+    small = li.filter(F.col("l_quantity") <= 5).select(F.col("l_partkey").alias("partkey"))
+    return bulk.subtract(small).orderBy("partkey")
 
 
 ORACLE["q11_except"] = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 45
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
-ORDER BY nationkey
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity <= 5
+ORDER BY partkey
 """
 
 
@@ -523,7 +526,7 @@ def q16_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.filter(
             F.col("p_brand").like("Brand#1_")
-            & F.col("p_type").like("%a%")
+            & F.col("p_type").like("%AR%")
             & ~F.col("p_name").like("%zz%")
             & F.col("p_size").between(10, 30)
         )
@@ -536,7 +539,7 @@ ORACLE["q16_like_filters"] = """
 SELECT p_partkey, p_name, p_brand, p_type, p_size
 FROM part
 WHERE p_brand LIKE 'Brand#1_'
-  AND p_type LIKE '%a%'
+  AND p_type LIKE '%AR%'
   AND p_name NOT LIKE '%zz%'
   AND p_size BETWEEN 10 AND 30
 ORDER BY p_partkey

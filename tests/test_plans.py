@@ -85,7 +85,7 @@ def test_like_pushdown(spark):
     wildcard pattern like 'Brand#1_' is correctly NOT pushed — it
     isn't a prefix — and is evaluated in the codegen'd Filter.)"""
     plan = plan_of(spark, "q16_like_filters")
-    assert "StringContains(p_type,a)" in plan
+    assert "StringContains(p_type,AR)" in plan
     assert "Not(StringContains(p_name,zz))" in plan
 
 
