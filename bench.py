@@ -76,6 +76,7 @@ HEADLINE = [
     "s06_ivf_topk",
     "mm01_decode_metadata",
     "mm02_frame_sample",
+    "mm03_resize_payload",
 ]
 
 

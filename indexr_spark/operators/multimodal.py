@@ -149,7 +149,71 @@ ORDER BY doc_id, frame_idx
 """
 
 
+RESIZE_SCHEMA = "doc_id long, orig_bytes int, resized_bytes int, resized_md5 string"
+RESIZE_STRIDE = 4
+
+
+def _make_resize_batches():
+    """binary→binary transform worker (self-contained closure, same
+    cloudpickle-by-value rationale as the decoder)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                resized = bytes(payload)[::4]  # stride-4 "downsample"
+                out_rows.append(
+                    (
+                        doc_id,
+                        len(payload),
+                        len(resized),
+                        _hashlib.md5(resized).hexdigest(),
+                    )
+                )
+            yield _pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "orig_bytes", "resized_bytes", "resized_md5"],
+            )
+
+    return resize_batches
+
+
+def mm03_resize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode→transform→re-encode plumbing of an image-resize
+    stage: binary in, binary out, per-batch in Arrow. The 'resize' is
+    a deterministic stride-4 byte downsample standing in for the
+    codec (swap in PIL's thumbnail and the Spark-side shape — schema,
+    batching, partitioning — is unchanged); the output checksum keeps
+    even this Python-boundary op value-hash-checkable in DuckDB."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    out = d.select("doc_id", "payload").mapInPandas(_make_resize_batches(), RESIZE_SCHEMA)
+    return out.orderBy("doc_id")
+
+
+ORACLE["mm03_resize_payload"] = f"""
+WITH r AS (
+  SELECT doc_id, text,
+         array_to_string(
+           list_transform(range(1, length(text) + 1, {RESIZE_STRIDE}),
+                          i -> substr(text, CAST(i AS INTEGER), 1)), '') AS resized
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER)    AS orig_bytes,
+       CAST(strlen(resized) AS INTEGER) AS resized_bytes,
+       md5(resized)                     AS resized_md5
+FROM r
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm01_decode_metadata": mm01_decode_metadata,
     "mm02_frame_sample": mm02_frame_sample,
+    "mm03_resize_payload": mm03_resize_payload,
 }
