@@ -97,3 +97,26 @@ def test_update_column_altcol(spark, orders_table):
     update_column(spark, orders_table, "ALTCOL", "o_totalprice", "o_totalprice * 2")
     after = spark.read.parquet(orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
     assert after == pytest.approx(before * 2)
+
+
+def test_cli_catalog_commands(tmp_path, capsys):
+    """CLI create/tables (catalog-only subcommands — no session spin-up;
+    the session-backed subcommands share the same code paths as the
+    tested library functions)."""
+    from indexr_spark.cli import main
+    from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        name="clitab",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(spec.to_json())
+
+    assert main(["create", str(tmp_path), str(spec_path)]) == 0
+    out1 = capsys.readouterr().out
+    assert "clitab" in out1 and "2 columns" in out1
+
+    assert main(["tables", str(tmp_path)]) == 0
+    assert capsys.readouterr().out.strip() == "clitab"
