@@ -392,25 +392,26 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
             ).alias("cv")
         )
-        .select(
-            F.col("label").alias("cell"),
-            F.col("cv"),
-            F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
-        )
+        .select(F.col("label").alias("cell"), F.col("cv"))
     )
-    scored = emb.join(F.broadcast(cent)).select(
-        "vec_id",
-        "e",
-        "nrm",
-        "cell",
-        (_dot(F.col("e"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("ccos"),
+    # The coarse quantizer is a 10-row model: pull it to the driver and
+    # assign cells with an in-row argmax over literal centroid arrays —
+    # zero joins, zero shuffles for the assignment (the earlier
+    # broadcast-join + window formulation shuffled the corpus twice).
+    # Centroids are already rounded to 6dp, so both engines fold the
+    # exact same values. Tie-break: smaller cell wins (struct max on
+    # (ccos, -cell)).
+    model = sorted(
+        ((r["cell"], list(r["cv"])) for r in cent.collect()), key=lambda x: x[0]
     )
-    wa = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cell")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "nrm", "cell")
-    )
+    candidates = []
+    for cell, cv in model:
+        cv_lit = F.array(*[F.lit(x) for x in cv])
+        cn = sum(x * x for x in cv) ** 0.5
+        ccos = _dot(F.col("e"), cv_lit) / (F.col("nrm") * F.lit(cn))
+        candidates.append(F.struct(ccos.alias("c"), F.lit(-cell).alias("nc")))
+    best_cell = (-F.array_max(F.array(*candidates))["nc"]).alias("cell")
+    assigned = emb.select("vec_id", "e", "nrm", best_cell)
     q = assigned.filter(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
