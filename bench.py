@@ -60,6 +60,9 @@ HEADLINE = [
     "q28_cube",
     "q29_anti_join",
     "q30_correlated_avg",
+    "q31_outer_join",
+    "q32_semi_join",
+    "s07_exact_percentiles",
     "d01_token_stats",
     "d02_lang_id",
     "d03_quality_score",

@@ -762,6 +762,62 @@ ORDER BY s_suppkey
 """
 
 
+def q31_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with preserved NULLs: every customer, with
+    their big-ticket (> 300k) order stats or NULL if none — the other
+    half of q29's anti join. Aggregate-then-join keeps the shuffle on
+    the pre-shrunk aggregate, not the raw fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_big"),
+            F.round(F.sum("o_totalprice"), 2).alias("big_total"),
+        )
+    )
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .select("c_custkey", "n_big", "big_total")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE["q31_outer_join"] = """
+SELECT c_custkey, n_big, big_total
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_big, round(sum(o_totalprice), 2) AS big_total
+  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+) b ON b.o_custkey = c.c_custkey
+ORDER BY c_custkey
+"""
+
+
+def q32_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (the dual of q29): suppliers that
+    shipped at least one high-quantity line. The semi join streams
+    the left side against a deduplicated key set — no row
+    multiplication however many matches exist."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q32_semi_join"] = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -786,4 +842,6 @@ QUERIES = {
     "q28_cube": q28_cube,
     "q29_anti_join": q29_anti_join,
     "q30_correlated_avg": q30_correlated_avg,
+    "q31_outer_join": q31_outer_join,
+    "q32_semi_join": q32_semi_join,
 }

@@ -493,6 +493,37 @@ def s05_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def s07_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the ground truth s05's
+    sketches approximate. Spark's `percentile` and DuckDB's
+    `quantile_cont` use the same linear interpolation, so this is fully
+    value-hash-checkable. Exact percentiles need the group's values
+    together (a sort per group under the hood) — at 100 TB run s05's
+    mergeable sketches for monitoring and reserve this for final stats
+    on bounded groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["s07_exact_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(quantile_cont(l_quantity, 0.5), 4)       AS p50_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_pairs": s02_embedding_pairs,
@@ -500,5 +531,6 @@ QUERIES = {
     "s04_ann_lsh_topk": s04_ann_lsh_topk,
     "s05_approx_stats": s05_approx_stats,
     "s06_ivf_topk": s06_ivf_topk,
+    "s07_exact_percentiles": s07_exact_percentiles,
     "d10_embedding_neardup": d10_embedding_neardup,
 }
