@@ -80,6 +80,7 @@ HEADLINE = [
     "mm01_decode_metadata",
     "mm02_frame_sample",
     "mm03_resize_payload",
+    "mm04_feature_extract",
 ]
 
 

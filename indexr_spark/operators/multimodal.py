@@ -212,8 +212,51 @@ ORDER BY doc_id
 """
 
 
+FEATURE_SCHEMA = "doc_id long, " + ", ".join(f"f{b} int" for b in range(8))
+
+
+def _make_feature_batches():
+    """Feature-extraction worker (self-contained closure): an 8-bin
+    byte histogram per payload — the stand-in for an embedding/feature
+    model forward pass (swap in the real model; batch shape, schema,
+    and partitioning are unchanged)."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bins = [0] * 8
+                for byte in bytes(payload):
+                    bins[byte % 8] += 1
+                rows.append((doc_id, *bins))
+            yield _pd.DataFrame(rows, columns=["doc_id"] + [f"f{b}" for b in range(8)])
+
+    return feature_batches
+
+
+def mm04_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch feature extraction over binary payloads — the third leg
+    of the multimodal pipeline (decode mm01 / transform mm03 / extract
+    features here). At scale this stage is GPU- or model-bound, so the
+    Arrow batch is the amortization unit; the byte-histogram fake
+    keeps it deterministic and value-hash-checkable."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    out = d.select("doc_id", "payload").mapInPandas(_make_feature_batches(), FEATURE_SCHEMA)
+    return out.orderBy("doc_id")
+
+
+ORACLE["mm04_feature_extract"] = "SELECT doc_id, " + ", ".join(
+    f"CAST(len(list_filter(string_split(text, ''), c -> ord(c) % 8 = {b})) AS INTEGER) AS f{b}"
+    for b in range(8)
+) + " FROM documents ORDER BY doc_id"
+
+
 QUERIES = {
     "mm01_decode_metadata": mm01_decode_metadata,
     "mm02_frame_sample": mm02_frame_sample,
     "mm03_resize_payload": mm03_resize_payload,
+    "mm04_feature_extract": mm04_feature_extract,
 }
