@@ -62,6 +62,7 @@ HEADLINE = [
     "q30_correlated_avg",
     "q31_outer_join",
     "q32_semi_join",
+    "q33_shipping_priority",
     "s07_exact_percentiles",
     "d01_token_stats",
     "d02_lang_id",

@@ -18,7 +18,7 @@ import argparse
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
     ap = argparse.ArgumentParser(prog="indexr_spark.cli", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -66,10 +66,13 @@ def main(argv: list[str] | None = None) -> int:
             print(t)
         return 0
 
-    # remaining commands need a session
-    from indexr_spark.session import get_spark
+    # remaining commands need a session; an injected one (tests,
+    # embedding hosts) is left running, an own one is stopped on exit
+    own_session = spark is None
+    if own_session:
+        from indexr_spark.session import get_spark
 
-    spark = get_spark(app_name=f"indexr-cli-{args.cmd}")
+        spark = get_spark(app_name=f"indexr-cli-{args.cmd}")
     try:
         if args.cmd == "load-csv":
             from indexr_spark.sources.tools import csv_load
@@ -99,7 +102,8 @@ def main(argv: list[str] | None = None) -> int:
             cat.register_sql_views(spark)
             spark.sql(args.sql).show(100, truncate=False)
     finally:
-        spark.stop()
+        if own_session:
+            spark.stop()
     return 0
 
 

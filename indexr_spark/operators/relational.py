@@ -818,6 +818,45 @@ ORDER BY s_suppkey
 """
 
 
+def q33_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical selective multi-table composite:
+    filter both fact tables at the scan, join customer→orders→lineitem,
+    aggregate revenue, top-10. The date filters push into both parquet
+    scans; the final top-k plans as TakeOrderedAndProject (per-partition
+    heap + merge), never a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE["q33_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -844,4 +883,5 @@ QUERIES = {
     "q30_correlated_avg": q30_correlated_avg,
     "q31_outer_join": q31_outer_join,
     "q32_semi_join": q32_semi_join,
+    "q33_shipping_priority": q33_shipping_priority,
 }

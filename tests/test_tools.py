@@ -120,3 +120,35 @@ def test_cli_catalog_commands(tmp_path, capsys):
 
     assert main(["tables", str(tmp_path)]) == 0
     assert capsys.readouterr().out.strip() == "clitab"
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    """CLI lifecycle with an injected session: create → load-csv →
+    describe → query (the indexr-tool workflow, SURVEY.md §7 M5)."""
+    from indexr_spark.cli import main
+    from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+
+    spec = TableSpec(
+        name="sales",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(spec.to_json())
+    csv_path = tmp_path / "in.csv"
+    csv_path.write_text("3,3.5\n1,1.5\n2,2.5\n")
+
+    root = str(tmp_path / "cat")
+    assert main(["create", root, str(spec_path)], spark=spark) == 0
+    assert main(["load-csv", root, "sales", str(csv_path)], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "loaded 3 rows" in out
+
+    assert main(["describe", root, "sales"], spark=spark) == 0
+    assert main(
+        ["query", root, "SELECT sum(v) AS s FROM sales WHERE k >= 2"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "6.0" in out
+    # injected session must survive the CLI call
+    assert spark.range(1).count() == 1
