@@ -161,3 +161,38 @@ def test_salted_agg_is_two_phase(spark):
     partial spread over (key, salt) and the final merge on the key."""
     plan = plan_of(spark, "q27_salted_agg")
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key must join with ZERO
+    exchanges — the co-located join layout for recurring fact-fact
+    joins (each bucket pairs with its counterpart directly)."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.sources.segments import write_bucketed
+
+    li = spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SMOKE_SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8)
+    write_bucketed(o, "b_orders", ["o_orderkey"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
