@@ -131,3 +131,41 @@ def test_describe_segments(spark, tmp_path):
     rows = {r.column: r for r in d.collect()}
     assert rows["r_regionkey"].null_count == 0
     assert rows["r_name"].min == "AFRICA"
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """Property: salting is result-invariant for algebraic aggregates,
+    whatever the key skew. (hypothesis-style but with a fixed skewed
+    corpus — per-example session reuse keeps it fast; the q27 oracle
+    covers the driver-checked case.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.skew import salted_agg
+
+    rng = random.Random(7)
+    # 90% of rows on one hot key — the regime salting exists for
+    rows = [
+        ("hot" if rng.random() < 0.9 else f"k{rng.randint(0, 20)}", rng.randint(-100, 100))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    salted = salted_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "s": ("sum", F.col("v")),
+            "n": ("count", F.lit(1)),
+            "mn": ("min", F.col("v")),
+            "mx": ("max", F.col("v")),
+        },
+        n_salts=13,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
