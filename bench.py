@@ -74,6 +74,7 @@ HEADLINE = [
     "d08_simhash",
     "d10_embedding_neardup",
     "d11_bpe_tokens",
+    "d13_stratified_sample",
     "s01_cosine_topk",
     "s02_embedding_pairs",
     "s04_ann_lsh_topk",

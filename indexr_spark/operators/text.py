@@ -563,6 +563,51 @@ ORDER BY doc_id
 """
 
 
+SAMPLE_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}  # percent
+SAMPLE_DEFAULT_RATE = 10
+
+
+def d13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data mixing
+    primitive: each source keeps a configured fraction, selected by
+    hash(doc_id) mod 100 rather than rand(), so the sample is exactly
+    reproducible across runs/engines/retries (a property rand()-based
+    TABLESAMPLE cannot give a distributed, restartable pipeline).
+    Embarrassingly parallel: the filter evaluates in the scan stage,
+    no shuffle before the summary aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for src, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    kept = d.filter(hash32(F.col("doc_id").cast("string")) % 100 < rate)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_rate_sql = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {r}" for s, r in SAMPLE_RATES.items()
+) + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+ORACLE["d13_stratified_sample"] = f"""
+SELECT source,
+       count(*)      AS n_kept,
+       min(doc_id)   AS first_doc,
+       max(doc_id)   AS last_doc,
+       sum(n_chars)  AS kept_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_rate_sql}
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -575,4 +620,5 @@ QUERIES = {
     "d09_ngram_jaccard": d09_ngram_jaccard,
     "d11_bpe_tokens": d11_bpe_tokens,
     "d12_dup_clusters": d12_dup_clusters,
+    "d13_stratified_sample": d13_stratified_sample,
 }
