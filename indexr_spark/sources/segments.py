@@ -177,6 +177,57 @@ def write_segments(
         write_sidecar_spark(df.sparkSession, path, file_format)
 
 
+TERM_INDEX_DIR = "_indexr_term_index"
+
+
+def build_term_index(spark: SparkSession, path: str, column: str) -> int:
+    """Inverted term→file index for a string column — the reference's
+    OuterIndex_Inverted made Spark-native (vlt OuterIndex_Inverted.java:
+    33-36: merged dictionary + per-entry pack bitmaps; here the posting
+    unit is the segment file). One distributed pass builds
+    `(term, file)` postings; Equal/In predicates then prune the file
+    list through postings instead of min/max ranges, which string
+    min/max rarely narrows. Returns the number of postings.
+
+    Scale: the index is |distinct terms × files touched| — for
+    dictionary-ish columns, metadata-sized next to the data; rebuild is
+    per new segment batch, and lookup is a filter over one small
+    parquet table."""
+    df = spark.read.parquet(path).select(
+        F.col(column).alias("term"), F.input_file_name().alias("file")
+    )
+    postings = df.distinct().withColumn(
+        "file", F.regexp_replace("file", "^file:", "")
+    )
+    out = os.path.join(path, TERM_INDEX_DIR, column)
+    postings.coalesce(1).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()
+
+
+def prune_by_term(
+    spark: SparkSession, path: str, column: str, values: list
+) -> list[str]:
+    """Candidate files containing ANY of `values` in `column`,
+    according to the term index (exact for =/IN: a file not listed
+    cannot contain the term)."""
+    idx = spark.read.parquet(os.path.join(path, TERM_INDEX_DIR, column))
+    rows = idx.filter(F.col("term").isin(values)).select("file").distinct().collect()
+    return sorted(r["file"] for r in rows)
+
+
+def read_term_pruned(
+    spark: SparkSession, path: str, column: str, values: list
+) -> tuple[DataFrame, list[str]]:
+    """Scan only the files the term index admits, with the exact
+    predicate re-applied (same cascade shape as read_pruned)."""
+    files = prune_by_term(spark, path, column, values)
+    if not files:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema), files
+    df = spark.read.parquet(*files).filter(F.col(column).isin(values))
+    return df, files
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

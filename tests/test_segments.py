@@ -229,3 +229,33 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
 
     full = df.filter(F.col("l_partkey").between(lo, hi))
     assert {tuple(r) for r in zdf.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_term_index_prunes_files(spark, tmp_path):
+    """OuterIndex_Inverted parity: the term→file index admits only the
+    files actually containing a term; pruned scan == full-scan filter.
+    String min/max can't narrow p_brand (every file spans the whole
+    alphabet range), so the inverted index is what makes string
+    equality prune at all."""
+    import glob
+    import os
+
+    from indexr_spark.sources.segments import build_term_index, read_term_pruned
+
+    df = spark.read.parquet(f"{SMOKE_SF}/part.parquet")
+    out = str(tmp_path / "parts")
+    # sort by brand so each segment holds few brands → pruning possible
+    write_segments(df, out, sort_by=["p_brand"], num_segments=8)
+    n_postings = build_term_index(spark, out, "p_brand")
+    assert n_postings > 0
+
+    all_files = glob.glob(os.path.join(out, "*.parquet"))
+    got, files = read_term_pruned(spark, out, "p_brand", ["Brand#21"])
+    assert 0 < len(files) < len(all_files), (len(files), len(all_files))
+
+    full = df.filter(F.col("p_brand") == "Brand#21")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in full.collect()}
+
+    # a term that doesn't exist prunes everything
+    empty, files0 = read_term_pruned(spark, out, "p_brand", ["Brand#nope"])
+    assert files0 == [] and empty.count() == 0
