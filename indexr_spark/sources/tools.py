@@ -85,6 +85,66 @@ def describe_segments(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def upsert_segments(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    sort_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """MERGE-style upsert (beyond reference — its online update can
+    only recompute whole columns): rows in `updates` replace target
+    rows with the same key, new keys append. One left-anti join keeps
+    the survivors, a union brings in the updates, and the rewrite
+    lands atomically like update_column. Returns (updated, inserted).
+
+    Scale: at 100 TB run per partition directory touched by the
+    updates (classic copy-on-write merge); the anti join shuffles on
+    the key unless the updates are broadcast-sized (they usually are).
+    """
+    target = spark.read.parquet(table_path)
+    cond = [target[k] == updates[k] for k in key_cols]
+    survivors = target.join(updates, cond, "left_anti")
+    n_updated = target.count() - survivors.count()
+    n_inserted = updates.count() - n_updated
+    out = survivors.unionByName(updates.select(*target.columns))
+
+    tmp = table_path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
+    write_segments(out, tmp, sort_by=sort_by)
+    old = table_path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old)
+    return n_updated, n_inserted
+
+
+def optimize_segments(
+    spark: SparkSession,
+    table_path: str,
+    target_rows_per_file: int = 1 << 20,
+    sort_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """OPTIMIZE-style small-file compaction: rewrite the table into
+    ceil(rows / target) right-sized segments, preserving (or imposing)
+    the sort order so stats stay tight. Streaming ingest and frequent
+    upserts both leave small files; at 100 TB this runs per partition
+    directory on a maintenance schedule. Returns (files_before,
+    files_after)."""
+    df = spark.read.parquet(table_path)
+    files_before = df.inputFiles()
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+
+    tmp = table_path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
+    write_segments(df, tmp, sort_by=sort_by, num_segments=n_files)
+    old = table_path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, old)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old)
+    after = len(spark.read.parquet(table_path).inputFiles())
+    return len(files_before), after
+
+
 def update_column(
     spark: SparkSession,
     table_path: str,

@@ -152,3 +152,52 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert "6.0" in out
     # injected session must survive the CLI call
     assert spark.range(1).count() == 1
+
+
+def test_upsert_segments(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys appended,
+    untouched rows survive; table stays sorted + sidecar'd."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.sources.segments import write_segments
+    from indexr_spark.sources.tools import upsert_segments
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double"
+    )
+    write_segments(base, path, sort_by=["k"], num_segments=2)
+
+    updates = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], "k int, s string, v double"
+    )
+    n_upd, n_ins = upsert_segments(spark, path, updates, ["k"], sort_by=["k"])
+    assert (n_upd, n_ins) == (1, 1)
+
+    got = {
+        tuple(r) for r in spark.read.parquet(path).orderBy("k").collect()
+    }
+    assert got == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)}
+    # sidecar refreshed for the new layout
+    from indexr_spark.sources.segments import load_sidecar
+
+    assert sum(1 for _ in load_sidecar(path)) > 0
+
+
+def test_optimize_segments_compacts_files(spark, tmp_path):
+    """Bin-packing compaction: many tiny segments → few right-sized
+    ones, same rows, sort preserved."""
+    from indexr_spark.sources.segments import write_segments
+    from indexr_spark.sources.tools import optimize_segments
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10000).selectExpr("id AS k", "id * 1.5 AS v")
+    write_segments(df, path, sort_by=["k"], num_segments=20)
+
+    before, after = optimize_segments(
+        spark, path, target_rows_per_file=5000, sort_by=["k"]
+    )
+    assert before == 20 and after == 2, (before, after)
+    out = spark.read.parquet(path)
+    assert out.count() == 10000
+    assert out.agg({"v": "sum"}).collect()[0][0] == sum(i * 1.5 for i in range(10000))
