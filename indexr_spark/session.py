@@ -31,6 +31,13 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces by shuffle BYTES, but vector/hash workloads are
+    # CPU-dense per byte (a 2.5 MB embedding shuffle hides 50M-flop
+    # folds); the default 1 MB floor collapses those stages to 1-3
+    # tasks. A small floor keeps CPU-bound stages wide; at real scale
+    # partitions dwarf either floor, so this only removes the
+    # pathology, never adds partitions to big shuffles.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow for any pandas-UDF boundary (the sanctioned slow path).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
