@@ -63,6 +63,7 @@ HEADLINE = [
     "q31_outer_join",
     "q32_semi_join",
     "q33_shipping_priority",
+    "q34_range_join",
     "s07_exact_percentiles",
     "d01_token_stats",
     "d02_lang_id",

@@ -149,6 +149,77 @@ ORDER BY event_date, hr, event_type
 """
 
 
+ATTR_WINDOW_SEC = 300.0  # 5-minute click→purchase attribution window
+
+
+def q34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — the second time-join operator Spark
+    lacks natively (with as-of, q25): every (click, purchase) pair of
+    the same user where the purchase lands inside the click's
+    5-minute window.
+
+    Scale shape: a naive `p.ts BETWEEN c.ts AND c.ts+300` join plans
+    as a nested loop over the user's cross product. Instead both
+    sides are binned into window-sized time buckets — each interval
+    explodes to the ≤2 buckets it covers, each point to exactly one —
+    turning the range join into an equi-join on (user, bucket) with
+    the exact predicate re-applied. Bucket width = window width
+    bounds the blow-up at 2× and the equi-join shuffles on a
+    well-distributed composite key. The oracle is the plain
+    inequality join, proving the bucketing loses no pairs (floor is
+    monotone, so a matching point's bucket always lies inside its
+    window's bucket range)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        sec.alias("p_sec"),
+        F.floor(sec / ATTR_WINDOW_SEC).cast("long").alias("bucket"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        sec.alias("c_sec"),
+        F.explode(
+            F.sequence(
+                F.floor(sec / ATTR_WINDOW_SEC).cast("long"),
+                F.floor((sec + ATTR_WINDOW_SEC) / ATTR_WINDOW_SEC).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        p.join(c, ["user_id", "bucket"])
+        .filter(
+            (F.col("p_sec") >= F.col("c_sec"))
+            & (F.col("p_sec") <= F.col("c_sec") + ATTR_WINDOW_SEC)
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.floor(F.col("p_sec") - F.col("c_sec")).cast("long").alias("lag_sec"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+ORACLE["q34_range_join"] = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch(CAST(ts AS TIMESTAMP)) AS p_sec
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch(CAST(ts AS TIMESTAMP)) AS c_sec
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, click_id, purchase_id,
+       CAST(floor(p_sec - c_sec) AS BIGINT) AS lag_sec
+FROM p JOIN c ON p.user_id = c.user_id
+            AND p_sec >= c_sec AND p_sec <= c_sec + 300.0
+ORDER BY p.user_id, click_id, purchase_id
+"""
+
+
 def q23_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction — parity with the reference's UTF-8
     JSON event parsing at ingest (rt/UTF8JsonRowCreator.java:14-120,
@@ -212,4 +283,5 @@ QUERIES = {
     "q22_events_hourly": q22_events_hourly,
     "q23_json_props": q23_json_props,
     "q24_events_pivot": q24_events_pivot,
+    "q34_range_join": q34_range_join,
 }

@@ -196,3 +196,13 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_range_join_is_equi_join(spark):
+    """q34's time-bucketing must turn the interval predicate into an
+    equi-join — a BroadcastNestedLoopJoin here would be the n²-per-user
+    plan the bucketing exists to avoid."""
+    plan = plan_of(spark, "q34_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
