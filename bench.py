@@ -95,9 +95,11 @@ def main() -> None:
         sf = -1.0
     spark = get_spark(app_name="indexr-bench")
 
-    # Warm up session + parquet footers once; not attributed to queries.
+    # Warm up session + parquet footers + the Python worker pool once;
+    # not attributed to queries (a long-lived cluster has all three warm).
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     # best-of-2: the first run pays JIT/codegen compilation that a
     # long-lived cluster amortizes away; min is the steady-state cost.
