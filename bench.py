@@ -64,6 +64,9 @@ HEADLINE = [
     "q32_semi_join",
     "q33_shipping_priority",
     "q34_range_join",
+    "q35_moving_avg",
+    "d14_normalize_text",
+    "s08_hll_sketch_union",
     "s07_exact_percentiles",
     "d01_token_stats",
     "d02_lang_id",

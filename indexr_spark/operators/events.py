@@ -277,6 +277,49 @@ ORDER BY event_date
 """
 
 
+def q35_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: 7-day moving average of daily revenue per
+    event type. The RANGE frame (value-based, vs q15's ROWS frame)
+    picks up exactly the trailing week even when days are missing —
+    the gap semantics ROWS frames get wrong. Partitioned by
+    event_type, so the window state distributes; the daily pre-
+    aggregation shrinks the window input to |types|×|days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("double") / 86400.0).cast("long")
+    daily = (
+        ev.groupBy("event_type", day.alias("day"))
+        .agg(F.sum("value").alias("day_value"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.round("day_value", 2).alias("day_value"),
+            F.round(F.avg("day_value").over(w), 6).alias("week_avg"),
+            F.count("*").over(w).alias("days_in_window"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE["q35_moving_avg"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400.0) AS BIGINT) AS day,
+         sum(value) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       round(day_value, 2) AS day_value,
+       round(avg(day_value) OVER w, 6) AS week_avg,
+       count(*) OVER w AS days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "q20_events_rollup": q20_events_rollup,
     "q21_sessionize": q21_sessionize,
@@ -284,4 +327,5 @@ QUERIES = {
     "q23_json_props": q23_json_props,
     "q24_events_pivot": q24_events_pivot,
     "q34_range_join": q34_range_join,
+    "q35_moving_avg": q35_moving_avg,
 }

@@ -524,6 +524,35 @@ ORDER BY l_returnflag
 """
 
 
+def s08_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (DataSketches, built-in since Spark 3.5):
+    build one distinct-parts sketch per return flag, then UNION the
+    stored sketches for the global estimate — the at-scale
+    distinct-counting architecture (sketches are tiny, associative,
+    and re-mergeable later without touching the data again; exact
+    countDistinct re-shuffles everything every time). No SQL oracle:
+    estimates are implementation-defined, so the driver records the
+    rows-only check; the pytest pins every estimate (per-flag and
+    union) inside the sketch's error bounds of the exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"), F.count("*").alias("n_rows")
+    )
+    flags = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("distinct_parts"),
+        "n_rows",
+    )
+    union = per_flag.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("__all__").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk").alias("distinct_parts"),
+        "n_rows",
+    )
+    return flags.unionByName(union).orderBy("l_returnflag")
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_pairs": s02_embedding_pairs,
@@ -532,5 +561,6 @@ QUERIES = {
     "s05_approx_stats": s05_approx_stats,
     "s06_ivf_topk": s06_ivf_topk,
     "s07_exact_percentiles": s07_exact_percentiles,
+    "s08_hll_sketch_union": s08_hll_sketch_union,
     "d10_embedding_neardup": d10_embedding_neardup,
 }

@@ -608,6 +608,41 @@ ORDER BY source
 """
 
 
+def d14_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pipeline: collapse whitespace → drop
+    stopwords (the EN marker set) → fingerprint the cleaned text.
+    The standard preprocessing pass before tokenization/dedup, as one
+    narrow projection — no shuffle, evaluates in the scan stage; the
+    reduction ratio flags boilerplate-heavy documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    kept = F.filter(toks, lambda x: ~x.isin(*EN_MARKERS))
+    cleaned = F.array_join(kept, " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(kept).alias("n_kept"),
+        F.round(F.size(kept).cast("double") / F.size(toks), 6).alias("kept_ratio"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d14_normalize_text"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks,
+         list_filter({_DUCK_TOKS}, x -> x NOT IN {_markers_sql}) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       round(CAST(len(kept) AS DOUBLE) / len(toks), 6) AS kept_ratio,
+       md5(array_to_string(kept, ' ')) AS cleaned_md5
+FROM t
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -621,4 +656,5 @@ QUERIES = {
     "d11_bpe_tokens": d11_bpe_tokens,
     "d12_dup_clusters": d12_dup_clusters,
     "d13_stratified_sample": d13_stratified_sample,
+    "d14_normalize_text": d14_normalize_text,
 }

@@ -169,3 +169,29 @@ def test_salted_agg_matches_plain_groupby(spark):
         F.max("v").alias("mx"),
     )
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_hll_sketch_union_accuracy(spark):
+    """s08: per-group and unioned HLL estimates stay within sketch
+    error bounds (~2% at default lgK=12; assert 5%) of exact distinct
+    counts — the merge loses no more accuracy than the sketch itself."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.similarity import s08_hll_sketch_union
+    from tests.conftest import SMOKE_SF
+
+    rows = {r.l_returnflag: r for r in s08_hll_sketch_union(spark, SMOKE_SF).collect()}
+    li = spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet")
+    exact_all = li.select("l_partkey").distinct().count()
+    exact_per = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, exact in exact_per.items():
+        est = rows[flag].distinct_parts
+        assert abs(est - exact) / exact < 0.05, (flag, est, exact)
+    est_all = rows["__all__"].distinct_parts
+    assert abs(est_all - exact_all) / exact_all < 0.05, (est_all, exact_all)
+    assert rows["__all__"].n_rows == li.count()
