@@ -65,7 +65,10 @@ HEADLINE = [
     "q33_shipping_priority",
     "q34_range_join",
     "q35_moving_avg",
+    "q36_latest_per_user",
+    "q37_funnel",
     "d14_normalize_text",
+    "d15_contamination",
     "s08_hll_sketch_union",
     "s07_exact_percentiles",
     "d01_token_stats",

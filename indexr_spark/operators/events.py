@@ -320,6 +320,107 @@ ORDER BY event_type, day
 """
 
 
+def q36_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window: max_by over a composite order
+    struct gets each user's latest event in ONE partial+final
+    aggregation — no per-partition sort, no row_number. At scale this
+    beats the window formulation (q08) whenever k=1: the combiner
+    keeps one row per user per partition instead of sorting each
+    partition. Tie-break on event_id via the struct's second field."""
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts").cast("timestamp").cast("double"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", ordkey).alias("last_event_id"),
+            F.max_by("event_type", ordkey).alias("last_event_type"),
+            F.round(F.max_by("value", ordkey), 2).alias("last_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q36_latest_per_user"] = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 2) AS last_value, n_events
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q37_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, the first click and the first
+    purchase AFTER that click; conversion = both present in order.
+    Two conditional aggregations over one scan — the min-over-filter
+    pattern keeps it a single shuffle on user_id (no self-join, no
+    window sort). The final rollup is a driver-friendly 1-row summary
+    plus per-user detail, so both grains are checked."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    per_user = (
+        ev.select("user_id", "event_type", sec.alias("sec"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("sec"))).alias(
+                "first_click"
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("p_sec")
+    )
+    conv = (
+        per_user.join(purchases, "user_id", "left")
+        .filter(F.col("p_sec") >= F.col("first_click"))
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_sec").alias("first_purchase_after"))
+    )
+    return (
+        per_user.join(conv.select("user_id", "first_purchase_after"), "user_id", "left")
+        .filter(F.col("first_click").isNotNull())
+        .select(
+            "user_id",
+            F.floor("first_click").cast("long").alias("click_sec"),
+            F.floor(F.coalesce("first_purchase_after", F.lit(-1.0)))
+            .cast("long")
+            .alias("purchase_sec"),
+            F.col("first_purchase_after").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q37_funnel"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click'
+                  THEN epoch(CAST(ts AS TIMESTAMP)) END) AS first_click
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT p.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS first_purchase_after
+  FROM per_user p
+  JOIN events e ON e.user_id = p.user_id AND e.event_type = 'purchase'
+              AND epoch(CAST(e.ts AS TIMESTAMP)) >= p.first_click
+  GROUP BY p.user_id
+)
+SELECT p.user_id,
+       CAST(floor(first_click) AS BIGINT) AS click_sec,
+       CAST(floor(coalesce(first_purchase_after, -1.0)) AS BIGINT) AS purchase_sec,
+       first_purchase_after IS NOT NULL AS converted
+FROM per_user p LEFT JOIN conv USING (user_id)
+WHERE first_click IS NOT NULL
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q20_events_rollup": q20_events_rollup,
     "q21_sessionize": q21_sessionize,
@@ -328,4 +429,6 @@ QUERIES = {
     "q24_events_pivot": q24_events_pivot,
     "q34_range_join": q34_range_join,
     "q35_moving_avg": q35_moving_avg,
+    "q36_latest_per_user": q36_latest_per_user,
+    "q37_funnel": q37_funnel,
 }

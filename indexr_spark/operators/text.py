@@ -643,6 +643,62 @@ ORDER BY doc_id
 """
 
 
+def d15_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check (decontamination pass): per
+    source, how many documents' exact text also appears under a
+    DIFFERENT source. Shape: hash → one aggregation marking hashes
+    seen in >1 source → semi-join back → per-source rates. Both
+    shuffles key on the text hash / source — at 100 TB this is two
+    map-side-combined aggregations, and swapping md5 for a MinHash
+    band key upgrades it to near-dup contamination with the same
+    topology."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    cross = (
+        d.groupBy("h")
+        .agg(F.countDistinct("source").alias("n_sources"))
+        .filter(F.col("n_sources") > 1)
+        .select("h")
+    )
+    flagged = d.join(cross, "h", "left_semi")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    contam = flagged.groupBy("source").agg(F.count("*").alias("n_contaminated"))
+    return (
+        per_source.join(contam, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_docs"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["d15_contamination"] = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), cross_h AS (
+  SELECT h FROM d GROUP BY h HAVING count(DISTINCT source) > 1
+), flagged AS (
+  SELECT d.source FROM d WHERE d.h IN (SELECT h FROM cross_h)
+), per_source AS (
+  SELECT source, count(*) AS n_docs FROM d GROUP BY source
+), contam AS (
+  SELECT source, count(*) AS n_contaminated FROM flagged GROUP BY source
+)
+SELECT p.source, p.n_docs,
+       coalesce(c.n_contaminated, 0) AS n_contaminated,
+       round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / p.n_docs, 6) AS contamination_rate
+FROM per_source p LEFT JOIN contam c USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -657,4 +713,5 @@ QUERIES = {
     "d12_dup_clusters": d12_dup_clusters,
     "d13_stratified_sample": d13_stratified_sample,
     "d14_normalize_text": d14_normalize_text,
+    "d15_contamination": d15_contamination,
 }
