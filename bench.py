@@ -67,6 +67,7 @@ HEADLINE = [
     "q35_moving_avg",
     "q36_latest_per_user",
     "q37_funnel",
+    "q38_retention",
     "d14_normalize_text",
     "d15_contamination",
     "s08_hll_sketch_union",

@@ -421,6 +421,60 @@ ORDER BY user_id
 """
 
 
+def q38_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives + next-day retention: distinct users per day, and
+    how many of them return the following day. The (user, day) grain
+    is deduplicated FIRST (one map-side-combined distinct), so the
+    self-join for "returned tomorrow" runs on |users×days| rows, not
+    raw events — the standard cardinality-reduction move before any
+    retention/cohort join. At 100 TB the dedup output is orders of
+    magnitude smaller than the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("double") / 86400.0).cast("long")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    nxt = ud.select("user_id", (F.col("day") - 1).alias("day"))
+    retained = (
+        ud.join(nxt, ["user_id", "day"], "left_semi")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(retained, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double") / F.col("dau"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["q38_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400.0) AS BIGINT) AS day
+  FROM events
+), retained AS (
+  SELECT a.day, count(*) AS n_retained
+  FROM ud a
+  WHERE EXISTS (SELECT 1 FROM ud b
+                WHERE b.user_id = a.user_id AND b.day = a.day + 1)
+  GROUP BY a.day
+), dau AS (
+  SELECT day, count(*) AS dau FROM ud GROUP BY day
+)
+SELECT d.day, d.dau,
+       coalesce(r.n_retained, 0) AS n_retained,
+       round(CAST(coalesce(r.n_retained, 0) AS DOUBLE) / d.dau, 6) AS retention_rate
+FROM dau d LEFT JOIN retained r USING (day)
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q20_events_rollup": q20_events_rollup,
     "q21_sessionize": q21_sessionize,
@@ -431,4 +485,5 @@ QUERIES = {
     "q35_moving_avg": q35_moving_avg,
     "q36_latest_per_user": q36_latest_per_user,
     "q37_funnel": q37_funnel,
+    "q38_retention": q38_retention,
 }
