@@ -1,0 +1,155 @@
+"""Manifest-based snapshots — atomic commits, time travel, vacuum.
+
+The reference swaps whole segment directories on rewrite (and its
+tools rewrite offline); `tools.update_column`/`upsert_segments` mirror
+that with an os.rename swap, which is atomic for NEW readers but can
+break a scan already in flight. This module adds the lakehouse answer
+at file grain, in miniature: data files are immutable and
+uniquely-named, and a tiny JSON manifest names the file set of each
+version. Readers pin a manifest (snapshot isolation — a concurrent
+commit can't change the files under them); a commit is one small
+file write + pointer bump (atomic at 100 TB because the data move is
+metadata-only); old versions stay readable (time travel) until
+`vacuum` drops their unreferenced files.
+
+Layout:
+    <table>/data/<uuid>-part-*.parquet   immutable data files
+    <table>/_manifests/v<N>.json        {"version": N, "files": [...]}
+    <table>/_manifests/LATEST           "N" (the pointer bump)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, MANIFEST_DIR)
+
+
+def latest_version(path: str) -> int:
+    """Current committed version, or 0 if the table has none."""
+    ptr = os.path.join(_manifest_dir(path), "LATEST")
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _commit(path: str, files: list[str]) -> int:
+    """Write manifest v(N+1) then bump LATEST — the only mutation a
+    reader can observe, and it's a single tiny file."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    version = latest_version(path) + 1
+    manifest = {"version": version, "files": sorted(files)}
+    mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=1)
+    tmp = os.path.join(_manifest_dir(path), f".LATEST.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_manifest_dir(path), "LATEST"))  # atomic bump
+    return version
+
+
+def _write_data_files(df: DataFrame, path: str, sort_by: list[str] | None) -> list[str]:
+    """Write a new immutable batch of data files; return their paths
+    relative to the table root."""
+    from indexr_spark.sources.segments import write_segments
+
+    batch = os.path.join(path, "data", uuid.uuid4().hex[:12])
+    write_segments(df, batch, sort_by=sort_by)
+    return [
+        os.path.relpath(os.path.join(root, name), path)
+        for root, _dirs, names in os.walk(batch)
+        for name in sorted(names)
+        if name.endswith(".parquet")
+    ]
+
+
+def write_snapshot(
+    df: DataFrame, path: str, sort_by: list[str] | None = None
+) -> int:
+    """Commit `df` as the table's new full contents (version N+1).
+    Prior versions' files are untouched — still readable via
+    read_snapshot(version=...)."""
+    return _commit(path, _write_data_files(df, path, sort_by))
+
+
+def append_snapshot(
+    df: DataFrame, path: str, sort_by: list[str] | None = None
+) -> int:
+    """Commit `df` appended to the current version's file set — the
+    streaming/batch append path: new files + a manifest that lists
+    old ∪ new."""
+    prev = _load_manifest(path, latest_version(path))["files"] if latest_version(path) else []
+    return _commit(path, prev + _write_data_files(df, path, sort_by))
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    sort_by: list[str] | None = None,
+) -> int:
+    """Copy-on-write MERGE as a snapshot commit: survivors + updates
+    become new files, the manifest flips, old files remain for
+    time-travel readers. (File-level write amplification — the same
+    trade Delta/Iceberg copy-on-write makes; at 100 TB restrict the
+    rewrite to the files whose key ranges overlap the updates, which
+    the stats sidecar identifies.)"""
+    target = read_snapshot(spark, path)
+    cond = [target[k] == updates[k] for k in key_cols]
+    survivors = target.join(updates, cond, "left_anti")
+    merged = survivors.unionByName(updates.select(*target.columns))
+    return write_snapshot(merged, path, sort_by)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (default: latest). The returned
+    DataFrame's file list is fixed at call time — concurrent commits
+    cannot change what this scan reads."""
+    v = version if version is not None else latest_version(path)
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    files = _load_manifest(path, v)["files"]
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+    """Drop data files referenced only by expired versions (older than
+    the newest `keep_versions`). Returns the deleted files. Metadata
+    of expired versions is removed too, so time travel past the
+    horizon fails loudly rather than reading half a version."""
+    latest = latest_version(path)
+    keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
+    live: set[str] = set()
+    for v in keep:
+        live.update(_load_manifest(path, v)["files"])
+    deleted = []
+    for root, _dirs, names in os.walk(os.path.join(path, "data")):
+        for name in names:
+            fpath = os.path.join(root, name)
+            rel = os.path.relpath(fpath, path)
+            if name.endswith(".parquet") and rel not in live:
+                os.remove(fpath)
+                deleted.append(rel)
+    for mname in os.listdir(_manifest_dir(path)):
+        if mname.startswith("v") and mname.endswith(".json"):
+            if int(mname[1:-5]) not in keep:
+                os.remove(os.path.join(_manifest_dir(path), mname))
+    return sorted(deleted)

@@ -1,0 +1,51 @@
+"""Snapshot manifest tests: atomic commits, snapshot isolation,
+time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from indexr_spark.sources.snapshots import (
+    append_snapshot,
+    latest_version,
+    read_snapshot,
+    upsert_snapshot,
+    vacuum,
+    write_snapshot,
+)
+
+
+def test_snapshot_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double"
+    )
+    v1 = write_snapshot(base, path, sort_by=["k"])
+    assert v1 == 1 and latest_version(path) == 1
+
+    updates = spark.createDataFrame([(2, "B", 20.0), (4, "d", 4.0)], "k int, s string, v double")
+    v2 = upsert_snapshot(spark, path, updates, ["k"], sort_by=["k"])
+    assert v2 == 2
+
+    # snapshot isolation / time travel: v1 still reads the old rows
+    got_v1 = {tuple(r) for r in read_snapshot(spark, path, version=1).collect()}
+    assert got_v1 == {(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)}
+    got_v2 = {tuple(r) for r in read_snapshot(spark, path).collect()}
+    assert got_v2 == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)}
+
+    # a reader pinned BEFORE a commit sees its version even after it
+    pinned = read_snapshot(spark, path, version=2)
+    v3 = append_snapshot(
+        spark.createDataFrame([(5, "e", 5.0)], "k int, s string, v double"), path, sort_by=["k"]
+    )
+    assert v3 == 3
+    assert pinned.count() == 4
+    assert read_snapshot(spark, path).count() == 5
+
+    # vacuum keeps the newest two versions; v1's exclusive files go away
+    deleted = vacuum(path, keep_versions=2)
+    assert deleted, "expected v1-only files to be deleted"
+    got_v3 = {tuple(r) for r in read_snapshot(spark, path).collect()}
+    assert (5, "e", 5.0) in got_v3 and len(got_v3) == 5
+    # expired version metadata is gone
+    assert not os.path.exists(os.path.join(path, "_manifests", "v1.json"))
