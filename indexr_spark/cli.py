@@ -10,6 +10,8 @@ Usage (python -m indexr_spark.cli ...):
     compact  <catalog_root> <table>              fold rt → historical
     query    <catalog_root> <sql>                SQL over all tables
                                                  (hybrid views)
+    history  <table_path>                        snapshot versions
+    vacuum   <table_path> [--keep N]             drop expired snapshots
 """
 
 from __future__ import annotations
@@ -48,11 +50,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("root")
     p.add_argument("sql")
 
+    p = sub.add_parser("history")
+    p.add_argument("table_path")
+
+    p = sub.add_parser("vacuum")
+    p.add_argument("table_path")
+    p.add_argument("--keep", type=int, default=2)
+
     args = ap.parse_args(argv)
 
     from indexr_spark.sources.catalog import Catalog, TableSpec
 
-    cat = Catalog(args.root)
+    cat = Catalog(args.root) if hasattr(args, "root") else None
 
     if args.cmd == "create":
         with open(args.spec_json) as f:
@@ -64,6 +73,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "tables":
         for t in cat.list_tables():
             print(t)
+        return 0
+
+    if args.cmd == "vacuum":  # filesystem-only, no session needed
+        from indexr_spark.sources.snapshots import vacuum
+
+        deleted = vacuum(args.table_path, keep_versions=args.keep)
+        print(f"vacuumed {len(deleted)} files")
         return 0
 
     # remaining commands need a session; an injected one (tests,
@@ -101,6 +117,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "query":
             cat.register_sql_views(spark)
             spark.sql(args.sql).show(100, truncate=False)
+        elif args.cmd == "history":
+            from indexr_spark.sources.snapshots import snapshot_history
+
+            snapshot_history(spark, args.table_path).orderBy("version").show(
+                100, truncate=False
+            )
     finally:
         if own_session:
             spark.stop()

@@ -130,6 +130,18 @@ def read_snapshot(
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per live version: (version, n_files, is_latest) — the
+    audit surface for time travel."""
+    latest = latest_version(path)
+    rows = []
+    for mname in sorted(os.listdir(_manifest_dir(path))):
+        if mname.startswith("v") and mname.endswith(".json"):
+            m = _load_manifest(path, int(mname[1:-5]))
+            rows.append((m["version"], len(m["files"]), m["version"] == latest))
+    return spark.createDataFrame(rows, "version int, n_files int, is_latest boolean")
+
+
 def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     """Drop data files referenced only by expired versions (older than
     the newest `keep_versions`). Returns the deleted files. Metadata

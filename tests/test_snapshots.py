@@ -49,3 +49,25 @@ def test_snapshot_lifecycle(spark, tmp_path):
     assert (5, "e", 5.0) in got_v3 and len(got_v3) == 5
     # expired version metadata is gone
     assert not os.path.exists(os.path.join(path, "_manifests", "v1.json"))
+
+
+def test_snapshot_history_and_cli(spark, tmp_path, capsys):
+    from indexr_spark.cli import main
+    from indexr_spark.sources.snapshots import snapshot_history
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    write_snapshot(df, path)
+    append_snapshot(spark.createDataFrame([(2, 2.0)], "k int, v double"), path)
+
+    hist = {
+        (r.version, r.is_latest)
+        for r in snapshot_history(spark, path).collect()
+    }
+    assert hist == {(1, False), (2, True)}
+
+    assert main(["history", path], spark=spark) == 0
+    assert "true" in capsys.readouterr().out
+    assert main(["vacuum", path, "--keep", "1"]) == 0
+    assert "vacuumed" in capsys.readouterr().out
+    assert read_snapshot(spark, path).count() == 2
