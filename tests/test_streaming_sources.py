@@ -221,3 +221,41 @@ def test_session_window_builtin(spark, tmp_path):
     assert (1, "2024-01-01 00:00:00", 2, 3.0) in got
     assert (1, "2024-01-01 02:00:00", 1, 4.0) in got
     assert (2, "2024-01-01 00:00:00", 1, 8.0) in got
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension (the streaming counterpart of q06 — the reference
+    delegates ALL joins to host engines; Structured Streaming gets
+    them per-batch for free). The static side is re-read per batch, so
+    dimension updates between batches are picked up."""
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, k_name string"
+    )
+    src = str(tmp_path / "enrich_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for ts, k, v in [
+            ("2024-01-01 00:00:01", "a", 1.0),
+            ("2024-01-01 00:00:02", "b", 2.0),
+            ("2024-01-01 00:00:03", "zz", 3.0),  # no dim row → dropped by inner join
+        ]:
+            f.write(json.dumps({"ts": ts, "k": k, "v": v}) + "\n")
+
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    enriched = stream.join(F.broadcast(dim), "k")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.k, r.k_name, r.v)
+            for r in spark.sql("SELECT k, k_name, v FROM enriched_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {("a", "alpha", 1.0), ("b", "beta", 2.0)}
