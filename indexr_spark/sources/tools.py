@@ -128,8 +128,10 @@ def optimize_segments(
     ceil(rows / target) right-sized segments, preserving (or imposing)
     the sort order so stats stay tight. Streaming ingest and frequent
     upserts both leave small files; at 100 TB this runs per partition
-    directory on a maintenance schedule. Returns (files_before,
-    files_after)."""
+    directory on a maintenance schedule. Point it AT one partition
+    directory for hive-partitioned tables — run on the table root it
+    would flatten the partition columns into the data files. Returns
+    (files_before, files_after)."""
     df = spark.read.parquet(table_path)
     files_before = df.inputFiles()
     n_rows = df.count()
