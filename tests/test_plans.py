@@ -206,3 +206,12 @@ def test_range_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan
+
+
+def test_latest_per_user_is_window_free(spark):
+    """q36's claim is structural: top-1-per-group as ONE partial+final
+    aggregation — no Window operator, no per-partition sort."""
+    plan = plan_of(spark, "q36_latest_per_user")
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert plan.count("hashpartitioning") <= 1, plan
