@@ -47,12 +47,12 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, files: list[str]) -> int:
+def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
     """Write manifest v(N+1) then bump LATEST — the only mutation a
     reader can observe, and it's a single tiny file."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     version = latest_version(path) + 1
-    manifest = {"version": version, "files": sorted(files)}
+    manifest = {"version": version, "files": sorted(files), **(meta or {})}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -88,13 +88,26 @@ def write_snapshot(
 
 
 def append_snapshot(
-    df: DataFrame, path: str, sort_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    sort_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Commit `df` appended to the current version's file set — the
     streaming/batch append path: new files + a manifest that lists
-    old ∪ new."""
+    old ∪ new. `meta` keys land in the manifest (e.g. the streaming
+    epoch id for exactly-once)."""
     prev = _load_manifest(path, latest_version(path))["files"] if latest_version(path) else []
-    return _commit(path, prev + _write_data_files(df, path, sort_by))
+    return _commit(path, prev + _write_data_files(df, path, sort_by), meta)
+
+
+def last_committed_meta(path: str, key: str):
+    """Value of `key` in the latest manifest, or None — how the
+    streaming sink asks "did this epoch already commit?"."""
+    v = latest_version(path)
+    if v == 0:
+        return None
+    return _load_manifest(path, v).get(key)
 
 
 def upsert_snapshot(

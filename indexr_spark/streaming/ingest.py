@@ -122,6 +122,29 @@ def _rollup_batch(batch: DataFrame, spec: TableSpec, order_col: str | None) -> D
     return batch.groupBy(*agg.dims).agg(*exprs)
 
 
+def snapshot_sink(spec: TableSpec, snapshot_dir: str, order_col: str | None = None):
+    """foreachBatch sink that commits each micro-batch as a manifest
+    APPEND on a snapshot table — the time-travelable alternative to
+    the epoch-keyed directory sink. Exactly-once: the epoch id is
+    recorded in the manifest, and a retried epoch (same id as the
+    last commit) is a no-op instead of a double-append. Readers see
+    each batch atomically (manifest pointer bump) and can pin or
+    time-travel the rt table like any snapshot table."""
+    from indexr_spark.sources.snapshots import append_snapshot, last_committed_meta
+
+    sort_cols = spec.realtime.agg.dims if (spec.realtime and spec.realtime.agg) else spec.sort_by
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if last_committed_meta(snapshot_dir, "epoch") == epoch_id:
+            return  # retried epoch — already committed
+        rolled = _rollup_batch(batch, spec, order_col)
+        append_snapshot(
+            rolled, snapshot_dir, sort_by=sort_cols or None, meta={"epoch": epoch_id}
+        )
+
+    return sink
+
+
 def start_ingest(
     spark: SparkSession,
     events: DataFrame,

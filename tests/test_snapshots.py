@@ -71,3 +71,32 @@ def test_snapshot_history_and_cli(spark, tmp_path, capsys):
     assert main(["vacuum", path, "--keep", "1"]) == 0
     assert "vacuumed" in capsys.readouterr().out
     assert read_snapshot(spark, path).count() == 2
+
+
+def test_snapshot_sink_exactly_once(spark, tmp_path):
+    """Streaming snapshot sink: each epoch commits atomically; a
+    retried epoch is a no-op (exactly-once on top of checkpointed
+    sources); the rt table is time-travelable per batch."""
+    from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+    from indexr_spark.streaming.ingest import snapshot_sink
+
+    spec = TableSpec(
+        name="t",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    sdir = str(tmp_path / "rt_snap")
+    sink = snapshot_sink(spec, sdir)
+
+    b0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    b1 = spark.createDataFrame([(3, 3.0)], "k int, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # simulated retry of epoch 1 — must not double-append
+
+    assert latest_version(sdir) == 2
+    got = {tuple(r) for r in read_snapshot(spark, sdir).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0)}
+    # time travel to the first batch
+    got_v1 = {tuple(r) for r in read_snapshot(spark, sdir, version=1).collect()}
+    assert got_v1 == {(1, 1.0), (2, 2.0)}
