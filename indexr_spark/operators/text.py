@@ -600,7 +600,7 @@ SELECT source,
        count(*)      AS n_kept,
        min(doc_id)   AS first_doc,
        max(doc_id)   AS last_doc,
-       sum(n_chars)  AS kept_chars
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {_rate_sql}
 GROUP BY source
