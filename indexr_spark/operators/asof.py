@@ -41,11 +41,16 @@ def asof_join(
     (ts, original order) sequence — pin order upstream if it matters.
     """
     lt = left.withColumn("_side", F.lit(1))
+    # The carried value is a STRUCT of the right columns, present on
+    # every right row — so last(ignorenulls) skips only left rows, and
+    # a right row whose payload columns are legitimately NULL is still
+    # "the latest right row" (native ASOF JOIN would surface its NULLs,
+    # not an older row's values).
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias(left_ts),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
     )
     # union with side tags; each side's missing columns become nulls
     merged = lt.unionByName(rt, allowMissingColumns=True)
@@ -56,9 +61,12 @@ def asof_join(
         .orderBy(left_ts, "_side")
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    merged = merged.withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     for c in right_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("_side") == 1).drop("_side")
+        merged = merged.withColumn(c, F.col("_asof_payload")[c])
+    return merged.filter(F.col("_side") == 1).drop("_side", "_asof_payload")
 
 
 def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

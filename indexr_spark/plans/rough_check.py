@@ -308,8 +308,18 @@ class LikePrefix(RCOperator):
         s = _stats(stats, self.col)
         if s is None:
             return RS.SOME
-        upper = self.prefix + "￿"
-        if s.max < self.prefix or s.min > upper:
+        # Prefix-aware bounds (Iceberg-style startsWith logic). A
+        # synthetic upper bound like prefix+'￿' is UNSOUND: code
+        # points above U+FFFF (emoji etc.) sort past it, so a file of
+        # prefix-matching values could be skipped. Instead: every
+        # match is >= prefix, so max < prefix proves NONE; and if min
+        # sorts after prefix without extending it, min's first
+        # divergence beats prefix at some position < len(prefix),
+        # hence every value >= min also diverges there — NONE.
+        smin, smax = str(s.min), str(s.max)
+        if smax < self.prefix or (
+            smin > self.prefix and not smin.startswith(self.prefix)
+        ):
             return RS.NONE
         if (
             str(s.min).startswith(self.prefix)

@@ -272,23 +272,49 @@ def write_sidecar(path: str) -> dict:
             fpath = os.path.join(root, name)
             meta = pq.ParquetFile(fpath).metadata
             cols: dict[str, dict] = {}
+            # Columns whose fold can't be trusted: some row group has
+            # non-null values but no min/max stats. An ALL-NULL group
+            # (no min/max, but a null_count covering every row) is
+            # fine — it contributes no values, only its null count.
+            # Dropping such groups entirely would leave the file
+            # claiming null_count=0 while holding nulls, making RS.ALL
+            # verdicts unsound.
+            poisoned: set[str] = set()
             for rg in range(meta.num_row_groups):
                 group = meta.row_group(rg)
                 for ci in range(group.num_columns):
                     col = group.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
                     cname = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        poisoned.add(cname)
+                        continue
+                    nulls = st.null_count if st.null_count is not None else group.num_rows
+                    if not st.has_min_max:
+                        if st.null_count is not None and st.null_count >= group.num_rows:
+                            # all-null group: fold the null count only
+                            cur = cols.get(cname)
+                            if cur is None:
+                                cols[cname] = {"min": None, "max": None, "null_count": nulls}
+                            else:
+                                cur["null_count"] += nulls
+                        else:
+                            poisoned.add(cname)
+                        continue
                     cur = cols.get(cname)
                     mn, mx = st.min, st.max
-                    nulls = st.null_count or 0
                     if cur is None:
                         cols[cname] = {"min": mn, "max": mx, "null_count": nulls}
+                    elif cur["min"] is None:
+                        cur["min"], cur["max"] = mn, mx
+                        cur["null_count"] += nulls
                     else:
                         cur["min"] = min(cur["min"], mn)
                         cur["max"] = max(cur["max"], mx)
                         cur["null_count"] += nulls
+            for cname in poisoned:
+                cols.pop(cname, None)
+            cols = {k: v for k, v in cols.items() if v["min"] is not None}
             files.append(
                 {
                     "path": os.path.relpath(fpath, path),

@@ -161,6 +161,8 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     of expired versions is removed too, so time travel past the
     horizon fails loudly rather than reading half a version."""
     latest = latest_version(path)
+    if latest == 0 or not os.path.isdir(_manifest_dir(path)):
+        return []  # not a snapshot table (or nothing committed): no-op
     keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
     live: set[str] = set()
     for v in keep:

@@ -194,11 +194,30 @@ def compact(spark: SparkSession, catalog: Catalog, table: str) -> int:
     """
     spec = catalog.load(table)
     rt_dir = catalog.rt_dir(table)
-    if not os.path.isdir(rt_dir) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(rt_dir) for f in fs
-    ):
+    # Pin the batch set FIRST: compaction may run alongside live
+    # ingest, so a micro-batch committed after this listing must be
+    # neither read, counted, nor deleted — only the pinned directories
+    # are. A batch dir is pinned only once its _SUCCESS marker exists
+    # (i.e. the streaming sink's write committed).
+    pinned = (
+        sorted(
+            os.path.join(rt_dir, d)
+            for d in os.listdir(rt_dir)
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(rt_dir, d, "_SUCCESS"))
+        )
+        if os.path.isdir(rt_dir)
+        else []
+    )
+    readable = [
+        p for p in pinned if any(f.endswith(".parquet") for f in os.listdir(p))
+    ]
+    if not readable:
+        for p in pinned:  # committed-but-empty batches: nothing to move
+            shutil.rmtree(p)
+        _rmdir_if_empty(rt_dir)
         return 0
-    rt = spark.read.parquet(rt_dir)
+    rt = spark.read.option("basePath", rt_dir).parquet(*readable)
     agg = spec.realtime.agg if spec.realtime else None
     if agg is not None and agg.grouping:
         has_ord = MIN_ORD in rt.columns
@@ -227,5 +246,18 @@ def compact(spark: SparkSession, catalog: Catalog, table: str) -> int:
     sort_by = (agg.dims if agg else None) or spec.sort_by or None
     # write_segments refreshes the sidecar over the whole table dir.
     write_segments(merged, catalog.table_dir(table), sort_by=sort_by, mode="append")
-    shutil.rmtree(rt_dir)
+    # Delete ONLY the pinned batches — any batch committed while the
+    # merge ran stays for the next compaction (no data loss window).
+    for p in pinned:
+        shutil.rmtree(p)
+    _rmdir_if_empty(rt_dir)
     return n
+
+
+def _rmdir_if_empty(path: str) -> None:
+    """Remove `path` iff nothing is left in it (a concurrent ingest
+    may have created a new batch dir — then this is a no-op)."""
+    try:
+        os.rmdir(path)
+    except OSError:
+        pass
