@@ -115,8 +115,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             n = compact(spark, cat, args.table)
             print(f"compacted {n} rows into {args.table}")
         elif args.cmd == "query":
-            cat.register_sql_views(spark)
-            spark.sql(args.sql).show(100, truncate=False)
+            cat.sql(spark, args.sql).show(100, truncate=False)
+            for t, res in cat.last_prune.items():
+                print(f"[prune] {t}: scanned {len(res.scan)}/{res.n_total} files")
         elif args.cmd == "history":
             from indexr_spark.sources.snapshots import snapshot_history
 

@@ -341,6 +341,22 @@ class LikePrefix(RCOperator):
 
 
 @dataclass(frozen=True)
+class Unknown(RCOperator):
+    """Opaque residue of a non-convertible predicate — always SOME
+    (rc/UnknownOperator.java:78: anything the pushdown layer can't
+    express must scan; And(SOME, x) still lets siblings prune)."""
+
+    def rough(self, stats: FileStats) -> RS:
+        return RS.SOME
+
+    def apply_not(self) -> RCOperator:
+        return Unknown()
+
+    def to_spark_sql(self) -> str:
+        return "true"  # caller re-applies the exact original predicate
+
+
+@dataclass(frozen=True)
 class And(RCOperator):
     children: tuple[RCOperator, ...]
 
@@ -453,7 +469,12 @@ def prune(files_stats: dict[str, FileStats], op: RCOperator) -> PruneResult:
     op = op.optimize()
     out = PruneResult()
     for path, stats in files_stats.items():
-        rs = op.rough(stats)
+        try:
+            rs = op.rough(stats)
+        except Exception:
+            # incomparable stats/literal types (schema drift, exotic
+            # defaults) — never let pruning break a query: scan it
+            rs = RS.SOME
         if rs is RS.NONE:
             out.skipped.append(path)
         else:

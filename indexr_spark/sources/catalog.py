@@ -154,6 +154,7 @@ class Catalog:
 
     def __init__(self, root: str) -> None:
         self.root = root
+        self.last_prune: dict[str, object] = {}  # table → PruneResult of last sql()
         os.makedirs(os.path.join(root, "_schemas"), exist_ok=True)
 
     def _spec_path(self, name: str) -> str:
@@ -177,22 +178,35 @@ class Catalog:
         d = os.path.join(self.root, "_schemas")
         return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
+    def read(self, spark: SparkSession, name: str, predicate=None) -> DataFrame:
         """Historical segments as a DataFrame (defaults applied).
-        An empty pool (pre-first-compaction) reads as zero rows."""
+        An empty pool (pre-first-compaction) reads as zero rows.
+
+        `predicate` (a plans.rough_check.RCOperator) engages sidecar
+        file pruning when the table has a sidecar — the caller still
+        re-applies the exact filter above the scan."""
         spec = self.load(name)
         path = self.table_dir(name)
         if not _has_parquet(path):
             return spark.createDataFrame([], spec.schema())
-        df = spark.read.schema(spec.schema()).parquet(path)
+        files = None
+        if predicate is not None:
+            result = self.prune(name, predicate)
+            if result is not None:
+                if not result.scan:
+                    return spark.createDataFrame([], spec.schema())
+                files = result.scan
+        df = spark.read.schema(spec.schema()).parquet(*(files if files else [path]))
         return apply_defaults(df, spec)
 
-    def read_hybrid(self, spark: SparkSession, name: str) -> DataFrame:
+    def read_hybrid(self, spark: SparkSession, name: str, predicate=None) -> DataFrame:
         """HybridTable parity (HybridTable.java:22-66): one logical
         table = historical pool ∪ realtime pool, as a UNION ALL view.
-        Readable mid-ingest; the compactor later folds rt → historical."""
+        Readable mid-ingest; the compactor later folds rt → historical.
+        `predicate` prunes the historical pool (rt batches are small,
+        short-lived, and sidecar-less — always scanned)."""
         spec = self.load(name)
-        hist = self.read(spark, name)
+        hist = self.read(spark, name, predicate=predicate)
         rt_path = self.rt_dir(name)
         if not _has_parquet(rt_path):
             return hist
@@ -205,6 +219,35 @@ class Catalog:
         )
         return hist.unionByName(apply_defaults(rt, spec))
 
+    def prune(self, name: str, predicate):
+        """Rough-check the table's sidecar against `predicate`;
+        returns a PruneResult, or None when no sidecar exists.
+
+        Default-value soundness: stored NULLs surface as the declared
+        default after `apply_defaults`, so a defaulted column's bounds
+        are widened by its default wherever the file holds nulls —
+        without this, `WHERE c = <default>` could skip files whose
+        null rows would have matched."""
+        from indexr_spark.plans.rough_check import ColStats, prune as rc_prune
+        from indexr_spark.sources.segments import SIDECAR_NAME, load_sidecar
+
+        path = self.table_dir(name)
+        if not os.path.exists(os.path.join(path, SIDECAR_NAME)):
+            return None
+        stats = load_sidecar(path)
+        spec = self.load(name)
+        defaulted = [c for c in spec.columns if c.default is not None]
+        for fstats in stats.values():
+            for c in defaulted:
+                s = fstats.get(c.name)
+                if s is not None and s.null_count > 0:
+                    try:
+                        fstats[c.name] = ColStats(
+                            min(s.min, c.default), max(s.max, c.default), s.null_count
+                        )
+                    except TypeError:
+                        fstats.pop(c.name)  # incomparable default → no stats
+        return rc_prune(stats, predicate)
 
     def register_sql_views(self, spark: SparkSession, hybrid: bool = True) -> list[str]:
         """Expose every catalog table to plain `spark.sql(...)` — the
@@ -217,6 +260,57 @@ class Catalog:
             df = self.read_hybrid(spark, name) if hybrid else self.read(spark, name)
             df.createOrReplaceTempView(name)
         return names
+
+    def sql(self, spark: SparkSession, query: str, hybrid: bool = True) -> DataFrame:
+        """Run SQL over the catalog with rough-check pruning on every
+        scan — the reference's default read path (the skipping cascade
+        runs unconditionally in IndexRRecordReader.init2:119-154).
+
+        Two-phase: (1) analyze the query over plain views and walk the
+        optimized plan for the filter conjuncts Catalyst pushed onto
+        each parquet relation (plans.catalyst_filter — the SparkFilter
+        adapter, one driver-side traversal); (2) re-register each
+        filtered table as a pruned view and re-plan. Files are skipped
+        only on a provable NONE; the query's own filters still apply,
+        so results are identical to the unpruned plan. Per-table
+        decisions land in `self.last_prune` for observability."""
+        from indexr_spark.plans.catalyst_filter import relation_filters
+        from indexr_spark.plans.rough_check import Or, Unknown
+
+        names = self.register_sql_views(spark, hybrid)
+        df = spark.sql(query)
+        self.last_prune = {}
+        try:
+            by_path = relation_filters(df._jdf.queryExecution().optimizedPlan())
+        except Exception:
+            return df  # plan walk failed (e.g. connect mode): unpruned
+        by_real = {os.path.realpath(p): ops for p, ops in by_path.items()}
+        pruned_any = False
+        for name in names:
+            occs = by_real.get(os.path.realpath(self.table_dir(name)))
+            if not occs:
+                continue
+            # several occurrences (self-join): a file survives if ANY
+            # occurrence might match it
+            pred = occs[0] if len(occs) == 1 else Or(tuple(occs))
+            if isinstance(pred, Unknown):
+                continue
+            result = self.prune(name, pred)
+            if result is None:
+                continue
+            self.last_prune[name] = result
+            if result.skipped:
+                pruned_any = True
+                view = (
+                    self.read_hybrid(spark, name, predicate=pred)
+                    if hybrid
+                    else self.read(spark, name, predicate=pred)
+                )
+                view.createOrReplaceTempView(name)
+        if pruned_any:
+            df = spark.sql(query)  # resolved now — safe to restore views
+            self.register_sql_views(spark, hybrid)
+        return df
 
 
 def _has_parquet(path: str) -> bool:

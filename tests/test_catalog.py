@@ -122,3 +122,92 @@ def test_read_applies_defaults(spark, tmp_path):
     write_segments(df, cat.table_dir("d"), num_segments=1)
     got = {tuple(r) for r in cat.read(spark, "d").collect()}
     assert got == {(1, 0.5), (2, 9.0)}
+
+
+def _sorted_table(spark, tmp_path, name="li", n_files=8):
+    """lineitem-ish table written shipdate-sorted with a sidecar."""
+    cat = Catalog(str(tmp_path))
+    cat.save(
+        TableSpec(
+            name=name,
+            columns=[
+                ColumnSpec("k", "bigint"),
+                ColumnSpec("ship", "datetime"),
+                ColumnSpec("flag", "varchar"),
+                ColumnSpec("qty", "double"),
+            ],
+            sort_by=["ship"],
+        )
+    )
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").selectExpr(
+        "l_orderkey as k",
+        "l_shipdate as ship",
+        "l_returnflag as flag",
+        "l_quantity as qty",
+    )
+    write_segments(df, cat.table_dir(name), sort_by=["ship"], num_segments=n_files)
+    return cat
+
+
+def test_catalog_sql_prunes_files_by_default(spark, tmp_path):
+    """The reference runs its skipping cascade on EVERY scan
+    (IndexRRecordReader.init2) — catalog.sql() must too: a selective
+    predicate over the sort column reads fewer files than exist, with
+    results identical to the unpruned plan."""
+    cat = _sorted_table(spark, tmp_path)
+    q = (
+        "SELECT flag, round(sum(qty), 2) AS s FROM li "
+        "WHERE ship >= timestamp'1997-09-01' GROUP BY flag ORDER BY flag"
+    )
+    pruned = cat.sql(spark, q)
+    res = cat.last_prune["li"]
+    assert res.skipped, "selective predicate on the sort column must skip files"
+    assert len(pruned.inputFiles()) < res.n_total
+    # correctness: identical to the unpruned plan
+    cat.register_sql_views(spark)
+    assert pruned.collect() == spark.sql(q).collect()
+
+
+def test_catalog_sql_unfiltered_table_unpruned(spark, tmp_path):
+    cat = _sorted_table(spark, tmp_path)
+    out = cat.sql(spark, "SELECT count(*) AS n FROM li")
+    assert "li" not in cat.last_prune  # no predicate → no prune attempt
+    assert out.collect()[0].n == spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).count()
+
+
+def test_catalog_sql_prune_sound_with_defaults(spark, tmp_path):
+    """WHERE c = <default> must not skip files whose NULL rows become
+    the default on read (no-NULL emulation, ColumnSchema.java:45-54)."""
+    cat = Catalog(str(tmp_path))
+    spec = TableSpec(
+        name="t",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "bigint", default=99)],
+        sort_by=["k"],
+    )
+    cat.save(spec)
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20), (4, 30)], spec.schema()
+    )
+    write_segments(df, cat.table_dir("t"), sort_by=["k"], num_segments=2)
+    out = cat.sql(spark, "SELECT k FROM t WHERE v = 99 ORDER BY k")
+    assert [r.k for r in out.collect()] == [2]  # the defaulted NULL row
+
+
+def test_catalog_sql_hybrid_rt_rows_survive_pruning(spark, tmp_path):
+    """Pruning applies to the historical pool only — rt batches are
+    always scanned, so hybrid reads stay complete mid-ingest."""
+    cat = _sorted_table(spark, tmp_path)
+    spec = cat.load("li")
+    # rt row past the historical max shipdate (2001-11-04 in testdata)
+    spark.createDataFrame(
+        [(999999, __import__("datetime").datetime(2002, 6, 1), "Z", 1.0)],
+        spec.schema(),
+    ).write.parquet(cat.rt_dir("li"), mode="overwrite")
+    out = cat.sql(
+        spark,
+        "SELECT flag FROM li WHERE ship >= timestamp'2002-01-01' ORDER BY flag",
+    )
+    assert [r.flag for r in out.collect()] == ["Z"]
+    assert cat.last_prune["li"].skipped  # historical files were pruned
