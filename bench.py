@@ -7,10 +7,11 @@ Prints ONE JSON line:
 
 Headline set: one representative per operator family (reference-parity
 scan/agg/sort, joins, windows, sessionization, dedup/MinHash-LSH,
-SimHash, similarity search, Pandas-UDF decode). d09_ngram_jaccard is
-deliberately excluded: exact all-pairs Jaccard on this corpus's
-31-word vocabulary degenerates to ~1e8 intermediate pairs — at scale
-that op runs on LSH candidates (d07), not the full corpus.
+SimHash, similarity search, Pandas-UDF decode). d09_ngram_jaccard
+(LSH-verified exact Jaccard) is in; its all-pairs ground-truth twin
+d09b is excluded — the inverted self-join degenerates to ~1e8
+intermediate pairs on this corpus's 31-word vocabulary, which is
+exactly why the LSH-verified form is the default.
 d12_dup_clusters is excluded for the same single-number reason: it is
 an iterative multi-job algorithm (connected components), so its wall
 time is round-count × d07's, measuring convergence not throughput;
@@ -80,6 +81,7 @@ HEADLINE = [
     "d06_canonical_dedup",
     "d07_minhash_lsh",
     "d08_simhash",
+    "d09_ngram_jaccard",
     "d10_embedding_neardup",
     "d11_bpe_tokens",
     "d13_stratified_sample",

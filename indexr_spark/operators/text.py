@@ -378,10 +378,104 @@ ORDER BY doc_id
 
 
 def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (2-token shingle) Jaccard similarity pairs above a
-    threshold, via the inverted shingle→doc join (pairs form only
-    where a shingle is shared — never the n² cross product). Jaccard
-    is a ratio of integers, so values are bit-exact on both engines."""
+    """Exact n-gram (2-token shingle) Jaccard over the MinHash-LSH
+    candidate pairs — the LSH-then-verify split every scale dedup
+    pipeline uses (same structure as d07→d10): LSH bounds the pair
+    count, the verify step computes exact Jaccard only on candidates.
+
+    Shuffle economics: each doc's distinct shingle SET stays an
+    in-row array (never exploded); candidates join against it twice
+    by doc_id and the intersection is a single in-row
+    array_intersect — so total work is O(candidates), not
+    O(pairs-sharing-a-shingle), which degenerates quadratically on
+    low-vocabulary corpora (this corpus: ~1e8 intermediate pairs at
+    sf0.1 the all-pairs way). `d09b_jaccard_allpairs` keeps the
+    exhaustive version as the opt-in ground-truth mode.
+
+    Jaccard is a ratio of integers — bit-exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    # Shingles are carried as HASHED int arrays (portable hash32, same
+    # expression in the oracle): the candidate-verify joins ship one
+    # array per pair side, and ints cut that shuffle ~3× vs strings.
+    # Jaccard over the hashed sets equals Jaccard over the string sets
+    # on both engines by construction (identical hash family).
+    shs = d.select(
+        "doc_id",
+        F.array_distinct(
+            # single-arg lambda: hash32 has an optional seed param, and
+            # a 2-arg callable would get the (element, index) form
+            F.transform(shingles(tokens("text"), JACCARD_NGRAM), lambda s: hash32(s))
+        ).alias("shs"),
+    )
+    cand = d07_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    # Broadcast the doc→shingle-set map: candidates outnumber docs
+    # ~50× on a dup-heavy corpus, and a shuffle join would ship the
+    # a-side array through the second exchange 2.4M times. Broadcast
+    # keeps the pair list in place — each executor maps pairs to
+    # Jaccard against the in-memory set dictionary. (At corpus sizes
+    # where the dictionary outgrows broadcast, drop the hints: the
+    # join keys are already the LSH pair columns and AQE picks the
+    # shuffle form.)
+    a = F.broadcast(shs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs")))
+    b = F.broadcast(shs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs")))
+    common = F.size(F.array_intersect("a_shs", "b_shs"))
+    j = common.cast("double") / (F.size("a_shs") + F.size("b_shs") - common)
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", F.round(j, 6))
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# d07's candidate CTE chain + exact verify over list_intersect.
+ORACLE["d09_ngram_jaccard"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), seeded AS (
+  SELECT doc_id, h, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM h
+), mh AS (
+  SELECT doc_id, seed,
+         min((h * (999961 + 2 * seed) + 997 * (seed + 1)) % {MINHASH_P}) AS minh
+  FROM seeded GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, seed // {MINHASH_SEEDS // MINHASH_BANDS} AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), shs AS (
+  SELECT doc_id, list_distinct(list_transform(
+    list_transform(range(1, len({_DUCK_TOKS})),
+                   i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i+1]),
+    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS shs
+  FROM documents
+), verified AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+           / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS j
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.a_id
+  JOIN shs b ON b.doc_id = c.b_id
+)
+SELECT a_id, b_id, round(j, 6) AS jaccard
+FROM verified
+WHERE j >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+def d09b_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth mode: exhaustive n-gram Jaccard via the inverted
+    shingle→doc self-join (pairs form only where a shingle is shared).
+    Exact recall — but the within-shingle pair count is quadratic on
+    low-vocabulary corpora, so this is the small-corpus/audit tool;
+    d09_ngram_jaccard (LSH-verified) is the scale path."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
@@ -407,7 +501,7 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["d09_ngram_jaccard"] = f"""
+ORACLE["d09b_jaccard_allpairs"] = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ), sh AS (
@@ -709,6 +803,7 @@ QUERIES = {
     "d07_minhash_lsh": d07_minhash_lsh,
     "d08_simhash": d08_simhash,
     "d09_ngram_jaccard": d09_ngram_jaccard,
+    "d09b_jaccard_allpairs": d09b_jaccard_allpairs,
     "d11_bpe_tokens": d11_bpe_tokens,
     "d12_dup_clusters": d12_dup_clusters,
     "d13_stratified_sample": d13_stratified_sample,
