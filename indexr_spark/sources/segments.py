@@ -260,80 +260,101 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
-def write_sidecar(path: str) -> dict:
+def write_sidecar(path: str, files_rel: list[str] | None = None) -> dict:
     """Fold parquet row-group footer stats into per-file min/max —
     ColumnNode.java:33-60's fold of pack min/max, at file grain.
-    Metadata-only: no row data is read."""
+    Metadata-only: no row data is read.
+
+    `files_rel` restricts the sidecar to exactly those table-relative
+    files (the snapshot-commit path: the manifest says what is live).
+    Entries already present in the existing sidecar are reused, so a
+    commit re-reads footers only for files new in this version."""
+    prev: dict[str, dict] = {}
+    if files_rel is not None and os.path.exists(os.path.join(path, SIDECAR_NAME)):
+        with open(os.path.join(path, SIDECAR_NAME)) as f:
+            prev = {e["path"]: e for e in json.load(f).get("files", [])}
+    if files_rel is not None:
+        targets = [os.path.join(path, rel) for rel in sorted(files_rel)]
+    else:
+        targets = [
+            os.path.join(root, name)
+            for root, _dirs, names in os.walk(path)
+            for name in sorted(names)
+            if name.endswith(".parquet")
+        ]
     files: list[dict] = []
-    for root, _dirs, names in os.walk(path):
-        for name in sorted(names):
-            if not name.endswith(".parquet"):
-                continue
-            fpath = os.path.join(root, name)
-            meta = pq.ParquetFile(fpath).metadata
-            cols: dict[str, dict] = {}
-            # Columns whose fold can't be trusted: some row group has
-            # non-null values but no min/max stats. An ALL-NULL group
-            # (no min/max, but a null_count covering every row) is
-            # fine — it contributes no values, only its null count.
-            # Dropping such groups entirely would leave the file
-            # claiming null_count=0 while holding nulls, making RS.ALL
-            # verdicts unsound.
-            poisoned: set[str] = set()
-            for rg in range(meta.num_row_groups):
-                group = meta.row_group(rg)
-                for ci in range(group.num_columns):
-                    col = group.column(ci)
-                    cname = col.path_in_schema
-                    st = col.statistics
-                    if st is None:
-                        poisoned.add(cname)
-                        continue
-                    nulls = st.null_count if st.null_count is not None else group.num_rows
-                    if not st.has_min_max:
-                        if st.null_count is not None and st.null_count >= group.num_rows:
-                            # all-null group: fold the null count only
-                            cur = cols.get(cname)
-                            if cur is None:
-                                cols[cname] = {"min": None, "max": None, "null_count": nulls}
-                            else:
-                                cur["null_count"] += nulls
-                        else:
-                            poisoned.add(cname)
-                        continue
-                    cur = cols.get(cname)
-                    mn, mx = st.min, st.max
-                    if cur is None:
-                        cols[cname] = {"min": mn, "max": mx, "null_count": nulls}
-                    elif cur["min"] is None:
-                        cur["min"], cur["max"] = mn, mx
-                        cur["null_count"] += nulls
-                    else:
-                        cur["min"] = min(cur["min"], mn)
-                        cur["max"] = max(cur["max"], mx)
-                        cur["null_count"] += nulls
-            for cname in poisoned:
-                cols.pop(cname, None)
-            cols = {k: v for k, v in cols.items() if v["min"] is not None}
-            files.append(
-                {
-                    "path": os.path.relpath(fpath, path),
-                    "num_rows": meta.num_rows,
-                    "columns": {
-                        k: {
-                            "min": _jsonable(v["min"]),
-                            "max": _jsonable(v["max"]),
-                            "null_count": v["null_count"],
-                            "type": type(v["min"]).__name__,
-                        }
-                        for k, v in cols.items()
-                    },
-                }
-            )
+    for fpath in targets:
+        rel = os.path.relpath(fpath, path)
+        if rel in prev:
+            files.append(prev[rel])
+            continue
+        files.append(_file_stats_entry(path, fpath))
     sidecar = {"version": 1, "files": files}
     with open(os.path.join(path, SIDECAR_NAME), "w") as f:
         json.dump(sidecar, f, indent=1, default=str)
     return sidecar
+
+
+def _file_stats_entry(path: str, fpath: str) -> dict:
+    """One sidecar entry from a parquet footer."""
+    meta = pq.ParquetFile(fpath).metadata
+    cols: dict[str, dict] = {}
+    # Columns whose fold can't be trusted: some row group has
+    # non-null values but no min/max stats. An ALL-NULL group
+    # (no min/max, but a null_count covering every row) is
+    # fine — it contributes no values, only its null count.
+    # Dropping such groups entirely would leave the file
+    # claiming null_count=0 while holding nulls, making RS.ALL
+    # verdicts unsound.
+    poisoned: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            cname = col.path_in_schema
+            st = col.statistics
+            if st is None:
+                poisoned.add(cname)
+                continue
+            nulls = st.null_count if st.null_count is not None else group.num_rows
+            if not st.has_min_max:
+                if st.null_count is not None and st.null_count >= group.num_rows:
+                    # all-null group: fold the null count only
+                    cur = cols.get(cname)
+                    if cur is None:
+                        cols[cname] = {"min": None, "max": None, "null_count": nulls}
+                    else:
+                        cur["null_count"] += nulls
+                else:
+                    poisoned.add(cname)
+                continue
+            cur = cols.get(cname)
+            mn, mx = st.min, st.max
+            if cur is None:
+                cols[cname] = {"min": mn, "max": mx, "null_count": nulls}
+            elif cur["min"] is None:
+                cur["min"], cur["max"] = mn, mx
+                cur["null_count"] += nulls
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                cur["null_count"] += nulls
+    for cname in poisoned:
+        cols.pop(cname, None)
+    cols = {k: v for k, v in cols.items() if v["min"] is not None}
+    return {
+        "path": os.path.relpath(fpath, path),
+        "num_rows": meta.num_rows,
+        "columns": {
+            k: {
+                "min": _jsonable(v["min"]),
+                "max": _jsonable(v["max"]),
+                "null_count": v["null_count"],
+                "type": type(v["min"]).__name__,
+            }
+            for k, v in cols.items()
+        },
+    }
 
 
 def write_sidecar_spark(spark: SparkSession, path: str, file_format: str) -> dict:

@@ -1,10 +1,11 @@
 """Manifest-based snapshots — atomic commits, time travel, vacuum.
 
 The reference swaps whole segment directories on rewrite (and its
-tools rewrite offline); `tools.update_column`/`upsert_segments` mirror
-that with an os.rename swap, which is atomic for NEW readers but can
-break a scan already in flight. This module adds the lakehouse answer
-at file grain, in miniature: data files are immutable and
+tools rewrite offline) — atomic for NEW readers but fatal to a scan
+already in flight. The rewrite tools (`tools.update_column` /
+`upsert_segments` / `optimize_segments`) therefore commit through
+this module: the lakehouse answer at file grain, in miniature.
+Data files are immutable and
 uniquely-named, and a tiny JSON manifest names the file set of each
 version. Readers pin a manifest (snapshot isolation — a concurrent
 commit can't change the files under them); a commit is one small
@@ -49,13 +50,19 @@ def _load_manifest(path: str, version: int) -> dict:
 
 def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
     """Write manifest v(N+1) then bump LATEST — the only mutation a
-    reader can observe, and it's a single tiny file."""
+    reader can observe, and it's a single tiny file. The table-root
+    stats sidecar is refreshed to the committed file set first
+    (incremental: only new files' footers are read), so rough-check
+    pruning always describes the version LATEST points at."""
+    from indexr_spark.sources.segments import write_sidecar
+
     os.makedirs(_manifest_dir(path), exist_ok=True)
     version = latest_version(path) + 1
     manifest = {"version": version, "files": sorted(files), **(meta or {})}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     with open(mpath, "w") as f:
         json.dump(manifest, f, indent=1)
+    write_sidecar(path, files_rel=manifest["files"])
     tmp = os.path.join(_manifest_dir(path), f".LATEST.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -63,13 +70,44 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
     return version
 
 
-def _write_data_files(df: DataFrame, path: str, sort_by: list[str] | None) -> list[str]:
+def ensure_snapshot(path: str) -> int:
+    """Adopt a plain segment directory as snapshot v1 — the manifest
+    simply lists the parquet files already in place; no data moves.
+    Returns the current version (existing or newly bootstrapped)."""
+    v = latest_version(path)
+    if v:
+        return v
+    files = [
+        os.path.relpath(os.path.join(root, name), path)
+        for root, dirs, names in os.walk(path)
+        if MANIFEST_DIR not in root.split(os.sep)
+        for name in sorted(names)
+        if name.endswith(".parquet")
+    ]
+    return _commit(path, files)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read `path` at its latest snapshot version, or as a plain
+    parquet directory if it was never snapshotted — the one entry
+    point the rewrite tools and their readers share."""
+    if latest_version(path):
+        return read_snapshot(spark, path)
+    return spark.read.parquet(path)
+
+
+def _write_data_files(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str] | None,
+    num_segments: int | None = None,
+) -> list[str]:
     """Write a new immutable batch of data files; return their paths
     relative to the table root."""
     from indexr_spark.sources.segments import write_segments
 
     batch = os.path.join(path, "data", uuid.uuid4().hex[:12])
-    write_segments(df, batch, sort_by=sort_by)
+    write_segments(df, batch, sort_by=sort_by, num_segments=num_segments)
     return [
         os.path.relpath(os.path.join(root, name), path)
         for root, _dirs, names in os.walk(batch)
@@ -79,12 +117,15 @@ def _write_data_files(df: DataFrame, path: str, sort_by: list[str] | None) -> li
 
 
 def write_snapshot(
-    df: DataFrame, path: str, sort_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    sort_by: list[str] | None = None,
+    num_segments: int | None = None,
 ) -> int:
     """Commit `df` as the table's new full contents (version N+1).
     Prior versions' files are untouched — still readable via
     read_snapshot(version=...)."""
-    return _commit(path, _write_data_files(df, path, sort_by))
+    return _commit(path, _write_data_files(df, path, sort_by, num_segments))
 
 
 def append_snapshot(
@@ -168,7 +209,11 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     for v in keep:
         live.update(_load_manifest(path, v)["files"])
     deleted = []
-    for root, _dirs, names in os.walk(os.path.join(path, "data")):
+    # walk the whole table (not just data/): a bootstrapped v1 lists
+    # files at the table root, which must also age out
+    for root, dirs, names in os.walk(path):
+        if MANIFEST_DIR in root.split(os.sep):
+            continue
         for name in names:
             fpath = os.path.join(root, name)
             rel = os.path.relpath(fpath, path)

@@ -10,8 +10,10 @@ Reference parity (SURVEY.md §2.4):
   ALTCOL, where a new/altered column's value is a SQL *expression*
   over the existing columns (e.g. `"if((a > 100), a - 100, a + 100)"`)
   evaluated by the embedded engine. Here the expression is any Spark
-  SQL expression — a strict superset — and the rewrite is a
-  read → withColumn(expr) → write-to-temp → atomic swap.
+  SQL expression — a strict superset — and the rewrite commits as a
+  snapshot version (read → withColumn(expr) → write new files →
+  manifest bump), so a reader pinned to the prior version is never
+  broken mid-scan and old versions stay time-travelable until vacuum.
 
 Scale notes: the column update rewrites data once, distributed; at
 100 TB you run it per partition-directory (exactly how the MR job
@@ -22,8 +24,6 @@ the result is immediately prunable.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,25 +96,25 @@ def upsert_segments(
     only recompute whole columns): rows in `updates` replace target
     rows with the same key, new keys append. One left-anti join keeps
     the survivors, a union brings in the updates, and the rewrite
-    lands atomically like update_column. Returns (updated, inserted).
+    commits as a new snapshot version. Returns (updated, inserted).
 
     Scale: at 100 TB run per partition directory touched by the
     updates (classic copy-on-write merge); the anti join shuffles on
     the key unless the updates are broadcast-sized (they usually are).
     """
-    target = spark.read.parquet(table_path)
+    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+
+    ensure_snapshot(table_path)
+    target = read_table(spark, table_path)
     cond = [target[k] == updates[k] for k in key_cols]
     survivors = target.join(updates, cond, "left_anti")
     n_updated = target.count() - survivors.count()
     n_inserted = updates.count() - n_updated
     out = survivors.unionByName(updates.select(*target.columns))
-
-    tmp = table_path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
-    write_segments(out, tmp, sort_by=sort_by)
-    old = table_path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    shutil.rmtree(old)
+    # snapshot commit: new files + manifest bump — a reader pinned to
+    # the prior version keeps its files (no rename/delete underneath
+    # an in-flight scan); vacuum() retires them later
+    write_snapshot(out, table_path, sort_by)
     return n_updated, n_inserted
 
 
@@ -132,18 +132,15 @@ def optimize_segments(
     directory for hive-partitioned tables — run on the table root it
     would flatten the partition columns into the data files. Returns
     (files_before, files_after)."""
-    df = spark.read.parquet(table_path)
+    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+
+    ensure_snapshot(table_path)
+    df = read_table(spark, table_path)
     files_before = df.inputFiles()
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-
-    tmp = table_path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
-    write_segments(df, tmp, sort_by=sort_by, num_segments=n_files)
-    old = table_path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    shutil.rmtree(old)
-    after = len(spark.read.parquet(table_path).inputFiles())
+    write_snapshot(df, table_path, sort_by, num_segments=n_files)
+    after = len(read_table(spark, table_path).inputFiles())
     return len(files_before), after
 
 
@@ -159,12 +156,16 @@ def update_column(
     distributed rewrite. `value_expr` is a Spark SQL expression over
     the existing columns (UpdateColSchema.java's `value`).
 
-    The rewrite lands in a temp directory first and swaps in only on
-    success — the job-level atomicity the MR implementation got from
-    task commits.
+    The rewrite commits as a snapshot version: new files land first,
+    the manifest pointer flips last — the job-level atomicity the MR
+    implementation got from task commits, plus pinned-reader safety
+    and time travel the directory swap could not give.
     """
+    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+
     mode = mode.upper()
-    df = spark.read.parquet(table_path)
+    ensure_snapshot(table_path)
+    df = read_table(spark, table_path)
     if mode == "ADDCOL":
         if value_expr is None:
             raise ValueError("ADDCOL requires value_expr")
@@ -184,9 +185,4 @@ def update_column(
     else:
         raise ValueError(f"unknown mode {mode!r}; expected ADDCOL/ALTCOL/DELCOL")
 
-    tmp = table_path.rstrip("/") + f"._rewrite_{uuid.uuid4().hex[:8]}"
-    write_segments(out, tmp, sort_by=sort_by)
-    old = table_path.rstrip("/") + f"._old_{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, old)
-    os.rename(tmp, table_path)
-    shutil.rmtree(old)
+    write_snapshot(out, table_path, sort_by)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from indexr_spark.sources.catalog import ColumnSpec, TableSpec
 from indexr_spark.sources.segments import load_sidecar, write_segments
+from indexr_spark.sources.snapshots import read_table
 from indexr_spark.sources.tools import csv_export, csv_load, update_column
 from tests.conftest import SMOKE_SF
 
@@ -64,7 +65,7 @@ def test_update_column_addcol(spark, orders_table):
         "if(o_totalprice > 100000, o_totalprice - 100000, o_totalprice + 100000)",
         sort_by=["o_orderdate"],
     )
-    df = spark.read.parquet(orders_table)
+    df = read_table(spark, orders_table)
     assert "adjusted" in df.columns
     bad = df.filter(
         (
@@ -80,7 +81,7 @@ def test_update_column_addcol(spark, orders_table):
 
 def test_update_column_delcol_and_errors(spark, orders_table):
     update_column(spark, orders_table, "DELCOL", "o_orderpriority")
-    assert "o_orderpriority" not in spark.read.parquet(orders_table).columns
+    assert "o_orderpriority" not in read_table(spark, orders_table).columns
 
     with pytest.raises(ValueError, match="does not exist"):
         update_column(spark, orders_table, "DELCOL", "nope")
@@ -89,13 +90,13 @@ def test_update_column_delcol_and_errors(spark, orders_table):
     with pytest.raises(ValueError, match="unknown mode"):
         update_column(spark, orders_table, "RENAME", "x")
     # failed rewrites must not clobber the table
-    assert spark.read.parquet(orders_table).count() > 0
+    assert read_table(spark, orders_table).count() > 0
 
 
 def test_update_column_altcol(spark, orders_table):
-    before = spark.read.parquet(orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
+    before = read_table(spark, orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
     update_column(spark, orders_table, "ALTCOL", "o_totalprice", "o_totalprice * 2")
-    after = spark.read.parquet(orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
+    after = read_table(spark, orders_table).agg(F.sum("o_totalprice")).collect()[0][0]
     assert after == pytest.approx(before * 2)
 
 
@@ -175,7 +176,7 @@ def test_upsert_segments(spark, tmp_path):
     assert (n_upd, n_ins) == (1, 1)
 
     got = {
-        tuple(r) for r in spark.read.parquet(path).orderBy("k").collect()
+        tuple(r) for r in read_table(spark, path).orderBy("k").collect()
     }
     assert got == {(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)}
     # sidecar refreshed for the new layout
@@ -198,6 +199,57 @@ def test_optimize_segments_compacts_files(spark, tmp_path):
         spark, path, target_rows_per_file=5000, sort_by=["k"]
     )
     assert before == 20 and after == 2, (before, after)
-    out = spark.read.parquet(path)
+    out = read_table(spark, path)
     assert out.count() == 10000
     assert out.agg({"v": "sum"}).collect()[0][0] == sum(i * 1.5 for i in range(10000))
+
+
+def test_rewrite_tools_preserve_pinned_readers(spark, tmp_path):
+    """A scan pinned before a rewrite still reads its version's files
+    afterwards (the directory-swap design broke exactly this); vacuum
+    with keep_versions=1 then retires the old files."""
+    from indexr_spark.sources.segments import write_segments
+    from indexr_spark.sources.snapshots import (
+        latest_version,
+        read_snapshot,
+        read_table,
+        vacuum,
+    )
+    from indexr_spark.sources.tools import update_column, upsert_segments
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    write_segments(base, path, sort_by=["k"], num_segments=2)
+
+    update_column(spark, path, "ALTCOL", "v", "v * 10", sort_by=["k"])
+    pinned = read_snapshot(spark, path, version=2)  # pin post-ALTCOL
+    pinned_files = pinned.inputFiles()
+
+    upsert_segments(
+        spark, path, spark.createDataFrame([(2, -1.0)], "k int, v double"),
+        ["k"], sort_by=["k"],
+    )
+    assert latest_version(path) == 3
+    # pinned version still fully readable — its files were not touched
+    assert {(r.k, r.v) for r in pinned.collect()} == {
+        (1, 100.0), (2, 200.0), (3, 300.0)
+    }
+    assert pinned.inputFiles() == pinned_files
+    # latest sees the upsert
+    assert {(r.k, r.v) for r in read_table(spark, path).collect()} == {
+        (1, 100.0), (2, -1.0), (3, 300.0)
+    }
+    # retire everything but the latest version; the pinned file set dies
+    deleted = vacuum(path, keep_versions=1)
+    assert deleted
+    import os
+
+    assert not any(os.path.exists(f.removeprefix("file:")) for f in pinned_files)
+    # latest still intact after vacuum, and prunable (sidecar current)
+    from indexr_spark.sources.segments import load_sidecar
+
+    live = read_table(spark, path)
+    assert live.count() == 3
+    assert set(load_sidecar(path)) == {f.removeprefix("file://") for f in live.inputFiles()}
