@@ -7,6 +7,8 @@ Usage (python -m indexr_spark.cli ...):
     tables   <catalog_root>                      list tables
     load-csv <catalog_root> <table> <csv> [-d X] CSV → sorted segments
     describe <catalog_root> <table>              per-file column stats
+    index    <catalog_root> <table>              build term+cmap indexes
+                                                 for index-flagged cols
     compact  <catalog_root> <table>              fold rt → historical
     query    <catalog_root> <sql>                SQL over all tables
                                                  (hybrid views)
@@ -39,6 +41,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p.add_argument("--header", action="store_true")
 
     p = sub.add_parser("describe")
+    p.add_argument("root")
+    p.add_argument("table")
+
+    p = sub.add_parser("index")
     p.add_argument("root")
     p.add_argument("table")
 
@@ -109,6 +115,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             describe_segments(spark, cat.table_dir(args.table)).show(
                 100, truncate=False
             )
+        elif args.cmd == "index":
+            cols = cat.build_indexes(spark, args.table)
+            print(f"indexed columns: {', '.join(cols) or '(none flagged)'}")
         elif args.cmd == "compact":
             from indexr_spark.streaming.ingest import compact
 

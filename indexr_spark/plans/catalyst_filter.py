@@ -30,6 +30,7 @@ from indexr_spark.plans.rough_check import (
     In,
     Less,
     LessEqual,
+    LikeContains,
     LikePrefix,
     NotOp,
     Or,
@@ -144,6 +145,10 @@ def _convert(jexpr) -> RCOperator:
         return In(col, tuple(vals))
     if cls == "StartsWith":
         return LikePrefix(_attr_name(jexpr.left()), _literal_value(jexpr.right()))
+    if cls in ("Contains", "EndsWith"):
+        # LikeSimplification rewrites %x% / %x to these; a suffix is a
+        # substring, so both map to the contains rough check
+        return LikeContains(_attr_name(jexpr.left()), _literal_value(jexpr.right()))
     if cls == "Between":
         return Between(
             _attr_name(jexpr.input()),

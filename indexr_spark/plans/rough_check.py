@@ -67,11 +67,16 @@ class RS(Enum):
 
 @dataclass(frozen=True)
 class ColStats:
-    """Per-column, per-file statistics (ColumnNode.java:12-22 parity)."""
+    """Per-column, per-file statistics (ColumnNode.java:12-22 parity).
+
+    `chars` is the optional character-presence summary (the reference's
+    RSIndex_CMap reduced to position-less form): the set of characters
+    occurring anywhere in this column in this file. None = not built."""
 
     min: Any
     max: Any
     null_count: int = 0
+    chars: frozenset | None = None
 
 
 # stats for one file: column name → ColStats
@@ -321,6 +326,10 @@ class LikePrefix(RCOperator):
             smin > self.prefix and not smin.startswith(self.prefix)
         ):
             return RS.NONE
+        # char-presence refinement: a prefix-matching value contains
+        # every prefix character, so a missing one proves NONE
+        if s.chars is not None and any(ch not in s.chars for ch in self.prefix):
+            return RS.NONE
         if (
             str(s.min).startswith(self.prefix)
             and str(s.max).startswith(self.prefix)
@@ -338,6 +347,34 @@ class LikePrefix(RCOperator):
     def to_spark_sql(self) -> str:
         escaped = self.prefix.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
         return f"({self.col} LIKE '{escaped}%')"
+
+
+@dataclass(frozen=True)
+class LikeContains(RCOperator):
+    """LIKE '%needle%' — the general-substring shape the reference's
+    CMap index answers roughly (rc/Like.java:93, RSIndex_CMap.isLike).
+    Min/max cannot help here; the character-presence summary can: a
+    value containing `needle` must contain every character of it, so
+    any needle character absent from the file proves NONE. Also covers
+    LIKE '%suffix' (a suffix is a substring). Never claims ALL."""
+
+    col: str
+    needle: str
+
+    def rough(self, stats: FileStats) -> RS:
+        s = stats.get(self.col)
+        if s is None or s.chars is None or not self.needle:
+            return RS.SOME
+        if any(ch not in s.chars for ch in self.needle):
+            return RS.NONE
+        return RS.SOME
+
+    def apply_not(self) -> RCOperator:
+        raise NotImplementedError  # keep the NotOp wrapper (cf. LikePrefix)
+
+    def to_spark_sql(self) -> str:
+        escaped = self.needle.replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+        return f"({self.col} LIKE '%{escaped}%')"
 
 
 @dataclass(frozen=True)

@@ -249,6 +249,26 @@ class Catalog:
                         fstats.pop(c.name)  # incomparable default → no stats
         return rc_prune(stats, predicate)
 
+    def build_indexes(self, spark: SparkSession, name: str) -> list[str]:
+        """Build the optional string-column indexes for every
+        index-flagged string column (ColumnSchema's `index` flag): the
+        term→file inverted index (=/IN pruning) and the cmap character
+        summary (%needle% pruning). Returns the indexed columns."""
+        from indexr_spark.sources.segments import build_cmap_index, build_term_index
+
+        spec = self.load(name)
+        path = self.table_dir(name)
+        cols = [
+            c.name
+            for c in spec.columns
+            if c.index and c.sql_type.lower() in ("varchar", "string")
+        ]
+        for c in cols:
+            build_term_index(spark, path, c)
+        if cols:
+            build_cmap_index(spark, path, cols)
+        return cols
+
     def register_sql_views(self, spark: SparkSession, hybrid: bool = True) -> list[str]:
         """Expose every catalog table to plain `spark.sql(...)` — the
         equivalent of the reference publishing tables to its host

@@ -204,6 +204,41 @@ def build_term_index(spark: SparkSession, path: str, column: str) -> int:
     return spark.read.parquet(out).count()
 
 
+CMAP_NAME = "_indexr_cmap.json"
+
+
+def build_cmap_index(spark: SparkSession, path: str, columns: list[str]) -> dict:
+    """Character-presence summary per (file, column) — the reference's
+    RSIndex_CMap (index/RSIndex_CMap.java:20-25: per-position byte
+    bitmaps for =/LIKE rough checks) reduced to its position-less
+    core, which is exactly what `%needle%` contains-predicates need:
+    a file missing any needle character provably has no match.
+
+    One distributed pass per build: explode values to distinct
+    (file, char) rows — bounded by |alphabet| × files, metadata-sized
+    — then fold per file. Rebuild after rewrites (new files without a
+    summary degrade to scan, never to wrong answers)."""
+    df = spark.read.parquet(path)
+    out: dict[str, dict[str, str]] = {}
+    for column in columns:
+        rows = (
+            df.select(
+                F.input_file_name().alias("file"),
+                F.explode(F.array_distinct(F.split(F.col(column), ""))).alias("ch"),
+            )
+            .distinct()
+            .groupBy("file")
+            .agg(F.collect_set("ch").alias("chars"))
+            .collect()
+        )
+        for r in rows:
+            rel = os.path.relpath(r["file"].removeprefix("file:"), path)
+            out.setdefault(rel, {})[column] = "".join(sorted(r["chars"]))
+    with open(os.path.join(path, CMAP_NAME), "w") as f:
+        json.dump({"version": 1, "files": out}, f, indent=1)
+    return out
+
+
 def prune_by_term(
     spark: SparkSession, path: str, column: str, values: list
 ) -> list[str]:
@@ -410,18 +445,28 @@ _PARSERS = {
 
 
 def load_sidecar(path: str) -> dict[str, FileStats]:
-    """Sidecar → {absolute file path: {col: ColStats}}."""
+    """Sidecar → {absolute file path: {col: ColStats}}; the optional
+    cmap char-presence summary is merged in when present (files or
+    columns it doesn't cover simply keep chars=None → must-scan)."""
     with open(os.path.join(path, SIDECAR_NAME)) as f:
         raw = json.load(f)
+    cmap: dict[str, dict[str, str]] = {}
+    if os.path.exists(os.path.join(path, CMAP_NAME)):
+        with open(os.path.join(path, CMAP_NAME)) as f:
+            cmap = json.load(f).get("files", {})
     out: dict[str, FileStats] = {}
     for entry in raw["files"]:
         stats: FileStats = {}
+        fchars = cmap.get(entry["path"], {})
         for col, s in entry["columns"].items():
             parser = _PARSERS.get(s.get("type"))
             mn, mx = s["min"], s["max"]
             if parser is not None:
                 mn, mx = parser(mn), parser(mx)
-            stats[col] = ColStats(min=mn, max=mx, null_count=s["null_count"])
+            chars = frozenset(fchars[col]) if col in fchars else None
+            stats[col] = ColStats(
+                min=mn, max=mx, null_count=s["null_count"], chars=chars
+            )
         out[os.path.join(path, entry["path"])] = stats
     return out
 

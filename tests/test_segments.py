@@ -259,3 +259,59 @@ def test_term_index_prunes_files(spark, tmp_path):
     # a term that doesn't exist prunes everything
     empty, files0 = read_term_pruned(spark, out, "p_brand", ["Brand#nope"])
     assert files0 == [] and empty.count() == 0
+
+
+def test_cmap_contains_pruning(spark, tmp_path):
+    """RSIndex_CMap parity (position-less): a %needle% predicate skips
+    files whose character summary lacks a needle character, with the
+    pruned scan equal to the full scan (rc/Like.java:93 semantics)."""
+    from indexr_spark.plans.rough_check import LikeContains, NotOp
+    from indexr_spark.sources.segments import build_cmap_index
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "zulu"), (5, "zebra")],
+        "k int, s string",
+    )
+    # sort by s: files [alpha..beta], [gamma..zebra/zulu]
+    write_segments(df, out, sort_by=["s"], num_segments=2)
+    build_cmap_index(spark, out, ["s"])
+
+    stats = load_sidecar(out)
+    assert all(fs["s"].chars for fs in stats.values())
+
+    # 'z' appears only in the second file
+    pruned_df, res = read_pruned(spark, out, LikeContains("s", "z"))
+    assert len(res.skipped) == 1 and len(res.scan) == 1
+    assert {r.s for r in pruned_df.collect()} == {"zulu", "zebra"}
+
+    # NOT wrapper stays sound (no negated leaf → wrapper kept → SOME)
+    _, res2 = read_pruned(spark, out, NotOp(LikeContains("s", "z")))
+    assert not res2.skipped
+
+
+def test_cmap_pruning_through_catalog_sql(spark, tmp_path):
+    """catalog.sql prunes contains-LIKE through the cmap summary —
+    the general-LIKE rough answer on the default query path."""
+    from indexr_spark.sources.catalog import Catalog, ColumnSpec, TableSpec
+    from indexr_spark.sources.segments import build_cmap_index
+
+    cat = Catalog(str(tmp_path))
+    cat.save(
+        TableSpec(
+            name="t",
+            columns=[ColumnSpec("k", "int"), ColumnSpec("s", "varchar", index=True)],
+            sort_by=["s"],
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "zulu"), (5, "zebra")],
+        "k int, s string",
+    )
+    write_segments(df, cat.table_dir("t"), sort_by=["s"], num_segments=2)
+    build_cmap_index(spark, cat.table_dir("t"), ["s"])
+
+    q = "SELECT k, s FROM t WHERE s LIKE '%z%' ORDER BY k"
+    got = cat.sql(spark, q)
+    assert cat.last_prune["t"].skipped
+    assert [(r.k, r.s) for r in got.collect()] == [(4, "zulu"), (5, "zebra")]
