@@ -559,6 +559,7 @@ ORDER BY doc_id
 
 
 CC_MAX_ITERS = 50
+CC_EDGES_PER_PARTITION = 500_000  # undirected-edge rows per shuffle partition
 
 
 def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,16 +579,22 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (recursive-CTE transitive closure) matches value-for-value.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = d07_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    # materialize the candidate pairs once; every derived count/join
+    # below reads the checkpoint instead of re-running the LSH job
+    edges = d07_minhash_lsh(spark, sf_dir).select("a_id", "b_id").localCheckpoint()
     # Pin the edge list's partitioning to the join key: every round's
     # und⋈labels join then reuses it instead of re-shuffling the
-    # (static) edges. The candidate graph is a small fraction of the
-    # corpus, so a modest fixed partition count is right even at scale.
+    # (static) edges. Partition count scales with the measured edge
+    # count (the candidate graph's size is data-determined — dup-heavy
+    # corpora produce millions of pairs, clean ones a handful), capped
+    # so tiny graphs don't fragment into empty tasks.
+    n_und = 2 * edges.count()
+    parts = max(8, min(2048, n_und // CC_EDGES_PER_PARTITION + 1))
     und = (
         edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
         .union(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-        .repartition(8, "u")
-        .localCheckpoint()  # materialize the edge list once
+        .repartition(parts, "u")
+        .localCheckpoint()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
     # Labels only ever decrease, so the total label sum is strictly

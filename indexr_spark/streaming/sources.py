@@ -71,8 +71,22 @@ def kafka_events(
     Requires the spark-sql-kafka connector jar on the classpath
     (not bundled in this environment — the pipeline downstream of the
     source is identical for file/memory streams, which is what the
-    tests exercise).
+    tests exercise). The preflight check below turns the connector's
+    absence into an actionable error instead of an AnalysisException
+    deep inside source resolution.
     """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as e:
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka connector on the "
+            "classpath; launch with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "(offline environments must vendor the jar). COVERAGE.md "
+            "§2.4 records this as an environment limit."
+        ) from e
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

@@ -259,3 +259,19 @@ def test_stream_static_enrichment(spark, tmp_path):
     finally:
         q.stop()
     assert got == {("a", "alpha", 1.0), ("b", "beta", 2.0)}
+
+
+def test_kafka_missing_connector_error(spark):
+    """The Kafka source preflights the connector classpath and raises
+    an actionable error in this jar-less environment (COVERAGE.md §2.4
+    records the limit; downstream transforms are file-stream-tested)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from indexr_spark.streaming.sources import kafka_events
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_events(
+            spark, "localhost:9092", "t",
+            T.StructType([T.StructField("k", T.LongType())]),
+        )
