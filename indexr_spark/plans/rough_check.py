@@ -71,12 +71,18 @@ class ColStats:
 
     `chars` is the optional character-presence summary (the reference's
     RSIndex_CMap reduced to position-less form): the set of characters
-    occurring anywhere in this column in this file. None = not built."""
+    occurring anywhere in this column in this file. None = not built.
+
+    `terms` is the optional exact distinct-value set from the term
+    index (OuterIndex_Inverted at file grain) — for dictionary-ish
+    indexed columns it answers =/IN exactly where min/max ranges
+    overlap uselessly. None = not built."""
 
     min: Any
     max: Any
     null_count: int = 0
     chars: frozenset | None = None
+    terms: frozenset | None = None
 
 
 # stats for one file: column name → ColStats
@@ -135,6 +141,8 @@ class Equal(RCOperator):
             return RS.SOME
         if self.value < s.min or self.value > s.max:
             return RS.NONE
+        if s.terms is not None and self.value not in s.terms:
+            return RS.NONE  # exact: the term index lists every value
         if s.min == s.max == self.value and s.null_count == 0:
             return RS.ALL
         return RS.SOME
@@ -271,6 +279,8 @@ class In(RCOperator):
             return RS.SOME
         inside = [v for v in self.values if s.min <= v <= s.max]
         if not inside:
+            return RS.NONE
+        if s.terms is not None and not any(v in s.terms for v in inside):
             return RS.NONE
         if s.min == s.max and s.min in self.values and s.null_count == 0:
             return RS.ALL

@@ -446,29 +446,65 @@ _PARSERS = {
 
 def load_sidecar(path: str) -> dict[str, FileStats]:
     """Sidecar → {absolute file path: {col: ColStats}}; the optional
-    cmap char-presence summary is merged in when present (files or
-    columns it doesn't cover simply keep chars=None → must-scan)."""
+    cmap char-presence summary and term-index distinct-value sets are
+    merged in when present (files or columns they don't cover keep
+    chars/terms=None → must-scan, never wrong)."""
     with open(os.path.join(path, SIDECAR_NAME)) as f:
         raw = json.load(f)
     cmap: dict[str, dict[str, str]] = {}
     if os.path.exists(os.path.join(path, CMAP_NAME)):
         with open(os.path.join(path, CMAP_NAME)) as f:
             cmap = json.load(f).get("files", {})
+    terms = _load_term_sets(path)
     out: dict[str, FileStats] = {}
     for entry in raw["files"]:
         stats: FileStats = {}
+        fpath = os.path.join(path, entry["path"])
         fchars = cmap.get(entry["path"], {})
+        fterms = terms.get(fpath, {})
         for col, s in entry["columns"].items():
             parser = _PARSERS.get(s.get("type"))
             mn, mx = s["min"], s["max"]
             if parser is not None:
                 mn, mx = parser(mn), parser(mx)
-            chars = frozenset(fchars[col]) if col in fchars else None
             stats[col] = ColStats(
-                min=mn, max=mx, null_count=s["null_count"], chars=chars
+                min=mn,
+                max=mx,
+                null_count=s["null_count"],
+                chars=frozenset(fchars[col]) if col in fchars else None,
+                terms=fterms.get(col),
             )
-        out[os.path.join(path, entry["path"])] = stats
+        out[fpath] = stats
     return out
+
+
+def _load_term_sets(path: str) -> dict[str, dict[str, frozenset]]:
+    """Term index postings → {abs file: {col: distinct values}}.
+    Footer-less metadata read via pyarrow (no Spark job): postings are
+    |distinct terms × files|, dictionary-column-sized by design."""
+    idx_root = os.path.join(path, TERM_INDEX_DIR)
+    if not os.path.isdir(idx_root):
+        return {}
+    out: dict[str, dict[str, set]] = {}
+    for col in os.listdir(idx_root):
+        col_dir = os.path.join(idx_root, col)
+        if not os.path.isdir(col_dir):
+            continue
+        for name in os.listdir(col_dir):
+            if not name.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(col_dir, name))
+            for term, fname in zip(
+                tbl.column("term").to_pylist(), tbl.column("file").to_pylist()
+            ):
+                # postings carry uri-ish paths (file: scheme stripped,
+                # possibly with extra leading slashes) — normalize to
+                # match the sidecar's os.path joins
+                fname = os.path.normpath(fname.removeprefix("file:"))
+                out.setdefault(fname, {}).setdefault(col, set()).add(term)
+    return {
+        f: {c: frozenset(v) for c, v in cols.items()} for f, cols in out.items()
+    }
 
 
 def read_pruned(

@@ -315,3 +315,44 @@ def test_cmap_pruning_through_catalog_sql(spark, tmp_path):
     got = cat.sql(spark, q)
     assert cat.last_prune["t"].skipped
     assert [(r.k, r.s) for r in got.collect()] == [(4, "zulu"), (5, "zebra")]
+
+
+def test_term_index_prunes_through_default_path(spark, tmp_path):
+    """The term index joins the default pruning cascade: an = predicate
+    on a dictionary-ish column skips files whose min/max range covers
+    the value but whose exact term set lacks it — the reference's
+    outer-index exactCheck inside the rough cascade."""
+    from indexr_spark.plans.rough_check import Equal
+    from indexr_spark.sources.catalog import Catalog, ColumnSpec, TableSpec
+    from indexr_spark.sources.segments import build_term_index
+
+    cat = Catalog(str(tmp_path))
+    cat.save(
+        TableSpec(
+            name="t",
+            columns=[ColumnSpec("k", "int"), ColumnSpec("s", "varchar", index=True)],
+        )
+    )
+    # both files span a..z in min/max, but 'mango' lives only in one
+    f1 = spark.createDataFrame([(1, "apple"), (2, "zebra")], "k int, s string")
+    f2 = spark.createDataFrame([(3, "ant"), (4, "mango"), (5, "zoo")], "k int, s string")
+    path = cat.table_dir("t")
+    write_segments(f1, path, num_segments=1)
+    write_segments(f2, path, num_segments=1, mode="append")
+    assert len(load_sidecar(path)) == 2
+    cat.build_indexes(spark, "t")
+
+    stats = load_sidecar(path)
+    assert all(fs["s"].terms for fs in stats.values())
+
+    _, res = read_pruned(spark, path, Equal("s", "mango"))
+    assert len(res.skipped) == 1 and len(res.scan) == 1
+
+    out = cat.sql(spark, "SELECT k FROM t WHERE s = 'mango'")
+    assert cat.last_prune["t"].skipped
+    assert [r.k for r in out.collect()] == [4]
+
+    # a value in no file prunes everything
+    out2 = cat.sql(spark, "SELECT k FROM t WHERE s = 'durian'")
+    assert not cat.last_prune["t"].scan
+    assert out2.count() == 0
