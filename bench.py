@@ -12,10 +12,11 @@ SimHash, similarity search, Pandas-UDF decode). d09_ngram_jaccard
 d09b is excluded — the inverted self-join degenerates to ~1e8
 intermediate pairs on this corpus's 31-word vocabulary, which is
 exactly why the LSH-verified form is the default.
-d12_dup_clusters is excluded for the same single-number reason: it is
-an iterative multi-job algorithm (connected components), so its wall
-time is round-count × d07's, measuring convergence not throughput;
-its correctness is still oracle-gated at sf0.01.
+d12_dup_clusters and d20_cluster_keep_best are excluded for the same
+single-number reason: both are iterative multi-job algorithms
+(connected components), so their wall time is round-count × d07's,
+measuring convergence not throughput; correctness is still
+oracle-gated at sf0.01.
 
 Timing = full query wall time (plan + execute + count), after a small
 session warm-up so JVM/session startup isn't attributed to the first
@@ -71,6 +72,8 @@ HEADLINE = [
     "q38_retention",
     "d14_normalize_text",
     "d15_contamination",
+    "d16_repetition_stats",
+    "d19_source_mixture",
     "s08_hll_sketch_union",
     "s07_exact_percentiles",
     "d01_token_stats",

@@ -800,6 +800,202 @@ ORDER BY source
 """
 
 
+MIX_TARGET = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def d16_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates (the Gopher/MassiveText rules
+    family): per document, the duplicate-token fraction and the share
+    of tokens covered by the single most frequent bigram. Both are
+    classic boilerplate/spam signals. Entirely in-row over the token
+    array (nested higher-order functions — no explode, no shuffle, the
+    operator is scan-parallel at any corpus size); ratios of integers,
+    bit-exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shs = shingles(toks, 2)  # bigrams WITH duplicates
+    top_bigram = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(shs),
+                lambda s: F.size(F.filter(shs, lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+            "dup_token_frac"
+        ),
+        top_bigram.alias("top_bigram_count"),
+        F.round(2.0 * top_bigram / n, 6).alias("top_bigram_token_frac"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d16_repetition_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS shs
+  FROM t
+), m AS (
+  SELECT doc_id, toks,
+         coalesce(list_max(list_transform(list_distinct(shs),
+                  s -> len(list_filter(shs, x -> x = s)))), 0) AS top_bigram
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         AS dup_token_frac,
+       CAST(top_bigram AS INTEGER) AS top_bigram_count,
+       round(2.0 * top_bigram / len(toks), 6) AS top_bigram_token_frac
+FROM m
+ORDER BY doc_id
+"""
+
+
+def d19_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weighting: given target shares per source,
+    compute each source's token share and the per-document sampling
+    weight (target share / actual token share — >1 means upsample).
+    The companion to d13's deterministic sampling: d13 executes a
+    mix, this derives the weights. One map-combined aggregation plus
+    an O(sources) broadcast of the totals."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+    )
+    target = F.lit(None).cast("double")
+    for src, w in MIX_TARGET.items():
+        target = F.when(F.col("source") == src, F.lit(w)).otherwise(target)
+    total = per_src.agg(F.sum("total_tokens").alias("grand")).select("grand")
+    share = F.col("total_tokens").cast("double") / F.col("grand")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(share, 6).alias("token_share"),
+            target.alias("target_share"),
+            F.round(target / share, 6).alias("sampling_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_mix_sql = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in MIX_TARGET.items()
+) + " ELSE NULL END"
+ORACLE["d19_source_mixture"] = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(total_tokens) AS grand FROM per_src)
+SELECT source, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / grand, 6) AS token_share,
+       CAST({_mix_sql} AS DOUBLE) AS target_share,
+       round(CAST({_mix_sql} AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / grand), 6)
+         AS sampling_weight
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+def d20_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION step, end to end: LSH candidates (d07) →
+    connected components (d12) → keep the highest-quality member of
+    each duplicate cluster (d03's score, rounded for engine-stable
+    ranking; doc_id breaks ties). Emits one row per cluster with the
+    survivor — the keep-list a 100 TB dedup pass would anti-join
+    against the corpus. Costs d12 + one broadcast-sized join + a
+    per-cluster top-1 (window over the cluster key)."""
+    from pyspark.sql import Window as W
+
+    clusters = d12_dup_clusters(spark, sf_dir)
+    quality = d03_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            "n_members",
+            "quality_score",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# d12's recursive-CTE components + d03's quality expression + top-1.
+ORACLE["d20_cluster_keep_best"] = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), seeded AS (
+  SELECT doc_id, h, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM h
+), mh AS (
+  SELECT doc_id, seed,
+         min((h * (999961 + 2 * seed) + 997 * (seed + 1)) % {MINHASH_P}) AS minh
+  FROM seeded GROUP BY doc_id, seed
+), sigs AS (
+  SELECT doc_id, seed // {MINHASH_SEEDS // MINHASH_BANDS} AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+), e AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), und AS (
+  SELECT a_id AS u, b_id AS v FROM e UNION SELECT b_id, a_id FROM e
+), reach(s, t) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.s, und.v FROM reach r JOIN und ON und.u = r.t
+), cl AS (
+  SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+), sizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id
+), q AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKS}) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+           / CAST(len({_DUCK_TOKS}) AS DOUBLE) AS distinct_ratio,
+         CAST(list_sum(list_transform({_DUCK_TOKS}, x -> length(x))) AS DOUBLE)
+           / CAST(len({_DUCK_TOKS}) AS DOUBLE) AS avg_len,
+         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         round(0.3 * least(1.0, n_tok / 100.0)
+               + 0.3 * distinct_ratio
+               + 0.2 * (1.0 - punct_ratio)
+               + 0.2 * least(1.0, avg_len / 8.0), 6) AS quality_score
+  FROM q
+), ranked AS (
+  SELECT cl.cluster_id, cl.doc_id, sizes.n_members, scored.quality_score,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY scored.quality_score DESC, cl.doc_id ASC) AS rn
+  FROM cl JOIN sizes USING (cluster_id) JOIN scored USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_id, n_members, quality_score
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -816,4 +1012,7 @@ QUERIES = {
     "d13_stratified_sample": d13_stratified_sample,
     "d14_normalize_text": d14_normalize_text,
     "d15_contamination": d15_contamination,
+    "d16_repetition_stats": d16_repetition_stats,
+    "d19_source_mixture": d19_source_mixture,
+    "d20_cluster_keep_best": d20_cluster_keep_best,
 }
