@@ -333,6 +333,118 @@ class Catalog:
         return df
 
 
+# SQLType → DDL type for external-engine CREATE TABLE statements.
+_DDL_TYPES = {
+    "int": "INT",
+    "bigint": "BIGINT",
+    "long": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "varchar": "STRING",
+    "string": "STRING",
+    "date": "DATE",
+    "time": "INT",  # ms-of-day; flagged in indexr.time.columns
+    "datetime": "TIMESTAMP_NTZ",
+    "timestamp": "TIMESTAMP_NTZ",
+}
+_SPARK_TO_SQL = {  # Spark DataType.typeName() → SQLType
+    "integer": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "varchar",
+    "date": "date",
+    "timestamp_ntz": "datetime",
+}
+
+
+def hive_ddl(spec: TableSpec, location: str) -> str:
+    """External-engine DDL with the table spec encoded in
+    TBLPROPERTIES — HiveHelper.getHiveTableCreateSql parity
+    (HiveHelper.java:28-96: mode/index/agg travel as TBLPROPERTIES so
+    any engine reading the metastore can reconstruct the IndexR
+    table). Executable by spark.sql(); `spec_from_table` reverses it.
+    """
+    cols = ",\n  ".join(
+        f"`{c.name}` {_DDL_TYPES[c.sql_type.lower()]}" for c in spec.columns
+    )
+    props: dict[str, str] = {}
+    idx = [c.name for c in spec.columns if c.index]
+    if idx:
+        props["indexr.index.columns"] = ",".join(idx)
+    if spec.sort_by:
+        props["indexr.sort.columns"] = ",".join(spec.sort_by)
+    time_cols = [c.name for c in spec.columns if c.sql_type.lower() == "time"]
+    if time_cols:
+        props["indexr.time.columns"] = ",".join(time_cols)
+    defaults = {c.name: c.default for c in spec.columns if c.default is not None}
+    if defaults:
+        props["indexr.defaults"] = json.dumps(defaults)
+    rt = spec.realtime
+    if rt is not None and rt.agg is not None:
+        props["indexr.agg.grouping"] = str(rt.agg.grouping).lower()
+        props["indexr.agg.dims"] = ",".join(rt.agg.dims)
+        props["indexr.agg.metrics"] = ",".join(
+            f"{m.name}:{m.agg}" for m in rt.agg.metrics
+        )
+    prop_sql = ",\n  ".join(
+        f"'{k}' = '{v}'" for k, v in sorted(props.items())
+    )
+    tail = f"\nTBLPROPERTIES (\n  {prop_sql}\n)" if props else ""
+    return (
+        f"CREATE TABLE `{spec.name}` (\n  {cols}\n)\n"
+        f"USING PARQUET\nLOCATION '{location}'{tail}"
+    )
+
+
+def spec_from_table(spark: SparkSession, table: str) -> TableSpec:
+    """Reconstruct a TableSpec from a metastore table created with
+    hive_ddl — the round trip that lets an external engine (or a
+    fresh session) recover index/sort/agg/default settings from
+    TBLPROPERTIES alone."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES `{table}`").collect()
+    }
+    idx = set(filter(None, props.get("indexr.index.columns", "").split(",")))
+    time_cols = set(filter(None, props.get("indexr.time.columns", "").split(",")))
+    defaults = json.loads(props.get("indexr.defaults", "{}"))
+    cols = []
+    for f in spark.table(table).schema.fields:
+        sql_type = (
+            "time"
+            if f.name in time_cols
+            else _SPARK_TO_SQL[f.dataType.typeName()]
+        )
+        cols.append(
+            ColumnSpec(
+                f.name,
+                sql_type,
+                index=f.name in idx,
+                default=defaults.get(f.name),
+            )
+        )
+    rt = None
+    if "indexr.agg.dims" in props:
+        metrics = [
+            Metric(*m.split(":"))
+            for m in filter(None, props.get("indexr.agg.metrics", "").split(","))
+        ]
+        rt = RealtimeSpec(
+            agg=AggSchema(
+                grouping=props.get("indexr.agg.grouping") == "true",
+                dims=list(filter(None, props["indexr.agg.dims"].split(","))),
+                metrics=metrics,
+            )
+        )
+    return TableSpec(
+        name=table.split(".")[-1],
+        columns=cols,
+        realtime=rt,
+        sort_by=list(filter(None, props.get("indexr.sort.columns", "").split(","))),
+    )
+
+
 def _has_parquet(path: str) -> bool:
     if not os.path.isdir(path):
         return False

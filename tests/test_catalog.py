@@ -211,3 +211,45 @@ def test_catalog_sql_hybrid_rt_rows_survive_pruning(spark, tmp_path):
     )
     assert [r.flag for r in out.collect()] == ["Z"]
     assert cat.last_prune["li"].skipped  # historical files were pruned
+
+
+def test_hive_ddl_roundtrip(spark, tmp_path):
+    """HiveHelper.getHiveTableCreateSql parity: the spec travels as
+    TBLPROPERTIES through a metastore CREATE TABLE, and a fresh reader
+    reconstructs index/sort/agg/default settings from the catalog
+    alone (HiveHelper.java:28-96)."""
+    from indexr_spark.sources.catalog import hive_ddl, spec_from_table
+
+    spec = TableSpec(
+        name="ddl_t",
+        columns=[
+            ColumnSpec("date", "date"),
+            ColumnSpec("tod", "time"),
+            ColumnSpec("d1", "varchar", index=True),
+            ColumnSpec("m1", "int"),
+            ColumnSpec("m3", "float", default=-0.1),
+        ],
+        realtime=RealtimeSpec(
+            agg=AggSchema(
+                grouping=True,
+                dims=["date", "d1"],
+                metrics=[Metric("m1", "sum"), Metric("m3", "max")],
+            )
+        ),
+        sort_by=["date", "d1"],
+    )
+    loc = str(tmp_path / "seg")
+    spark.createDataFrame([], spec.schema()).write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS ddl_t")
+    ddl = hive_ddl(spec, loc)
+    spark.sql(ddl)
+    try:
+        got = spec_from_table(spark, "ddl_t")
+        assert got.columns == spec.columns
+        assert got.sort_by == spec.sort_by
+        assert got.realtime.agg == spec.realtime.agg
+        assert got.indexed_columns() == ["d1"]
+        # the table is queryable through plain SQL like any other
+        assert spark.sql("SELECT count(*) n FROM ddl_t").collect()[0].n == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_t")
