@@ -253,3 +253,35 @@ def test_hive_ddl_roundtrip(spark, tmp_path):
         assert spark.sql("SELECT count(*) n FROM ddl_t").collect()[0].n == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_t")
+
+
+def test_catalog_sql_large_in_list_prunes(spark, tmp_path):
+    """IN lists past Catalyst's In→InSet threshold (10) still convert
+    and prune — the InSet branch walks the JVM hash set, including
+    UTF8String members."""
+    cat = Catalog(str(tmp_path))
+    cat.save(
+        TableSpec(name="t", columns=[ColumnSpec("k", "int"), ColumnSpec("v", "bigint")],
+                  sort_by=["k"])
+    )
+    write_segments(
+        spark.range(0, 1000).selectExpr("cast(id as int) k", "id * 2 v"),
+        cat.table_dir("t"), sort_by=["k"], num_segments=4,
+    )
+    vals = ",".join(str(i) for i in range(900, 925))  # 25 values
+    out = cat.sql(spark, f"SELECT count(*) AS n FROM t WHERE k IN ({vals})")
+    assert out.collect()[0].n == 25
+    assert len(cat.last_prune["t"].scan) == 1
+
+    cat.save(
+        TableSpec(name="s", columns=[ColumnSpec("k", "int"), ColumnSpec("s", "varchar")],
+                  sort_by=["s"])
+    )
+    write_segments(
+        spark.createDataFrame([(i, f"w{i:03d}") for i in range(100)], "k int, s string"),
+        cat.table_dir("s"), sort_by=["s"], num_segments=4,
+    )
+    svals = ",".join(f"'w{i:03d}'" for i in range(90, 115))
+    out2 = cat.sql(spark, f"SELECT count(*) AS n FROM s WHERE s IN ({svals})")
+    assert out2.collect()[0].n == 10
+    assert len(cat.last_prune["s"].scan) == 1
