@@ -1,0 +1,101 @@
+"""Streaming ANN ingest — embeddings stream into an LSH-bucketed store.
+
+The batch ANN path (operators/similarity.s04) assigns each vector a
+random-hyperplane bucket with an in-row fold against literal plane
+arrays. This module runs the SAME assignment inside a Structured
+Streaming pipeline and lands vectors in a `bucket=<id>`-partitioned
+parquet store via Spark's exactly-once streaming file sink. Probes
+then read one partition directory per query bucket — at 100 TB the
+store is the ANN index: ingest is narrow (zero shuffles, the bucket
+is computed in the scan stage), and every query prunes to ~n/2^planes
+vectors via ordinary partition pruning, no index server involved.
+
+Beyond-reference superset: the reference streams rows into sorted
+segments (rt/ subsystem); it has no vector/ANN surface at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from indexr_spark.operators.similarity import _dot, _plane_weights
+
+
+def bucket_expr(embedding: Column) -> Column:
+    """LSH bucket id for an embedding column: sign bits of the plane
+    dot products, folded in-row against literal plane weights (same
+    planes as the batch s04 operator, so stream- and batch-ingested
+    vectors land in identical buckets)."""
+    e = embedding.cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(_plane_weights()):
+        dot = _dot(e, F.array(*[F.lit(x) for x in w]))
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def start_ann_ingest(
+    vectors: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: float | None = None,
+) -> StreamingQuery:
+    """Attach bucket assignment to a streaming DataFrame of
+    (vec_id, embedding, ...) rows and write the bucket-partitioned
+    store. Uses the native streaming parquet sink — exactly-once via
+    the sink's _spark_metadata commit log + source checkpoints."""
+    bucketed = vectors.withColumn("bucket", bucket_expr(F.col("embedding")))
+    writer = (
+        bucketed.writeStream.format("parquet")
+        .option("path", store_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("bucket")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def ann_probe(
+    spark: SparkSession, store_dir: str, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k cosine neighbours for each query vector, scanning ONLY
+    the store partitions matching the queries' buckets (partition
+    pruning on the bucket join — `.inputFiles()` shows one directory
+    per probed bucket). `queries` needs (q_id, embedding)."""
+    from pyspark.sql import Window as W
+
+    qdf = queries.select(
+        F.col("q_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        bucket_expr(F.col("embedding")).alias("qb"),
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    # Resolve the probed buckets driver-side (the query set is
+    # broadcast-sized by definition) and prune STATICALLY: the scan
+    # plans over only the matching bucket=<id> partition directories —
+    # visible in .inputFiles(), no reliance on runtime DPP.
+    probe_buckets = [r["qb"] for r in qdf.select("qb").distinct().collect()]
+    store = spark.read.parquet(store_dir).filter(
+        F.col("bucket").isin(probe_buckets)
+    )
+    q = F.broadcast(qdf)
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(_dot(e, e))
+    cos = _dot(F.col("qe"), e) / (F.col("qn") * nrm)
+    pairs = store.join(
+        q, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id"))
+    ).select("q_id", "vec_id", cos.alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
