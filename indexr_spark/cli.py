@@ -10,6 +10,9 @@ Usage (python -m indexr_spark.cli ...):
     index    <catalog_root> <table>              build term+cmap indexes
                                                  for index-flagged cols
     compact  <catalog_root> <table>              fold rt → historical
+    update-column <root> <table> <MODE> <col> [--expr E]
+                                                 ADDCOL/ALTCOL/DELCOL
+                                                 snapshot rewrite
     query    <catalog_root> <sql>                SQL over all tables
                                                  (hybrid views)
     history  <table_path>                        snapshot versions
@@ -51,6 +54,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p = sub.add_parser("compact")
     p.add_argument("root")
     p.add_argument("table")
+
+    p = sub.add_parser("update-column")
+    p.add_argument("root")
+    p.add_argument("table")
+    p.add_argument("mode", choices=["ADDCOL", "ALTCOL", "DELCOL"])
+    p.add_argument("column")
+    p.add_argument("--expr", default=None, help="SQL value expression")
 
     p = sub.add_parser("query")
     p.add_argument("root")
@@ -123,6 +133,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             n = compact(spark, cat, args.table)
             print(f"compacted {n} rows into {args.table}")
+        elif args.cmd == "update-column":
+            from indexr_spark.sources.tools import update_column
+
+            spec = cat.load(args.table)
+            update_column(
+                spark,
+                cat.table_dir(args.table),
+                args.mode,
+                args.column,
+                value_expr=args.expr,
+                sort_by=spec.sort_by or None,
+            )
+            print(f"{args.mode} {args.column} on {args.table} committed")
         elif args.cmd == "query":
             cat.sql(spark, args.sql).show(100, truncate=False)
             for t, res in cat.last_prune.items():

@@ -185,17 +185,30 @@ class Catalog:
         `predicate` (a plans.rough_check.RCOperator) engages sidecar
         file pruning when the table has a sidecar — the caller still
         re-applies the exact filter above the scan."""
+        from indexr_spark.sources.snapshots import latest_version, read_snapshot
+
         spec = self.load(name)
         path = self.table_dir(name)
         if not _has_parquet(path):
             return spark.createDataFrame([], spec.schema())
         files = None
         if predicate is not None:
+            # the sidecar describes exactly the LIVE file set (snapshot
+            # commits refresh it), so the prune result is already
+            # version-consistent for snapshot-managed tables too
             result = self.prune(name, predicate)
             if result is not None:
                 if not result.scan:
                     return spark.createDataFrame([], spec.schema())
                 files = result.scan
+        if files is None and latest_version(path):
+            # snapshot-managed (a rewrite tool adopted it): read the
+            # manifest's file set — a plain directory scan would also
+            # pick up not-yet-vacuumed files of older versions
+            df = read_snapshot(spark, path)
+            return apply_defaults(
+                df.select(*[c.name for c in spec.columns if c.name in df.columns]), spec
+            )
         df = spark.read.schema(spec.schema()).parquet(*(files if files else [path]))
         return apply_defaults(df, spec)
 

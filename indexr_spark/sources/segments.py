@@ -38,7 +38,6 @@ from indexr_spark.plans.rough_check import ColStats, FileStats, PruneResult, RCO
 from indexr_spark.sources.catalog import AggSchema
 
 SIDECAR_NAME = "_indexr_stats.json"
-DEFAULT_ROWS_PER_GROUP = 65536  # DataPack.java:36-38 pack size
 
 
 def apply_rollup(df: DataFrame, agg: AggSchema, order_col: str | None = None) -> DataFrame:

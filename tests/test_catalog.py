@@ -285,3 +285,31 @@ def test_catalog_sql_large_in_list_prunes(spark, tmp_path):
     out2 = cat.sql(spark, f"SELECT count(*) AS n FROM s WHERE s IN ({svals})")
     assert out2.collect()[0].n == 10
     assert len(cat.last_prune["s"].scan) == 1
+
+
+def test_catalog_read_respects_snapshot_versions(spark, tmp_path):
+    """After a rewrite tool adopts a catalog table as a snapshot, reads
+    through the catalog (and catalog SQL pruning) see exactly the
+    latest version — never old-version files awaiting vacuum."""
+    from indexr_spark.sources.tools import upsert_segments
+
+    cat = Catalog(str(tmp_path))
+    spec = TableSpec(
+        name="t", columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    cat.save(spec)
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], spec.schema())
+    write_segments(base, cat.table_dir("t"), sort_by=["k"], num_segments=2)
+
+    upsert_segments(
+        spark, cat.table_dir("t"),
+        spark.createDataFrame([(2, -2.0), (4, 4.0)], spec.schema()),
+        ["k"], sort_by=["k"],
+    )
+    got = {tuple(r) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 1.0), (2, -2.0), (3, 3.0), (4, 4.0)}  # no duplicates
+
+    # pruned SQL path stays version-consistent too
+    out = cat.sql(spark, "SELECT v FROM t WHERE k = 2")
+    assert [r.v for r in out.collect()] == [-2.0]

@@ -253,3 +253,24 @@ def test_rewrite_tools_preserve_pinned_readers(spark, tmp_path):
     live = read_table(spark, path)
     assert live.count() == 3
     assert set(load_sidecar(path)) == {f.removeprefix("file://") for f in live.inputFiles()}
+
+
+def test_cli_update_column(spark, tmp_path, capsys):
+    """CLI update-column drives the snapshot rewrite end to end, and
+    a following catalog read sees the new column."""
+    from indexr_spark.cli import main
+    from indexr_spark.sources.catalog import Catalog, ColumnSpec, TableSpec
+
+    root = str(tmp_path)
+    cat = Catalog(root)
+    cat.save(TableSpec(name="t", columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+                       sort_by=["k"]))
+    write_segments(
+        spark.createDataFrame([(1, 2.0), (2, 4.0)], "k int, v double"),
+        cat.table_dir("t"), sort_by=["k"], num_segments=1,
+    )
+    rc = main(["update-column", root, "t", "ADDCOL", "v2", "--expr", "v * 10"],
+              spark=spark)
+    assert rc == 0 and "committed" in capsys.readouterr().out
+    got = {(r.k, r.v2) for r in read_table(spark, cat.table_dir("t")).collect()}
+    assert got == {(1, 20.0), (2, 40.0)}
