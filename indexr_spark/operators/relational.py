@@ -857,6 +857,74 @@ LIMIT 10
 """
 
 
+def q39_pruned_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default read path end to end, driver-checkable: lineitem is
+    laid out as shipdate-sorted segments in a catalog (built once per
+    sf_dir, cached on disk), then queried through `Catalog.sql` —
+    which converts the pushed filter to rough-check ops, prunes the
+    file list via the stats sidecar, and re-plans. Results must equal
+    the oracle running the same SQL on the raw table: pruning is an
+    execution detail, never a semantic one. This is the reference's
+    always-on skipping cascade (IndexRRecordReader.init2:119-154)
+    surfaced as a driver correctness row."""
+    import hashlib
+    import os
+    import tempfile
+
+    from indexr_spark.sources.catalog import Catalog, ColumnSpec, TableSpec
+    from indexr_spark.sources.segments import SIDECAR_NAME, write_segments
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"indexr_q39_{key}")
+    cat = Catalog(root)
+    if not os.path.exists(os.path.join(cat.table_dir("li"), SIDECAR_NAME)):
+        cat.save(
+            TableSpec(
+                name="li",
+                columns=[
+                    ColumnSpec("l_shipdate", "datetime"),
+                    ColumnSpec("l_returnflag", "varchar", index=True),
+                    ColumnSpec("l_quantity", "double"),
+                    ColumnSpec("l_extendedprice", "double"),
+                ],
+                sort_by=["l_shipdate"],
+            )
+        )
+        write_segments(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_shipdate", "l_returnflag", "l_quantity", "l_extendedprice"
+            ),
+            cat.table_dir("li"),
+            sort_by=["l_shipdate"],
+            num_segments=8,
+        )
+    return cat.sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               count(*)                          AS n,
+               round(sum(l_quantity), 2)         AS sum_qty,
+               round(sum(l_extendedprice), 2)    AS sum_price
+        FROM li
+        WHERE l_shipdate >= timestamp'2000-06-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )
+
+
+ORACLE["q39_pruned_catalog_scan"] = """
+SELECT l_returnflag,
+       count(*)                       AS n,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -884,4 +952,5 @@ QUERIES = {
     "q31_outer_join": q31_outer_join,
     "q32_semi_join": q32_semi_join,
     "q33_shipping_priority": q33_shipping_priority,
+    "q39_pruned_catalog_scan": q39_pruned_catalog_scan,
 }

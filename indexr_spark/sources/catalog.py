@@ -155,6 +155,7 @@ class Catalog:
     def __init__(self, root: str) -> None:
         self.root = root
         self.last_prune: dict[str, object] = {}  # table → PruneResult of last sql()
+        self._stats_cache: dict[str, tuple[float, dict]] = {}  # name → (mtime, stats)
         os.makedirs(os.path.join(root, "_schemas"), exist_ok=True)
 
     def _spec_path(self, name: str) -> str:
@@ -245,9 +246,21 @@ class Catalog:
         from indexr_spark.sources.segments import SIDECAR_NAME, load_sidecar
 
         path = self.table_dir(name)
-        if not os.path.exists(os.path.join(path, SIDECAR_NAME)):
+        sidecar_path = os.path.join(path, SIDECAR_NAME)
+        if not os.path.exists(sidecar_path):
             return None
-        stats = load_sidecar(path)
+        # mtime-keyed cache: repeated queries against an unchanged
+        # table skip re-parsing the sidecar/cmap/term files (the
+        # reference holds its indexes in IndexMemCache for the same
+        # reason). Invalidation = any commit rewrites the sidecar.
+        mtime = os.path.getmtime(sidecar_path)
+        cached = self._stats_cache.get(name)
+        if cached is not None and cached[0] == mtime:
+            stats = cached[1]
+        else:
+            stats = load_sidecar(path)
+            self._stats_cache[name] = (mtime, stats)
+        stats = {f: dict(cols) for f, cols in stats.items()}  # defaults edit a copy
         spec = self.load(name)
         defaulted = [c for c in spec.columns if c.default is not None]
         for fstats in stats.values():
