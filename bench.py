@@ -70,6 +70,10 @@ HEADLINE = [
     "q36_latest_per_user",
     "q37_funnel",
     "q38_retention",
+    "q41_grouping_sets",
+    "q42_window_suite",
+    "q43_null_semantics",
+    "s09_quantize_int8",
     "d14_normalize_text",
     "d15_contamination",
     "d16_repetition_stats",

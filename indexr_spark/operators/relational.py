@@ -857,6 +857,111 @@ LIMIT 10
 """
 
 
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers — the generalized form of
+    rollup (q12) and cube (q28): three explicit aggregation grains in
+    one pass (Catalyst expands + reuses the child like the others).
+    Null ordering pinned on both engines (Spark defaults NULLS FIRST,
+    DuckDB NULLS LAST — unpinned ordering would flip rows)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q41_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status,
+               count(*)                             AS n,
+               round(sum(l_quantity), 2)            AS sum_qty
+        FROM q41_li
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+                 l_linestatus NULLS FIRST
+        """
+    )
+
+
+ORACLE["q41_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       count(*)                                AS n,
+       round(sum(l_quantity), 2)               AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q42_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigation/distribution window functions in one ordered
+    pass per user: lag/lead (exact), ntile buckets, percent_rank and
+    cume_dist (closed-form ratios — deterministic given the unique
+    (ts, event_id) total order). One shuffle on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            _r2(F.lag("value", 1).over(w), "prev_value"),
+            _r2(F.lead("value", 1).over(w), "next_value"),
+            F.ntile(4).over(w).alias("quartile"),
+            _r6(F.percent_rank().over(w), "pct_rank"),
+            _r6(F.cume_dist().over(w), "cume"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(8000)
+    )
+
+
+ORACLE["q42_window_suite"] = """
+SELECT user_id, event_id,
+       round(lag(value, 1) OVER w, 2)  AS prev_value,
+       round(lead(value, 1) OVER w, 2) AS next_value,
+       CAST(ntile(4) OVER w AS INTEGER)         AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+ORDER BY user_id, event_id
+LIMIT 8000
+"""
+
+
+def q43_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface (a superset of the reference, which has
+    no NULLs at all — ColumnSchema defaults instead): nullif
+    manufactures NULLs, coalesce recovers them, `<=>` (null-safe
+    equality, DuckDB IS NOT DISTINCT FROM) compares through them, and
+    count(col) vs count(*) shows NULL-skipping aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    t = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(d).alias("n_discounted"),
+            _r2(F.sum(F.coalesce(d, F.lit(0.0))), "sum_disc"),
+            F.sum(d.eqNullSafe(t).cast("int")).alias("n_null_safe_eq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q43_null_semantics"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(nullif(l_discount, 0.0)) AS n_discounted,
+       round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 2) AS sum_disc,
+       CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM
+                          nullif(l_tax, 0.0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_safe_eq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q39_pruned_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default read path end to end, driver-checkable: lineitem is
     laid out as shipdate-sorted segments in a catalog (built once per
@@ -953,4 +1058,7 @@ QUERIES = {
     "q32_semi_join": q32_semi_join,
     "q33_shipping_priority": q33_shipping_priority,
     "q39_pruned_catalog_scan": q39_pruned_catalog_scan,
+    "q41_grouping_sets": q41_grouping_sets,
+    "q42_window_suite": q42_window_suite,
+    "q43_null_semantics": q43_null_semantics,
 }

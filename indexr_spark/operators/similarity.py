@@ -553,6 +553,54 @@ def s08_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.unionByName(union).orderBy("l_returnflag")
 
 
+def s09_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings — the storage/serving
+    compression step every vector store applies (4× smaller than
+    float32, SIMD-dot-product friendly). Per vector: scale = max |x|,
+    q_i = floor(x_i / scale * 127). Fully in-row (zero shuffles, scan
+    parallel); floor over IEEE-identical double expressions makes the
+    quantized values bit-exact on both engines — no rounding-mode
+    hazard. Emits the quantization summary + max reconstruction error
+    (the quality metric that decides whether int8 serving is safe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.transform(v, lambda x: F.floor(x / scale * 127).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale / 127))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(recon_err, 6).alias("max_recon_err"),
+    ).orderBy("vec_id")
+
+
+ORACLE["s09_quantize_int8"] = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale * 127) AS INTEGER)) AS q
+  FROM v
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(q) AS INTEGER) AS q_sum,
+       list_min(q) AS q_min,
+       list_max(q) AS q_max,
+       round(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - q[i] * scale / 127))), 6) AS max_recon_err
+FROM q
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_pairs": s02_embedding_pairs,
@@ -562,5 +610,6 @@ QUERIES = {
     "s06_ivf_topk": s06_ivf_topk,
     "s07_exact_percentiles": s07_exact_percentiles,
     "s08_hll_sketch_union": s08_hll_sketch_union,
+    "s09_quantize_int8": s09_quantize_int8,
     "d10_embedding_neardup": d10_embedding_neardup,
 }
