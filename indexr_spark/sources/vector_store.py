@@ -1,0 +1,135 @@
+"""Persisted IVF vector store — build once, probe many.
+
+The batch IVF operator (operators/similarity.s06) rebuilds its coarse
+quantizer per query. This module persists the two-level ANN layout the
+way a 100 TB deployment would:
+
+    <store>/cell=<id>/...parquet     corpus partitioned by nearest cell
+    <store>/_centroids.json          the k×dim coarse quantizer (tiny)
+
+Build: deterministic mini-kmeans — the k lowest vec_ids seed the
+centroids, one Lloyd step refines them (assign → per-cell mean), then
+vectors land partitioned by their final cell. Assignment is an in-row
+argmax against literal centroid arrays (zero shuffles); the only wide
+operations are the one Lloyd aggregation and the partitioned write.
+
+Probe: centroids load driver-side (k×dim floats), each query picks its
+`nprobe` nearest cells in Python, and the scan statically prunes to
+those `cell=` partitions before exact cosine ranks candidates —
+`nprobe` is the recall/cost dial s06 (nprobe=1) doesn't expose.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from indexr_spark.operators.similarity import _dot
+
+CENTROIDS_NAME = "_centroids.json"
+
+
+def _assign_cell(centroids: list[list[float]]):
+    """In-row argmax cell id over literal centroid arrays (cosine;
+    ties → lower cell id). Expects columns e (array<double>), nrm."""
+    candidates = []
+    for cell, cv in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in cv)) or 1.0
+        ccos = _dot(F.col("e"), F.array(*[F.lit(x) for x in cv])) / (
+            F.col("nrm") * F.lit(cn)
+        )
+        candidates.append(F.struct(ccos.alias("c"), F.lit(-cell).alias("nc")))
+    return (-F.array_max(F.array(*candidates))["nc"]).cast("int").alias("cell")
+
+
+def _prepared(vectors: DataFrame) -> DataFrame:
+    e = F.col("embedding").cast("array<double>")
+    return vectors.withColumn("e", e).withColumn("nrm", F.sqrt(_dot(e, e)))
+
+
+def build_ivf_store(
+    spark: SparkSession, vectors: DataFrame, store_dir: str, n_cells: int = 8
+) -> list[list[float]]:
+    """Build the store from (vec_id, embedding, ...) rows; returns the
+    final centroids. One seed collect (k rows), one Lloyd aggregation,
+    one partitioned write."""
+    prep = _prepared(vectors)
+    seeds = [
+        [float(x) for x in r["e"]]
+        for r in prep.orderBy("vec_id").limit(n_cells).select("e").collect()
+    ]
+    # one Lloyd step: assign to seeds, recompute per-cell means
+    assigned = prep.withColumn("cell", _assign_cell(seeds))
+    means = (
+        assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+    dim = len(seeds[0])
+    centroids = [
+        [by_cell.get(c, {}).get(d, seeds[c][d]) for d in range(dim)]
+        for c in range(n_cells)
+    ]
+    final = prep.withColumn("cell", _assign_cell(centroids)).drop("e", "nrm")
+    final.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
+    with open(os.path.join(store_dir, CENTROIDS_NAME), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_probe(
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k cosine neighbours per query over the `nprobe` nearest
+    cells. The probed cell set resolves driver-side (queries are
+    broadcast-sized; centroids are a tiny constant), so the scan
+    carries a static partition filter over exactly those cells."""
+    from pyspark.sql import Window as W
+
+    with open(os.path.join(store_dir, CENTROIDS_NAME)) as f:
+        centroids = json.load(f)
+    cnorms = [math.sqrt(sum(x * x for x in cv)) or 1.0 for cv in centroids]
+    qrows = queries.select("q_id", F.col("embedding").cast("array<double>").alias("qe")).collect()
+    probe_rows = []
+    for r in qrows:
+        qe = list(r["qe"])
+        qn = math.sqrt(sum(x * x for x in qe)) or 1.0
+        scored = sorted(
+            (
+                (sum(a * b for a, b in zip(qe, cv)) / (qn * cn), cell)
+                for cell, (cv, cn) in enumerate(zip(centroids, cnorms))
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for _, cell in scored[:nprobe]:
+            probe_rows.append((r["q_id"], qe, qn, cell))
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, "q_id long, qe array<double>, qn double, cell int"
+        )
+    )
+    cells = sorted({c for *_, c in probe_rows})
+    store = _prepared(spark.read.parquet(store_dir).filter(F.col("cell").isin(cells)))
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    pairs = store.join(qdf, ["cell"]).filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", cos.alias("cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
