@@ -73,6 +73,7 @@ HEADLINE = [
     "q41_grouping_sets",
     "q42_window_suite",
     "q43_null_semantics",
+    "q44_date_functions",
     "s09_quantize_int8",
     "d14_normalize_text",
     "d15_contamination",

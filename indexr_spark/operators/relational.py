@@ -962,6 +962,48 @@ ORDER BY l_returnflag
 """
 
 
+def q44_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface over the reference's DATE/DATETIME
+    types (DateTimeUtil.java parity targets): truncation to several
+    grains, component extraction, day arithmetic and day differences —
+    all integer/date-exact, so cross-engine values are bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("quarter", d).cast("date").alias("q_start"),
+            F.year(d).cast("int").alias("yr"),
+            F.month(d).cast("int").alias("mo"),
+            F.dayofweek(d).cast("int").alias("dow"),
+            F.date_add(d.cast("date"), 30).alias("due_date"),
+            F.datediff(F.lit("2001-12-31").cast("date"), d.cast("date")).alias(
+                "days_to_eoy"
+            ),
+            F.last_day(d).alias("month_end"),
+        )
+        .orderBy("o_orderkey")
+        .limit(5000)
+    )
+
+
+# DuckDB: dayofweek() is 0=Sunday; Spark's dayofweek() is 1=Sunday.
+ORACLE["q44_date_functions"] = """
+SELECT o_orderkey,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+       CAST(year(o_orderdate) AS INTEGER)  AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS INTEGER)
+         AS days_to_eoy,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+ORDER BY o_orderkey
+LIMIT 5000
+"""
+
+
 def q39_pruned_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default read path end to end, driver-checkable: lineitem is
     laid out as shipdate-sorted segments in a catalog (built once per
@@ -1061,4 +1103,5 @@ QUERIES = {
     "q41_grouping_sets": q41_grouping_sets,
     "q42_window_suite": q42_window_suite,
     "q43_null_semantics": q43_null_semantics,
+    "q44_date_functions": q44_date_functions,
 }

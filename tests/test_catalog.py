@@ -313,3 +313,29 @@ def test_catalog_read_respects_snapshot_versions(spark, tmp_path):
     # pruned SQL path stays version-consistent too
     out = cat.sql(spark, "SELECT v FROM t WHERE k = 2")
     assert [r.v for r in out.collect()] == [-2.0]
+
+
+def test_catalog_sql_prunes_both_join_sides(spark, tmp_path):
+    """A join query prunes each relation through its own pushed
+    filters — the plan walker attributes conditions per branch."""
+    cat = Catalog(str(tmp_path))
+    for name in ("a", "b"):
+        cat.save(
+            TableSpec(name=name,
+                      columns=[ColumnSpec("k", "int"), ColumnSpec("v", "bigint")],
+                      sort_by=["k"])
+        )
+        write_segments(
+            spark.range(0, 1000).selectExpr("cast(id as int) k", f"id * {1 if name == 'a' else 3} v"),
+            cat.table_dir(name), sort_by=["k"], num_segments=4,
+        )
+    out = cat.sql(
+        spark,
+        "SELECT a.k, a.v AS av, b.v AS bv FROM a JOIN b ON a.k = b.k "
+        "WHERE a.k >= 900 AND b.k < 950 ORDER BY a.k",
+    )
+    rows = out.collect()
+    assert [r.k for r in rows] == list(range(900, 950))
+    assert all(r.bv == 3 * r.k for r in rows)
+    # both sides pruned: the filter k>=900 AND k<950 lands on each
+    assert cat.last_prune["a"].skipped and cat.last_prune["b"].skipped
