@@ -134,6 +134,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             n = compact(spark, cat, args.table)
             print(f"compacted {n} rows into {args.table}")
         elif args.cmd == "update-column":
+            import dataclasses
+
+            from indexr_spark.sources.catalog import _SPARK_TO_SQL, ColumnSpec
+            from indexr_spark.sources.snapshots import read_table
             from indexr_spark.sources.tools import update_column
 
             spec = cat.load(args.table)
@@ -144,6 +148,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.column,
                 value_expr=args.expr,
                 sort_by=spec.sort_by or None,
+            )
+            # keep the catalog spec in lockstep with the rewritten
+            # data: reads project/union against the spec, so a stale
+            # column list hides ADDCOL columns and breaks DELCOL reads
+            result = read_table(spark, cat.table_dir(args.table))
+            by_name = {c.name: c for c in spec.columns}
+            new_cols = []
+            for f in result.schema.fields:
+                if f.name in by_name and args.mode != "ALTCOL":
+                    new_cols.append(by_name[f.name])
+                elif f.name in by_name:  # ALTCOL may change the type
+                    old = by_name[f.name]
+                    new_cols.append(
+                        dataclasses.replace(
+                            old, sql_type=_SPARK_TO_SQL[f.dataType.typeName()]
+                        )
+                        if f.name == args.column
+                        else old
+                    )
+                else:
+                    new_cols.append(
+                        ColumnSpec(f.name, _SPARK_TO_SQL[f.dataType.typeName()])
+                    )
+            cat.save(
+                dataclasses.replace(
+                    spec,
+                    columns=new_cols,
+                    sort_by=[c for c in spec.sort_by if c != args.column]
+                    if args.mode == "DELCOL"
+                    else spec.sort_by,
+                )
             )
             print(f"{args.mode} {args.column} on {args.table} committed")
         elif args.cmd == "query":

@@ -176,7 +176,18 @@ def relation_filters(jplan) -> dict[str, list[RCOperator]]:
             walk(node.child(), conds + (node.condition(),))
             return
         if cls == "Project":
-            walk(node.child(), conds)
+            # A filter may only pass through a PURE column selection.
+            # If the project computes anything (e.g. `rand() AS
+            # l_quantity`), a condition above it references the
+            # computed value, and matching it by NAME against the
+            # physical column's stats would prune unsoundly — drop
+            # the accumulated conditions instead.
+            try:
+                exprs = _scala_seq(node.projectList())
+                passthrough = all(_cls(e) == "AttributeReference" for e in exprs)
+            except Exception:
+                passthrough = False
+            walk(node.child(), conds if passthrough else ())
             return
         if "LogicalRelation" in cls:
             path = _relation_root(node)

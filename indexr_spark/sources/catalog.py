@@ -155,7 +155,7 @@ class Catalog:
     def __init__(self, root: str) -> None:
         self.root = root
         self.last_prune: dict[str, object] = {}  # table → PruneResult of last sql()
-        self._stats_cache: dict[str, tuple[float, dict]] = {}  # name → (mtime, stats)
+        self._stats_cache: dict[str, tuple[tuple, dict]] = {}  # name → (key, stats)
         os.makedirs(os.path.join(root, "_schemas"), exist_ok=True)
 
     def _spec_path(self, name: str) -> str:
@@ -179,21 +179,25 @@ class Catalog:
         d = os.path.join(self.root, "_schemas")
         return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
 
-    def read(self, spark: SparkSession, name: str, predicate=None) -> DataFrame:
+    def read(
+        self, spark: SparkSession, name: str, predicate=None, files=None
+    ) -> DataFrame:
         """Historical segments as a DataFrame (defaults applied).
         An empty pool (pre-first-compaction) reads as zero rows.
 
         `predicate` (a plans.rough_check.RCOperator) engages sidecar
         file pruning when the table has a sidecar — the caller still
-        re-applies the exact filter above the scan."""
+        re-applies the exact filter above the scan. `files` short-cuts
+        with an already-pruned scan list (sql() computes it once)."""
         from indexr_spark.sources.snapshots import latest_version, read_snapshot
 
         spec = self.load(name)
         path = self.table_dir(name)
         if not _has_parquet(path):
             return spark.createDataFrame([], spec.schema())
-        files = None
-        if predicate is not None:
+        if files is not None and not files:
+            return spark.createDataFrame([], spec.schema())
+        if files is None and predicate is not None:
             # the sidecar describes exactly the LIVE file set (snapshot
             # commits refresh it), so the prune result is already
             # version-consistent for snapshot-managed tables too
@@ -210,17 +214,24 @@ class Catalog:
             return apply_defaults(
                 df.select(*[c.name for c in spec.columns if c.name in df.columns]), spec
             )
-        df = spark.read.schema(spec.schema()).parquet(*(files if files else [path]))
+        reader = spark.read.schema(spec.schema())
+        if files:
+            # basePath keeps hive-partition column values when the
+            # scan is handed leaf files instead of the table root
+            reader = reader.option("basePath", path)
+        df = reader.parquet(*(files if files else [path]))
         return apply_defaults(df, spec)
 
-    def read_hybrid(self, spark: SparkSession, name: str, predicate=None) -> DataFrame:
+    def read_hybrid(
+        self, spark: SparkSession, name: str, predicate=None, files=None
+    ) -> DataFrame:
         """HybridTable parity (HybridTable.java:22-66): one logical
         table = historical pool ∪ realtime pool, as a UNION ALL view.
         Readable mid-ingest; the compactor later folds rt → historical.
-        `predicate` prunes the historical pool (rt batches are small,
-        short-lived, and sidecar-less — always scanned)."""
+        `predicate`/`files` prune the historical pool (rt batches are
+        small, short-lived, and sidecar-less — always scanned)."""
         spec = self.load(name)
-        hist = self.read(spark, name, predicate=predicate)
+        hist = self.read(spark, name, predicate=predicate, files=files)
         rt_path = self.rt_dir(name)
         if not _has_parquet(rt_path):
             return hist
@@ -249,17 +260,20 @@ class Catalog:
         sidecar_path = os.path.join(path, SIDECAR_NAME)
         if not os.path.exists(sidecar_path):
             return None
-        # mtime-keyed cache: repeated queries against an unchanged
-        # table skip re-parsing the sidecar/cmap/term files (the
-        # reference holds its indexes in IndexMemCache for the same
-        # reason). Invalidation = any commit rewrites the sidecar.
-        mtime = os.path.getmtime(sidecar_path)
+        # Cache keyed on (mtime_ns, size): repeated queries against an
+        # unchanged table skip re-parsing the sidecar/cmap/term files
+        # (the reference holds its indexes in IndexMemCache for the
+        # same reason). Invalidation = any commit rewrites the
+        # sidecar; nanosecond mtime + byte size guards the
+        # same-coarse-second rewrite a bare mtime would miss.
+        st = os.stat(sidecar_path)
+        key = (st.st_mtime_ns, st.st_size)
         cached = self._stats_cache.get(name)
-        if cached is not None and cached[0] == mtime:
+        if cached is not None and cached[0] == key:
             stats = cached[1]
         else:
             stats = load_sidecar(path)
-            self._stats_cache[name] = (mtime, stats)
+            self._stats_cache[name] = (key, stats)
         stats = {f: dict(cols) for f, cols in stats.items()}  # defaults edit a copy
         spec = self.load(name)
         defaulted = [c for c in spec.columns if c.default is not None]
@@ -331,7 +345,7 @@ class Catalog:
         except Exception:
             return df  # plan walk failed (e.g. connect mode): unpruned
         by_real = {os.path.realpath(p): ops for p, ops in by_path.items()}
-        pruned_any = False
+        replaced: list[str] = []
         for name in names:
             occs = by_real.get(os.path.realpath(self.table_dir(name)))
             if not occs:
@@ -346,16 +360,22 @@ class Catalog:
                 continue
             self.last_prune[name] = result
             if result.skipped:
-                pruned_any = True
+                replaced.append(name)
                 view = (
-                    self.read_hybrid(spark, name, predicate=pred)
+                    self.read_hybrid(spark, name, files=result.scan)
                     if hybrid
-                    else self.read(spark, name, predicate=pred)
+                    else self.read(spark, name, files=result.scan)
                 )
                 view.createOrReplaceTempView(name)
-        if pruned_any:
+        if replaced:
             df = spark.sql(query)  # resolved now — safe to restore views
-            self.register_sql_views(spark, hybrid)
+            for name in replaced:  # restore only what was swapped
+                view = (
+                    self.read_hybrid(spark, name)
+                    if hybrid
+                    else self.read(spark, name)
+                )
+                view.createOrReplaceTempView(name)
         return df
 
 

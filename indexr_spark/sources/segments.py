@@ -524,7 +524,9 @@ def read_pruned(
     reader = getattr(spark.read, file_format)
     if not result.scan:
         return spark.createDataFrame([], reader(path).schema), result
-    # parquet() takes *paths; orc() takes a single path-or-list arg
-    src = reader(*result.scan) if file_format == "parquet" else reader(result.scan)
+    # parquet() takes *paths; orc() takes a single path-or-list arg.
+    # basePath preserves hive-partition columns under leaf-file reads.
+    based = getattr(spark.read.option("basePath", path), file_format)
+    src = based(*result.scan) if file_format == "parquet" else based(result.scan)
     df = src.filter(F.expr(predicate.to_spark_sql()))
     return df, result

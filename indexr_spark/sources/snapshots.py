@@ -70,6 +70,17 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
     return version
 
 
+def _is_metadata_path(path: str, root: str) -> bool:
+    """True for paths under underscore/dot-prefixed directories —
+    Spark's own file-listing convention for non-data paths (the term
+    index, manifests, streaming _spark_metadata all live there).
+    Snapshot adoption and vacuum must never treat those as table data:
+    adopting postings as data rows corrupts every later read, and
+    vacuuming them (they appear in no manifest) destroys the index."""
+    rel = os.path.relpath(path, root)
+    return any(p.startswith(("_", ".")) for p in rel.split(os.sep) if p != ".")
+
+
 def ensure_snapshot(path: str) -> int:
     """Adopt a plain segment directory as snapshot v1 — the manifest
     simply lists the parquet files already in place; no data moves.
@@ -80,9 +91,9 @@ def ensure_snapshot(path: str) -> int:
     files = [
         os.path.relpath(os.path.join(root, name), path)
         for root, dirs, names in os.walk(path)
-        if MANIFEST_DIR not in root.split(os.sep)
+        if not _is_metadata_path(root, path)
         for name in sorted(names)
-        if name.endswith(".parquet")
+        if name.endswith(".parquet") and not name.startswith(("_", "."))
     ]
     return _commit(path, files)
 
@@ -210,14 +221,20 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
         live.update(_load_manifest(path, v)["files"])
     deleted = []
     # walk the whole table (not just data/): a bootstrapped v1 lists
-    # files at the table root, which must also age out
+    # files at the table root, which must also age out. Metadata dirs
+    # (term index, manifests, _spark_metadata) are never table data —
+    # their files appear in no manifest and must not be deleted.
     for root, dirs, names in os.walk(path):
-        if MANIFEST_DIR in root.split(os.sep):
+        if _is_metadata_path(root, path):
             continue
         for name in names:
             fpath = os.path.join(root, name)
             rel = os.path.relpath(fpath, path)
-            if name.endswith(".parquet") and rel not in live:
+            if (
+                name.endswith(".parquet")
+                and not name.startswith(("_", "."))
+                and rel not in live
+            ):
                 os.remove(fpath)
                 deleted.append(rel)
     for mname in os.listdir(_manifest_dir(path)):

@@ -62,6 +62,9 @@ def build_ivf_store(
         [float(x) for x in r["e"]]
         for r in prep.orderBy("vec_id").limit(n_cells).select("e").collect()
     ]
+    if not seeds:
+        raise ValueError("cannot build an IVF store over an empty corpus")
+    n_cells = min(n_cells, len(seeds))  # fewer vectors than cells: clamp
     # one Lloyd step: assign to seeds, recompute per-cell means
     assigned = prep.withColumn("cell", _assign_cell(seeds))
     means = (

@@ -169,6 +169,12 @@ def start_ingest(
     sort_cols = spec.realtime.agg.dims if (spec.realtime and spec.realtime.agg) else spec.sort_by
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= _compact_watermark(catalog, table):
+            # a replayed epoch whose data compaction already moved to
+            # the historical table (sink wrote, checkpoint didn't
+            # commit, compactor ran in between): re-writing it would
+            # duplicate every row after the next compaction
+            return
         rolled = _rollup_batch(batch, spec, order_col)
         if sort_cols:
             rolled = rolled.sortWithinPartitions(*[F.col(c) for c in sort_cols])
@@ -244,14 +250,62 @@ def compact(spark: SparkSession, catalog: Catalog, table: str) -> int:
     merged = merged.select(*[c.name for c in spec.columns if c.name in merged.columns])
     n = merged.count()
     sort_by = (agg.dims if agg else None) or spec.sort_by or None
-    # write_segments refreshes the sidecar over the whole table dir.
-    write_segments(merged, catalog.table_dir(table), sort_by=sort_by, mode="append")
+    table_dir = catalog.table_dir(table)
+    from indexr_spark.sources.snapshots import append_snapshot, latest_version
+
+    if latest_version(table_dir):
+        # snapshot-adopted table (a rewrite tool converted it): the
+        # compacted rows must enter through a manifest APPEND — a
+        # plain directory append would bypass the manifest (rows
+        # invisible to manifest readers) while the whole-dir sidecar
+        # rewrite would resurrect superseded files for pruned reads.
+        append_snapshot(merged, table_dir, sort_by=sort_by)
+    else:
+        # write_segments refreshes the sidecar over the whole table dir.
+        write_segments(merged, table_dir, sort_by=sort_by, mode="append")
+    # Record the compacted high-water epoch BEFORE deleting the batch
+    # dirs: a crash-replayed epoch at or below it must not re-write
+    # data that now lives in the historical table.
+    _set_compact_watermark(catalog, table, max(_epoch_of(p) for p in pinned))
     # Delete ONLY the pinned batches — any batch committed while the
     # merge ran stays for the next compaction (no data loss window).
     for p in pinned:
         shutil.rmtree(p)
     _rmdir_if_empty(rt_dir)
     return n
+
+
+def _epoch_of(batch_dir: str) -> int:
+    return int(os.path.basename(batch_dir).split("=", 1)[1])
+
+
+def _watermark_path(catalog: Catalog, table: str) -> str:
+    return os.path.join(catalog.root, "_compact_state", f"{table}.json")
+
+
+def _compact_watermark(catalog: Catalog, table: str) -> int:
+    """Highest epoch id whose batch has been folded into the
+    historical table (-1 = none). Epochs are strictly ordered per
+    stream, so an arriving epoch <= watermark can only be a replay of
+    already-compacted data."""
+    import json
+
+    p = _watermark_path(catalog, table)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return json.load(f)["max_epoch"]
+
+
+def _set_compact_watermark(catalog: Catalog, table: str, epoch: int) -> None:
+    import json
+
+    p = _watermark_path(catalog, table)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"max_epoch": max(epoch, _compact_watermark(catalog, table))}, f)
+    os.replace(tmp, p)
 
 
 def _rmdir_if_empty(path: str) -> None:
