@@ -272,7 +272,12 @@ class Catalog:
         if cached is not None and cached[0] == key:
             stats = cached[1]
         else:
-            stats = load_sidecar(path)
+            try:
+                stats = load_sidecar(path)
+            except Exception:
+                # corrupt/truncated sidecar (e.g. a torn write): never
+                # let pruning break a query — degrade to full scan
+                return None
             self._stats_cache[name] = (key, stats)
         stats = {f: dict(cols) for f, cols in stats.items()}  # defaults edit a copy
         spec = self.load(name)

@@ -9,9 +9,12 @@ Data files are immutable and
 uniquely-named, and a tiny JSON manifest names the file set of each
 version. Readers pin a manifest (snapshot isolation — a concurrent
 commit can't change the files under them); a commit is one small
-file write + pointer bump (atomic at 100 TB because the data move is
-metadata-only); old versions stay readable (time travel) until
-`vacuum` drops their unreferenced files.
+O_EXCL file create + pointer bump (atomic at 100 TB because the data
+move is metadata-only); old versions stay readable (time travel)
+until `vacuum` drops their unreferenced files. Concurrent committers
+cannot overwrite each other's manifests (the loser re-commits at the
+next version); note that racing APPENDS still base on the same parent
+version — run one writer per table, as the reference does.
 
 Layout:
     <table>/data/<uuid>-part-*.parquet   immutable data files
@@ -58,15 +61,32 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
     version = latest_version(path) + 1
-    manifest = {"version": version, "files": sorted(files), **(meta or {})}
-    mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
-    with open(mpath, "w") as f:
-        json.dump(manifest, f, indent=1)
+    while True:
+        manifest = {"version": version, "files": sorted(files), **(meta or {})}
+        mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
+        try:
+            # O_EXCL create: two concurrent committers who both read
+            # version N race to v(N+1).json — exactly one wins; the
+            # loser advances and re-commits rather than silently
+            # overwriting the winner's manifest (optimistic
+            # concurrency, the Delta/Iceberg commit protocol shape).
+            with open(mpath, "x") as f:
+                json.dump(manifest, f, indent=1)
+        except FileExistsError:
+            version += 1
+            continue
+        break
     write_sidecar(path, files_rel=manifest["files"])
     tmp = os.path.join(_manifest_dir(path), f".LATEST.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(str(version))
-    os.replace(tmp, os.path.join(_manifest_dir(path), "LATEST"))  # atomic bump
+    latest = os.path.join(_manifest_dir(path), "LATEST")
+    # never move LATEST backwards (the racing loser finishing last
+    # must not shadow a higher committed version)
+    if latest_version(path) < version:
+        os.replace(tmp, latest)  # atomic bump
+    else:
+        os.remove(tmp)
     return version
 
 

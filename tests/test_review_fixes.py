@@ -210,3 +210,51 @@ def test_replayed_epoch_after_compaction_not_duplicated(spark, tmp_path):
     # replayed epoch 0 was skipped: rt is empty, second compact moves 0
     assert compact(spark, cat, "m") == 0
     assert cat.read(spark, "m").agg(F.sum("x")).collect()[0][0] == 5
+
+
+def test_corrupt_sidecar_degrades_to_full_scan(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    cat.save(TableSpec(name="t", columns=[ColumnSpec("k", "int"), ColumnSpec("v", "bigint")],
+                       sort_by=["k"]))
+    write_segments(
+        spark.range(0, 100).selectExpr("cast(id as int) k", "id v"),
+        cat.table_dir("t"), sort_by=["k"], num_segments=2,
+    )
+    from indexr_spark.sources.segments import SIDECAR_NAME
+
+    with open(os.path.join(cat.table_dir("t"), SIDECAR_NAME), "w") as f:
+        f.write("{ torn write")
+    out = cat.sql(spark, "SELECT count(*) AS n FROM t WHERE k >= 90")
+    assert out.collect()[0].n == 10  # correct answer, unpruned
+
+
+def test_concurrent_commit_does_not_overwrite_manifest(spark, tmp_path):
+    """Two committers racing from the same base version both land:
+    distinct manifest files, LATEST at the higher version (the old
+    last-wins os.replace silently destroyed one commit)."""
+    import json
+
+    from indexr_spark.sources.snapshots import (
+        _commit, _load_manifest, latest_version, write_snapshot,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    write_snapshot(df, path)
+    assert latest_version(path) == 1
+    for sub in ("zz", "aa"):
+        os.makedirs(os.path.join(path, "data", sub), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": [1]}), os.path.join(path, "data", sub, "x.parquet")
+        )
+    # simulate the race: a manifest for v2 appears between the other
+    # committer's version read and its write
+    with open(os.path.join(path, "_manifests", "v2.json"), "w") as f:
+        json.dump({"version": 2, "files": ["data/zz/x.parquet"]}, f)
+    v = _commit(path, ["data/aa/x.parquet"])
+    assert v == 3  # loser re-committed at the next slot
+    assert _load_manifest(path, 2)["files"] == ["data/zz/x.parquet"]  # intact
+    assert _load_manifest(path, 3)["files"] == ["data/aa/x.parquet"]
