@@ -275,3 +275,53 @@ def test_kafka_missing_connector_error(spark):
             spark, "localhost:9092", "t",
             T.StructType([T.StructField("k", T.LongType())]),
         )
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-range
+    condition (impressions ⋈ clicks within 10 minutes) — the Spark
+    superset of the reference's streaming model (§2.5: it has no
+    joins at all). Both sides carry watermarks so join state is
+    bounded — the property that keeps this runnable forever."""
+    imp_src = str(tmp_path / "imp")
+    clk_src = str(tmp_path / "clk")
+    os.makedirs(imp_src)
+    os.makedirs(clk_src)
+    with open(os.path.join(imp_src, "a.jsonl"), "w") as f:
+        for ts, k in [("2024-01-01 00:01:00", "ad1"), ("2024-01-01 00:02:00", "ad2")]:
+            f.write(json.dumps({"ts": ts, "k": k, "v": 1.0}) + "\n")
+    with open(os.path.join(clk_src, "a.jsonl"), "w") as f:
+        for ts, k in [
+            ("2024-01-01 00:05:00", "ad1"),   # within 10 min of ad1 imp
+            ("2024-01-01 00:55:00", "ad2"),   # too late for ad2 imp
+        ]:
+            f.write(json.dumps({"ts": ts, "k": k, "v": 1.0}) + "\n")
+
+    imps = (
+        spark.readStream.schema(SCHEMA).json(imp_src)
+        .select(F.col("k"), F.col("ts").alias("imp_ts"))
+        .withWatermark("imp_ts", "30 minutes")
+    )
+    clks = (
+        spark.readStream.schema(SCHEMA).json(clk_src)
+        .select(F.col("k"), F.col("ts").alias("clk_ts"))
+        .withWatermark("clk_ts", "30 minutes")
+    )
+    joined = imps.join(
+        clks,
+        (imps.k == clks.k)
+        & (clks.clk_ts >= imps.imp_ts)
+        & (clks.clk_ts <= imps.imp_ts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(imps.k, "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k FROM ssj_out").collect()
+    finally:
+        q.stop()
+    assert [r.k for r in rows] == ["ad1"]  # ad2's click fell outside the range
