@@ -101,6 +101,7 @@ HEADLINE = [
     "mm02_frame_sample",
     "mm03_resize_payload",
     "mm04_feature_extract",
+    "mm05_audio_frames",
 ]
 
 

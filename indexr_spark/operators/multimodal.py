@@ -254,9 +254,71 @@ ORACLE["mm04_feature_extract"] = "SELECT doc_id, " + ", ".join(
 ) + " FROM documents ORDER BY doc_id"
 
 
+AUDIO_WIN = 64   # bytes per frame  (an STFT-style analysis window)
+AUDIO_HOP = 32   # stride between frame starts (50% overlap)
+
+
+def mm05_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style framing over binary payloads: fixed-size windows at
+    a fixed hop (win=64, hop=32 → 50% overlap), one row per full
+    frame with its offset and content checksum — the framing stage
+    every audio featurizer (STFT/fbank) runs before its transform.
+    Pure Catalyst (sequence→explode→substring over the binary column):
+    the frame table is built with zero Python; the per-frame transform
+    would then be a mapInPandas like mm04. Payload bytes are ASCII
+    here, so DuckDB's char-based substr sees identical content."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = (
+        F.when(
+            F.length("payload") >= AUDIO_WIN,
+            F.floor((F.length("payload") - AUDIO_WIN) / AUDIO_HOP) + 1,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        d.select("doc_id", "payload", n_frames.alias("n_frames"))
+        .filter(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+            "payload",
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * AUDIO_HOP).cast("int").alias("offset"),
+            F.md5(
+                F.expr(f"substring(payload, frame_idx * {AUDIO_HOP} + 1, {AUDIO_WIN})")
+            ).alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+ORACLE["mm05_audio_frames"] = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN strlen(text) >= {AUDIO_WIN}
+              THEN CAST(floor((strlen(text) - {AUDIO_WIN}) / {AUDIO_HOP}) AS BIGINT) + 1
+              ELSE 0 END AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, text, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx
+  FROM n WHERE n_frames > 0
+)
+SELECT doc_id, frame_idx,
+       CAST(frame_idx * {AUDIO_HOP} AS INTEGER) AS offset,
+       md5(substr(text, frame_idx * {AUDIO_HOP} + 1, {AUDIO_WIN})) AS frame_md5
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "mm01_decode_metadata": mm01_decode_metadata,
     "mm02_frame_sample": mm02_frame_sample,
     "mm03_resize_payload": mm03_resize_payload,
     "mm04_feature_extract": mm04_feature_extract,
+    "mm05_audio_frames": mm05_audio_frames,
 }
