@@ -44,3 +44,24 @@ for _m in _MODULES:
 
 # Every oracle must have a query (the reverse is allowed: rows-only ops).
 assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
+
+# The driver scores only the first 50 registry entries per round, so
+# queries with no green CORRECTNESS row yet must come first regardless
+# of which module they live in. This list = (all queries absent from
+# CORRECTNESS_r01.json) + d13 (r01's one red row, fixed since).
+# Prune it as rounds record green rows; keep any new operator's name
+# here until its first green row.
+_NEVER_SCORED = [
+    "q39_pruned_catalog_scan",
+    "q41_grouping_sets",
+    "q42_window_suite",
+    "q43_null_semantics",
+    "q44_date_functions",
+    "d13_stratified_sample",
+]
+_missing = [n for n in _NEVER_SCORED if n not in QUERIES]
+assert not _missing, f"unknown priority names: {_missing}"
+QUERIES = {
+    **{n: QUERIES[n] for n in _NEVER_SCORED},
+    **{n: f for n, f in QUERIES.items() if n not in _NEVER_SCORED},
+}
