@@ -78,7 +78,11 @@ HEADLINE = [
     "d14_normalize_text",
     "d15_contamination",
     "d16_repetition_stats",
+    "d17_doc_chunking",
+    "d18_sequence_packing",
     "d19_source_mixture",
+    "d21_tfidf_topterms",
+    "d22_bigram_counts",
     "s08_hll_sketch_union",
     "s07_exact_percentiles",
     "d01_token_stats",

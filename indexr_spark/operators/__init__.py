@@ -58,6 +58,10 @@ _NEVER_SCORED = [
     "q43_null_semantics",
     "q44_date_functions",
     "d13_stratified_sample",
+    "d17_doc_chunking",
+    "d18_sequence_packing",
+    "d21_tfidf_topterms",
+    "d22_bigram_counts",
 ]
 _missing = [n for n in _NEVER_SCORED if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

@@ -996,6 +996,247 @@ ORDER BY cluster_id
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def d17_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap
+    (CHUNK_TOKENS=32, stride 24) — the standard pre-training chunking
+    step. Pure Catalyst: sequence → posexplode → slice, zero Python.
+
+    Scale: chunking is embarrassingly parallel (per-row explode, no
+    shuffle before the sink); output size ≈ input × chunk/stride."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tok"))
+    base = base.where(F.col("n_tok") > 0)
+    starts = F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(CHUNK_STRIDE))
+    ex = base.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+ORACLE["d17_doc_chunking"] = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks, len({_DUCK_TOKS}) AS n_tok
+  FROM documents
+), ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_tok - 1, {CHUNK_STRIDE})) AS start
+  FROM base WHERE n_tok > 0
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(len(toks[start + 1 : start + {CHUNK_TOKENS}]) AS INTEGER)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' '))
+         AS chunk_hash
+FROM ex
+ORDER BY doc_id, chunk_id
+"""
+
+
+SEQ_LEN = 512
+
+
+def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: concatenate documents in
+    deterministic (source, doc_id) order and cut every SEQ_LEN=512
+    tokens — each doc maps to a [tok_start, tok_end) span and the
+    training sequences it lands in. GPT-style packing as a window
+    cumsum, no Python.
+
+    Scale: the running offset is per-`source` (Window.partitionBy), so
+    at 100 TB packing parallelizes across sources instead of forcing a
+    single global ordering — the per-partition layout a real packer
+    uses."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    base = d.select("doc_id", "source", n_tok.alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = base.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("tok_start"),
+    )
+    tok_end = F.col("tok_start") + F.col("n_tok")
+    first_seq = F.floor(F.col("tok_start") / SEQ_LEN).cast("int")
+    last_seq = F.floor((tok_end - 1) / SEQ_LEN).cast("int")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "tok_start",
+        tok_end.cast("bigint").alias("tok_end"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
+    ).orderBy("source", "doc_id")
+
+
+ORACLE["d18_sequence_packing"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tok
+  FROM documents
+  WHERE len({_DUCK_TOKS}) > 0
+), packed AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_start
+  FROM base
+)
+SELECT doc_id, source, n_tok, tok_start,
+       CAST(tok_start + n_tok AS BIGINT) AS tok_end,
+       CAST(tok_start // {SEQ_LEN} AS INTEGER) AS first_seq,
+       CAST((tok_start + n_tok - 1) // {SEQ_LEN} AS INTEGER) AS last_seq,
+       CAST((tok_start + n_tok - 1) // {SEQ_LEN}
+            - tok_start // {SEQ_LEN} + 1 AS INTEGER) AS n_seqs
+FROM packed
+ORDER BY source, doc_id
+"""
+
+
+TFIDF_TOP = 3
+
+
+def d21_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP terms per document under a BM25-style idf weight
+    score = tf * (N - df + 0.5) / (df + 0.5). The rational idf (no
+    log) is deliberate: +, *, / are IEEE-correctly-rounded so Spark
+    and DuckDB produce bit-identical doubles — ln() carries no such
+    guarantee and would make rank ties engine-dependent.
+
+    Scale: tf is one map-combined shuffle on (doc_id, term); df
+    reduces tf by term (vocabulary-sized) and broadcasts back; the
+    corpus-size scalar joins as a broadcast literal row. No all-pairs
+    stage anywhere."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE["d21_tfidf_topterms"] = f"""
+WITH exploded AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM exploded GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (tf.tf * ((SELECT count(*) FROM documents) - df.df + 0.5))
+           / (df.df + 0.5) AS score
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC)
+              AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {TFIDF_TOP}
+ORDER BY doc_id, rank
+"""
+
+
+BIGRAM_TOP = 50
+
+
+def d22_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency, top-BIGRAM_TOP. Bigrams are built
+    in-row with a sequence→transform HOF (no self-join), then one
+    map-combined count shuffle; the top-k is TakeOrdered.
+
+    Scale: intermediate cardinality = vocabulary², independent of
+    corpus size; the explode never leaves the input partition before
+    the partial aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bigrams = F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(BIGRAM_TOP)
+    )
+
+
+ORACLE["d22_bigram_counts"] = f"""
+WITH base AS (
+  SELECT {_DUCK_TOKS} AS s, len({_DUCK_TOKS}) AS n FROM documents
+), ex AS (
+  SELECT s, unnest(generate_series(1, n - 1)) AS i FROM base WHERE n >= 2
+)
+SELECT s[i] || ' ' || s[i + 1] AS bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM ex
+GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT {BIGRAM_TOP}
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -1013,6 +1254,10 @@ QUERIES = {
     "d14_normalize_text": d14_normalize_text,
     "d15_contamination": d15_contamination,
     "d16_repetition_stats": d16_repetition_stats,
+    "d17_doc_chunking": d17_doc_chunking,
+    "d18_sequence_packing": d18_sequence_packing,
     "d19_source_mixture": d19_source_mixture,
     "d20_cluster_keep_best": d20_cluster_keep_best,
+    "d21_tfidf_topterms": d21_tfidf_topterms,
+    "d22_bigram_counts": d22_bigram_counts,
 }
