@@ -1072,6 +1072,106 @@ ORDER BY l_returnflag
 """
 
 
+def q40_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function suite over the embedding column:
+    aggregate (fold), filter, exists, transform, zip_with, slice,
+    array_min/max — the in-row compute surface the similarity ops are
+    built from, exercised as a driver correctness row.
+
+    Cross-engine determinism: every fold starts from an explicit 0.0
+    init and runs left-to-right, and +/*/abs are IEEE-correctly
+    rounded, so Spark and DuckDB produce bit-identical doubles; the
+    trailing `+ 0.0` normalizes -0.0 to 0.0 on both engines. All
+    in-row, zero shuffles before the oracle-determinism sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    l2_sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    rev_dot = fold_sum(F.zip_with(v, F.reverse(v), lambda a, b: a * b))
+    return e.select(
+        "vec_id",
+        (F.round(l2_sq, 6) + 0.0).alias("l2_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: F.abs(x) > 0.3).alias("has_big"),
+        (F.round(fold_sum(F.slice(v, 1, 8)), 6) + 0.0).alias("head_sum"),
+        (F.round(fold_sum(F.transform(v, lambda x: F.abs(x) * 2.0)), 6) + 0.0)
+        .alias("scaled_l1"),
+        (F.round(rev_dot, 6) + 0.0).alias("rev_dot"),
+        (F.round(F.array_min(v), 6) + 0.0).alias("v_min"),
+        (F.round(F.array_max(v), 6) + 0.0).alias("v_max"),
+    ).orderBy("vec_id")
+
+
+ORACLE["q40_array_functions"] = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id,
+  round(list_reduce(list_prepend(0.0::DOUBLE, e), (a,b) -> a + b*b), 6) + 0.0
+    AS l2_sq,
+  CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
+  len(list_filter(e, x -> abs(x) > 0.3)) > 0 AS has_big,
+  round(list_reduce(list_prepend(0.0::DOUBLE, e[1:8]), (a,b) -> a + b), 6)
+    + 0.0 AS head_sum,
+  round(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(e, x -> abs(x) * 2.0)), (a,b) -> a + b), 6) + 0.0
+    AS scaled_l1,
+  round(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(generate_series(1, len(e)),
+                         i -> e[i] * e[len(e) - i + 1])),
+        (a,b) -> a + b), 6) + 0.0 AS rev_dot,
+  round(list_aggregate(e, 'min'), 6) + 0.0 AS v_min,
+  round(list_aggregate(e, 'max'), 6) + 0.0 AS v_max
+FROM v
+ORDER BY vec_id
+"""
+
+
+def q45_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (reference UDF-less string ops +
+    superset): case, length, search, translate, padding, reverse,
+    split_part, levenshtein, ascii, repeat, concat_ws, substring.
+    All JVM-side codegen expressions — narrow, no shuffle before the
+    determinism sort."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.upper(name).alias("up"),
+        F.length(name).alias("nlen"),
+        F.instr(name, "e").cast("int").alias("pos_e"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_pad"),
+        F.reverse(name).alias("rev"),
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.levenshtein(name, F.lit("small ring")).cast("int").alias("lev"),
+        F.ascii(name).cast("int").alias("first_cp"),
+        F.repeat(F.col("p_type"), 2).alias("type2"),
+        F.concat_ws("|", "p_brand", "p_type").alias("bt"),
+        F.substring(name, 2, 5).alias("mid"),
+    ).orderBy("p_partkey")
+
+
+ORACLE["q45_string_functions"] = """
+SELECT p_partkey,
+       upper(p_name)                                   AS up,
+       CAST(length(p_name) AS INTEGER)                 AS nlen,
+       CAST(strpos(p_name, 'e') AS INTEGER)            AS pos_e,
+       translate(p_name, 'aeiou', 'AEIOU')             AS vowels_up,
+       lpad(p_brand, 12, '*')                          AS brand_pad,
+       reverse(p_name)                                 AS rev,
+       split_part(p_name, ' ', 1)                      AS first_word,
+       CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS lev,
+       CAST(ascii(p_name) AS INTEGER)                  AS first_cp,
+       repeat(p_type, 2)                               AS type2,
+       concat_ws('|', p_brand, p_type)                 AS bt,
+       substring(p_name, 2, 5)                         AS mid
+FROM part
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -1100,6 +1200,8 @@ QUERIES = {
     "q32_semi_join": q32_semi_join,
     "q33_shipping_priority": q33_shipping_priority,
     "q39_pruned_catalog_scan": q39_pruned_catalog_scan,
+    "q40_array_functions": q40_array_functions,
+    "q45_string_functions": q45_string_functions,
     "q41_grouping_sets": q41_grouping_sets,
     "q42_window_suite": q42_window_suite,
     "q43_null_semantics": q43_null_semantics,
