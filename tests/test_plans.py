@@ -135,6 +135,12 @@ def test_single_shuffle_aggregations(spark, name):
         "s01_cosine_topk",
         "s04_ann_lsh_topk",
         "d10_embedding_neardup",
+        "d17_doc_chunking",
+        "d18_sequence_packing",
+        "d21_tfidf_topterms",
+        "d22_bigram_counts",
+        "q40_array_functions",
+        "q45_string_functions",
     ],
 )
 def test_text_and_vector_ops_stay_jvm_side(spark, name):
@@ -154,6 +160,29 @@ def test_ivf_broadcasts_centroids(spark):
     partitioning."""
     plan = plan_of(spark, "s06_ivf_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bigram_topk_is_take_ordered(spark):
+    """d22's top-50 must plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a global sort of the full bigram table."""
+    plan = plan_of(spark, "d22_bigram_counts")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    """d21's vocabulary-sized df table and 1-row corpus count must
+    both broadcast; only the (doc, term) tf aggregation may shuffle."""
+    plan = plan_of(spark, "d21_tfidf_topterms")
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_packing_partitions_by_source(spark):
+    """d18's running-offset window must partition by source — a global
+    (single-partition) window would serialize the corpus at scale."""
+    plan = plan_of(spark, "d18_sequence_packing")
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
 
 
 def test_salted_agg_is_two_phase(spark):
