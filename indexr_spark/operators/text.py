@@ -1203,19 +1203,8 @@ def d22_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; the explode never leaves the input partition before
     the partial aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n = F.size(toks)
-    pairs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    bigrams = F.when(n >= 2, pairs).otherwise(
-        F.array().cast("array<string>")
-    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(shingles(tokens("text"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())

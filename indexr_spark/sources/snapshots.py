@@ -24,13 +24,58 @@ Layout:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
+
+# Commit critical-section lock (local-FS grade). On an object store
+# this would be a catalog-service lock (Hive/Glue/Nessie), exactly as
+# Delta/Iceberg require there; O_EXCL-create is the correct primitive
+# for the posix filesystems this repo runs on.
+_LOCK_WAIT_S = 60.0  # give up acquiring after this long
+_LOCK_STALE_S = 300.0  # a lock this old belongs to a dead committer
+
+
+@contextlib.contextmanager
+def _commit_lock(path: str):
+    """Serialize the commit critical section (version allocation →
+    sidecar refresh → LATEST bump). Without it, two committers can
+    interleave so the loser's LATEST check or sidecar write lands
+    *after* the winner's, leaving LATEST or the pruning sidecar
+    describing a superseded version."""
+    lock = os.path.join(_manifest_dir(path), ".commit.lock")
+    deadline = time.monotonic() + _LOCK_WAIT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between create-fail and stat
+            if age > _LOCK_STALE_S:
+                with contextlib.suppress(OSError):
+                    os.remove(lock)  # dead holder; reclaim
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"snapshot commit lock busy for >{_LOCK_WAIT_S}s: {lock}"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
 
 
 def _manifest_dir(path: str) -> str:
@@ -60,33 +105,39 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
     from indexr_spark.sources.segments import write_sidecar
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    version = latest_version(path) + 1
-    while True:
-        manifest = {"version": version, "files": sorted(files), **(meta or {})}
-        mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
-        try:
-            # O_EXCL create: two concurrent committers who both read
-            # version N race to v(N+1).json — exactly one wins; the
-            # loser advances and re-commits rather than silently
-            # overwriting the winner's manifest (optimistic
-            # concurrency, the Delta/Iceberg commit protocol shape).
-            with open(mpath, "x") as f:
-                json.dump(manifest, f, indent=1)
-        except FileExistsError:
-            version += 1
-            continue
-        break
-    write_sidecar(path, files_rel=manifest["files"])
-    tmp = os.path.join(_manifest_dir(path), f".LATEST.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    latest = os.path.join(_manifest_dir(path), "LATEST")
-    # never move LATEST backwards (the racing loser finishing last
-    # must not shadow a higher committed version)
-    if latest_version(path) < version:
-        os.replace(tmp, latest)  # atomic bump
-    else:
-        os.remove(tmp)
+    with _commit_lock(path):
+        version = latest_version(path) + 1
+        while True:
+            manifest = {
+                "version": version,
+                "files": sorted(files),
+                **(meta or {}),
+            }
+            mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
+            try:
+                # O_EXCL create: belt-and-braces under the lock (a
+                # stale-lock reclaim can briefly admit two holders) —
+                # exactly one committer wins a version number; a loser
+                # advances rather than overwriting the winner.
+                with open(mpath, "x") as f:
+                    json.dump(manifest, f, indent=1)
+            except FileExistsError:
+                version += 1
+                continue
+            break
+        write_sidecar(path, files_rel=manifest["files"])
+        tmp = os.path.join(
+            _manifest_dir(path), f".LATEST.{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        latest = os.path.join(_manifest_dir(path), "LATEST")
+        # the lock makes this check-then-replace atomic; the guard
+        # stays as defense in depth for the stale-lock-reclaim window
+        if latest_version(path) < version:
+            os.replace(tmp, latest)  # atomic bump
+        else:
+            os.remove(tmp)
     return version
 
 

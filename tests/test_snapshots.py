@@ -100,3 +100,65 @@ def test_snapshot_sink_exactly_once(spark, tmp_path):
     # time travel to the first batch
     got_v1 = {tuple(r) for r in read_snapshot(spark, sdir, version=1).collect()}
     assert got_v1 == {(1, 1.0), (2, 2.0)}
+
+
+def test_concurrent_commits_serialize(tmp_path):
+    """Racing committers must end with LATEST at the highest committed
+    version and the pruning sidecar describing exactly that version's
+    file set — the loser finishing last may not shadow the winner's
+    LATEST or sidecar (the check-then-replace race the commit lock
+    closes)."""
+    import json
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexr_spark.sources.segments import SIDECAR_NAME
+    from indexr_spark.sources.snapshots import _commit, _load_manifest
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "data"))
+    rels = []
+    for i in range(8):
+        rel = os.path.join("data", f"f{i}.parquet")
+        pq.write_table(pa.table({"k": [i]}), os.path.join(path, rel))
+        rels.append(rel)
+
+    barrier = threading.Barrier(8)
+    errors: list[Exception] = []
+
+    def commit_one(rel: str):
+        try:
+            barrier.wait()
+            _commit(path, [rel])
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=commit_one, args=(r,)) for r in rels
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    top = latest_version(path)
+    versions = {
+        int(n[1:-5])
+        for n in os.listdir(os.path.join(path, "_manifests"))
+        if n.startswith("v") and n.endswith(".json")
+    }
+    # every committer got its own version; LATEST points at the max
+    assert versions == set(range(1, 9))
+    assert top == 8
+    # the sidecar describes LATEST's file set, not a superseded one
+    manifest = _load_manifest(path, top)
+    with open(os.path.join(path, SIDECAR_NAME)) as f:
+        sidecar_files = sorted(e["path"] for e in json.load(f)["files"])
+    assert sidecar_files == sorted(manifest["files"])
+    # the lock is released
+    assert not os.path.exists(
+        os.path.join(path, "_manifests", ".commit.lock")
+    )
