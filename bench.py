@@ -83,6 +83,9 @@ HEADLINE = [
     "d19_source_mixture",
     "d21_tfidf_topterms",
     "d22_bigram_counts",
+    "d23_ngram_contamination",
+    "d24_quality_filter",
+    "d25_token_budget_sample",
     "s08_hll_sketch_union",
     "s07_exact_percentiles",
     "d01_token_stats",
@@ -101,6 +104,7 @@ HEADLINE = [
     "s02_embedding_pairs",
     "s04_ann_lsh_topk",
     "s06_ivf_topk",
+    "s10_ann_recall",
     "mm01_decode_metadata",
     "mm02_frame_sample",
     "mm03_resize_payload",

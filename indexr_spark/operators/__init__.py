@@ -65,6 +65,10 @@ _NEVER_SCORED = [
     "q40_array_functions",
     "q45_string_functions",
     "mm05_audio_frames",
+    "d23_ngram_contamination",
+    "d24_quality_filter",
+    "d25_token_budget_sample",
+    "s10_ann_recall",
 ]
 _missing = [n for n in _NEVER_SCORED if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

@@ -601,6 +601,86 @@ ORDER BY vec_id
 """
 
 
+def s10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the LSH-bucketed search
+    (s04) against exhaustive ground truth, per query — the metric
+    that decides whether an index's recall/cost operating point is
+    acceptable before swapping it into a retrieval pipeline.
+
+    Ground truth is one brute-force pass over s04's query set (same
+    broadcast shape as s01); the recall join then touches only
+    queries×k rows, so total cost ≈ one exact pass + one bucketed
+    pass — at 100 TB the eval runs on a sampled query set while the
+    index serves the rest, which is exactly this plan with a
+    different query filter."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", cos.alias("cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "vec_id")
+    )
+    approx = s04_ann_lsh_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    truth = exact.groupBy("q_id").agg(F.count("*").alias("k"))
+    n_hits = F.coalesce("n_hits", F.lit(0).cast("long"))
+    return (
+        truth.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            n_hits.alias("n_hits"),
+            F.round(n_hits.cast("double") / F.col("k"), 6).alias("recall_at_k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# The approx side reuses s04's oracle verbatim as a nested CTE, so the
+# two stay in lockstep by construction; the exact side is s01's shape
+# over s04's query set.
+ORACLE["s10_ann_recall"] = f"""
+WITH approx AS (
+  SELECT q_id, vec_id FROM ({ORACLE["s04_ann_lsh_topk"]})
+), n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < {ANN_QUERIES}
+), pairs AS (
+  SELECT q_id, vec_id, list_dot_product(qe, e) / (qn * nrm) AS cos
+  FROM q JOIN n ON vec_id != q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+), exact AS (
+  SELECT q_id, vec_id FROM ranked WHERE rank <= {ANN_K}
+), stats AS (
+  SELECT e.q_id,
+         count(*) FILTER (WHERE a.vec_id IS NOT NULL) AS n_hits,
+         count(*) AS k
+  FROM exact e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY e.q_id
+)
+SELECT q_id, n_hits, round(CAST(n_hits AS DOUBLE) / k, 6) AS recall_at_k
+FROM stats
+ORDER BY q_id
+"""
+
+
 QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_embedding_pairs": s02_embedding_pairs,
@@ -611,5 +691,6 @@ QUERIES = {
     "s07_exact_percentiles": s07_exact_percentiles,
     "s08_hll_sketch_union": s08_hll_sketch_union,
     "s09_quantize_int8": s09_quantize_int8,
+    "s10_ann_recall": s10_ann_recall,
     "d10_embedding_neardup": d10_embedding_neardup,
 }

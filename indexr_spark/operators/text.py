@@ -1226,6 +1226,216 @@ LIMIT {BIGRAM_TOP}
 """
 
 
+CONTAM_NGRAM = 5
+CONTAM_TEST_SOURCE = "src3"
+CONTAM_FLAG_FRAC = 0.8
+
+
+def d23_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level train/test decontamination (the 13-gram overlap
+    method, scaled to 5-grams for this corpus): for each held-out
+    document (source = src3), the fraction of its distinct 5-gram
+    shingles that occur anywhere in the training split (every other
+    source); documents above CONTAM_FLAG_FRAC get flagged. Upgrades
+    d15's whole-document check to partial-overlap detection.
+
+    Scale shape — NO pair explosion: the train side collapses to a
+    distinct gram set (map-side-combined distinct on the hashed
+    gram), the test side left-semi-joins on that same key, and the
+    per-doc fractions are two more map-combined aggs. Work stays
+    O(total grams), never O(doc pairs sharing a gram) — the d09b
+    degeneracy cannot occur. Grams travel as portable 32-bit hashes,
+    not strings, cutting shuffle bytes ~4×."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(tokens("text"), CONTAM_NGRAM), lambda s: hash32(s))
+            )
+        ).alias("g"),
+    )
+    train = g.filter(F.col("source") != CONTAM_TEST_SOURCE).select("g").distinct()
+    test = g.filter(F.col("source") == CONTAM_TEST_SOURCE)
+    hits = (
+        test.join(train, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = test.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    n_hits = F.coalesce("n_hits", F.lit(0).cast("long"))
+    frac = n_hits.cast("double") / F.col("n_grams")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hits.alias("n_hits"),
+            F.round(frac, 6).alias("overlap_frac"),
+            F.when(frac >= CONTAM_FLAG_FRAC, 1).otherwise(0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GRAM5 = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(CONTAM_NGRAM))
+ORACLE["d23_ngram_contamination"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    list_transform(range(1, len(toks) - {CONTAM_NGRAM - 2}), i -> {_GRAM5}),
+    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS g
+  FROM t
+), train AS (
+  SELECT DISTINCT g FROM g WHERE source != '{CONTAM_TEST_SOURCE}'
+), test AS (
+  SELECT doc_id, g FROM g WHERE source = '{CONTAM_TEST_SOURCE}'
+), stats AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE g IN (SELECT g FROM train)) AS n_hits
+  FROM test GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS overlap_frac,
+       CASE WHEN CAST(n_hits AS DOUBLE) / n_grams >= {CONTAM_FLAG_FRAC}
+            THEN 1 ELSE 0 END AS contaminated
+FROM stats
+ORDER BY doc_id
+"""
+
+
+FILTER_MIN_TOKENS = 20
+FILTER_MAX_DUP_FRAC = 0.6
+FILTER_AVG_LEN_LO = 4.0
+FILTER_AVG_LEN_HI = 5.0
+
+
+def d24_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-filter pipeline (the C4/Gopher rule-stack
+    shape): three in-row gates — minimum length, duplicate-token
+    fraction, mean token length band — each attributed separately per
+    source, plus the count surviving all gates. The per-rule
+    attribution is what a pipeline owner tunes against; the kept
+    count is the pipeline's yield.
+
+    Scale: signals are pure codegen expressions in the scan, the
+    report is one map-side-combined aggregation on `source` — a
+    2-stage job regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    avg_len = sum_len.cast("double") / n_tok
+    dup_frac = (n_tok - n_dist).cast("double") / n_tok
+    f_len = n_tok < FILTER_MIN_TOKENS
+    f_dup = dup_frac > FILTER_MAX_DUP_FRAC
+    f_avg = (avg_len < FILTER_AVG_LEN_LO) | (avg_len > FILTER_AVG_LEN_HI)
+    base = d.select(
+        "source",
+        f_len.cast("long").alias("f_len"),
+        f_dup.cast("long").alias("f_dup"),
+        f_avg.cast("long").alias("f_avg"),
+        (~(f_len | f_dup | f_avg)).cast("long").alias("kept"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_len").alias("n_fail_minlen"),
+            F.sum("f_dup").alias("n_fail_dupfrac"),
+            F.sum("f_avg").alias("n_fail_avglen"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["d24_quality_filter"] = f"""
+WITH s AS (
+  SELECT source,
+         len({_DUCK_TOKS}) AS n_tok,
+         len(list_distinct({_DUCK_TOKS})) AS n_dist,
+         CAST(list_sum(list_transform({_DUCK_TOKS}, x -> length(x))) AS DOUBLE)
+           / len({_DUCK_TOKS}) AS avg_len
+  FROM documents
+), flags AS (
+  SELECT source,
+         n_tok < {FILTER_MIN_TOKENS} AS f_len,
+         CAST(n_tok - n_dist AS DOUBLE) / n_tok > {FILTER_MAX_DUP_FRAC} AS f_dup,
+         (avg_len < {FILTER_AVG_LEN_LO} OR avg_len > {FILTER_AVG_LEN_HI}) AS f_avg
+  FROM s
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE f_len) AS BIGINT) AS n_fail_minlen,
+       CAST(count(*) FILTER (WHERE f_dup) AS BIGINT) AS n_fail_dupfrac,
+       CAST(count(*) FILTER (WHERE f_avg) AS BIGINT) AS n_fail_avglen,
+       CAST(count(*) FILTER (WHERE NOT (f_len OR f_dup OR f_avg)) AS BIGINT) AS n_kept
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+SAMPLE_BUDGET_TOKENS = 800
+
+
+def d25_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling: walk each source's documents
+    in deterministic pseudo-random order (portable hash of doc_id)
+    and keep documents while the running token total fits the budget
+    — how a mixture builder fills "N tokens of source X" slots
+    (complements d13's rate sampling and d19's share accounting).
+
+    Scale: one window cumsum partitioned by `source`, so sources fill
+    budgets in parallel; for a single giant source, switch to d13's
+    hash-mod rate sampling (no global ordering) — the budget form is
+    for when the target is an exact token count, which inherently
+    needs a running total."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).alias("n_tokens"),
+        hash32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= SAMPLE_BUDGET_TOKENS)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
+ORACLE["d25_token_budget_sample"] = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM base
+)
+SELECT source, doc_id, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= {SAMPLE_BUDGET_TOKENS}
+ORDER BY source, doc_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -1249,4 +1459,7 @@ QUERIES = {
     "d20_cluster_keep_best": d20_cluster_keep_best,
     "d21_tfidf_topterms": d21_tfidf_topterms,
     "d22_bigram_counts": d22_bigram_counts,
+    "d23_ngram_contamination": d23_ngram_contamination,
+    "d24_quality_filter": d24_quality_filter,
+    "d25_token_budget_sample": d25_token_budget_sample,
 }

@@ -141,6 +141,10 @@ def test_single_shuffle_aggregations(spark, name):
         "d22_bigram_counts",
         "q40_array_functions",
         "q45_string_functions",
+        "d23_ngram_contamination",
+        "d24_quality_filter",
+        "d25_token_budget_sample",
+        "s10_ann_recall",
     ],
 )
 def test_text_and_vector_ops_stay_jvm_side(spark, name):
@@ -244,3 +248,37 @@ def test_latest_per_user_is_window_free(spark):
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_contamination_probe_is_semi_join(spark):
+    """d23's train-gram membership probe must plan as a LEFT SEMI join
+    on the hashed gram — set membership, never a pair-producing inner
+    join (the d09b explosion this operator exists to avoid)."""
+    plan = plan_of(spark, "d23_ngram_contamination")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_filter_is_single_agg(spark):
+    """d24: all rule signals evaluate in the scan stage; the per-source
+    report is ONE partial+final aggregation (one hash exchange)."""
+    plan = plan_of(spark, "d24_quality_filter")
+    assert plan.count("hashpartitioning") <= 1, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_budget_sample_windows_per_source(spark):
+    """d25's running total must partition by source (parallel fill) —
+    exactly one hash exchange feeding the Window, no global sort
+    before the filter."""
+    plan = plan_of(spark, "d25_token_budget_sample")
+    assert "Window" in plan, plan
+    assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_ann_recall_broadcasts_query_side(spark):
+    """s10's ground-truth pass must broadcast the 20-row query set —
+    the corpus side never shuffles for the cross score."""
+    plan = plan_of(spark, "s10_ann_recall")
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
