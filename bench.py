@@ -74,6 +74,7 @@ HEADLINE = [
     "q42_window_suite",
     "q43_null_semantics",
     "q44_date_functions",
+    "q46_scalar_subquery",
     "s09_quantize_int8",
     "d14_normalize_text",
     "d15_contamination",

@@ -69,6 +69,11 @@ _NEVER_SCORED = [
     "d24_quality_filter",
     "d25_token_budget_sample",
     "s10_ann_recall",
+    "q46_scalar_subquery",
+    "d09b_jaccard_allpairs",
+    "d16_repetition_stats",
+    "d19_source_mixture",
+    "d20_cluster_keep_best",
 ]
 _missing = [n for n in _NEVER_SCORED if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

@@ -1172,6 +1172,44 @@ ORDER BY p_partkey
 """
 
 
+def q46_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries — uncorrelated in WHERE (compare to the
+    global average) and in SELECT (share of the global total).
+    Spark-superset (the reference grammar has no subqueries,
+    SURVEY.md §2.1); Catalyst executes the scalar subquery once as a
+    separate tiny job and folds the result into the main plan as a
+    literal, so at 100 TB the fact scan still runs exactly once with
+    the comparison inlined."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_above,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(sum(o_totalprice) / (SELECT sum(o_totalprice) FROM orders_v), 6)
+                 AS share_of_total
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+ORACLE["q46_scalar_subquery"] = """
+SELECT o_orderpriority,
+       count(*) AS n_above,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
+       round(CAST(sum(o_totalprice) AS DOUBLE)
+             / (SELECT CAST(sum(o_totalprice) AS DOUBLE) FROM orders), 6)
+         AS share_of_total
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -1206,4 +1244,5 @@ QUERIES = {
     "q42_window_suite": q42_window_suite,
     "q43_null_semantics": q43_null_semantics,
     "q44_date_functions": q44_date_functions,
+    "q46_scalar_subquery": q46_scalar_subquery,
 }
