@@ -87,6 +87,8 @@ HEADLINE = [
     "d23_ngram_contamination",
     "d24_quality_filter",
     "d25_token_budget_sample",
+    "d26_source_regression",
+    "q47_moment_stats",
     "s08_hll_sketch_union",
     "s07_exact_percentiles",
     "d01_token_stats",

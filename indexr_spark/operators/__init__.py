@@ -74,6 +74,8 @@ _NEVER_SCORED = [
     "d16_repetition_stats",
     "d19_source_mixture",
     "d20_cluster_keep_best",
+    "d26_source_regression",
+    "q47_moment_stats",
 ]
 _missing = [n for n in _NEVER_SCORED if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

@@ -475,6 +475,77 @@ ORDER BY day
 """
 
 
+def q47_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling per event type: variance, skewness, and
+    excess kurtosis computed from raw power sums (Σv, Σv², Σv³, Σv⁴)
+    with the moment algebra applied in the projection.
+
+    Built-in skewness/kurtosis are NOT used deliberately: engines
+    disagree on sample-vs-population adjustment (Spark emits the
+    population form, DuckDB the sample-adjusted form), so the
+    cross-engine-stable formulation is the raw sums — which is also
+    the scale-friendly one: four map-combined sums per group, one
+    shuffle, and the sums are exactly the mergeable state a streaming
+    profiler would checkpoint."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * F.col("s2") / n + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * F.col("s3") / n
+        + 6 * mean * mean * F.col("s2") / n
+        - 3 * mean * mean * mean * mean
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness_pop"),
+        F.round(m4 / (var * var) - 3, 6).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+ORACLE["q47_moment_stats"] = """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(value) AS s1,
+         sum(value * value) AS s2,
+         sum(value * value * value) AS s3,
+         sum(value * value * value * value) AS s4
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY event_type
+), m AS (
+  SELECT event_type, n,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS var,
+         s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) * (s1 / n) * s2 / n
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM g
+)
+SELECT event_type, n,
+       round(mean, 6)                 AS mean_value,
+       round(var, 6)                  AS var_pop,
+       round(m3 / pow(var, 1.5), 6)   AS skewness_pop,
+       round(m4 / (var * var) - 3, 6) AS kurtosis_excess
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q20_events_rollup": q20_events_rollup,
     "q21_sessionize": q21_sessionize,
@@ -486,4 +557,5 @@ QUERIES = {
     "q36_latest_per_user": q36_latest_per_user,
     "q37_funnel": q37_funnel,
     "q38_retention": q38_retention,
+    "q47_moment_stats": q47_moment_stats,
 }

@@ -1436,6 +1436,61 @@ ORDER BY source, doc_id
 """
 
 
+def d26_source_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source statistical profiling: the linear relationship
+    between token count and character count (OLS slope/intercept from
+    population covariance/variance, plus Pearson correlation). The
+    corpus-profiling step a pipeline runs to spot sources whose
+    length distributions drifted.
+
+    covar_pop/var_pop/corr are population-definition aggregates with
+    identical semantics on both engines (sample-adjusted skew/kurt
+    would NOT be — see q47's manual power sums). One map-combined
+    aggregation; Spark's streaming co-moment merge is the classic
+    parallel update formula, so this scales like any sum."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.size(tokens("text")).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("x"), 6).alias("mean_tokens"),
+            F.round(F.avg("y"), 6).alias("mean_chars"),
+            F.round(F.covar_pop("x", "y"), 6).alias("covar_tok_chars"),
+            F.round(slope, 6).alias("ols_slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 6).alias("ols_intercept"),
+            F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["d26_source_regression"] = f"""
+WITH base AS (
+  SELECT source,
+         CAST(len({_DUCK_TOKS}) AS DOUBLE) AS x,
+         CAST(n_chars AS DOUBLE)           AS y
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(x), 6) AS mean_tokens,
+       round(avg(y), 6) AS mean_chars,
+       round(covar_pop(x, y), 6) AS covar_tok_chars,
+       round(covar_pop(x, y) / var_pop(x), 6) AS ols_slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6) AS ols_intercept,
+       round(corr(x, y), 6) AS pearson_r
+FROM base
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -1462,4 +1517,5 @@ QUERIES = {
     "d23_ngram_contamination": d23_ngram_contamination,
     "d24_quality_filter": d24_quality_filter,
     "d25_token_budget_sample": d25_token_budget_sample,
+    "d26_source_regression": d26_source_regression,
 }

@@ -282,3 +282,13 @@ def test_ann_recall_broadcasts_query_side(spark):
     plan = plan_of(spark, "s10_ann_recall")
     assert "Broadcast" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["d26_source_regression", "q47_moment_stats"])
+def test_profiling_ops_single_shuffle(spark, name):
+    """d26/q47: statistical profiling must be one map-combined
+    aggregation — the power sums / co-moments merge, they never
+    re-scan or re-shuffle."""
+    plan = plan_of(spark, name)
+    assert plan.count("hashpartitioning") <= 1, plan
+    assert "HashAggregate" in plan, plan
