@@ -474,22 +474,63 @@ ORDER BY q_id, rank
 """
 
 
+APPROX_DISTINCT_TOL = 0.15  # HLL++ default rsd 5% → 3σ bound
+APPROX_PCTL_TOL = 0.02  # percentile_approx accuracy=10000 → rank err ≪ 2%
+
+
 def s05_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct (HLL) + approximate quantiles per group —
     the at-scale substitutes for exact countDistinct / percentiles
-    (sketches merge associatively; one map-side-combined pass). No SQL
-    oracle: sketch results are implementation-defined, so the driver
-    records the weaker rows-only check."""
+    (sketches merge associatively; one map-side-combined pass).
+
+    Driver-scoreable contract: sketch estimates are
+    implementation-defined, so the query emits the EXACT values plus
+    within-relative-tolerance verdicts of the sketch against them —
+    both engine-portable. The oracle computes the same exact values
+    and asserts the verdicts TRUE, so a sketch drifting outside
+    tolerance flips a boolean and fails the value-hash. Both Spark
+    sketches are hash-based and deterministic, so the verdicts are
+    stable run to run."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-            F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50e"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95a"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95e"),
     )
+
+    def within(approx, exact, tol):
+        return (
+            F.abs(approx.cast("double") - exact) / exact <= tol
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.round("p50e", 4).alias("p50_exact"),
+        F.round("p95e", 4).alias("p95_exact"),
+        within(F.col("ap"), F.col("exact_parts"), APPROX_DISTINCT_TOL).alias(
+            "parts_within_tol"
+        ),
+        within(F.col("p50a"), F.col("p50e"), APPROX_PCTL_TOL).alias("p50_within_tol"),
+        within(F.col("p95a"), F.col("p95e"), APPROX_PCTL_TOL).alias("p95_within_tol"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE["s05_approx_stats"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)                      AS exact_parts,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+       TRUE AS parts_within_tol,
+       TRUE AS p50_within_tol,
+       TRUE AS p95_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 
@@ -524,33 +565,78 @@ ORDER BY l_returnflag
 """
 
 
+HLL_SKETCH_TOL = 0.05  # lgConfigK=12 → rsd ≈ 1.6%; 3σ with headroom
+
+
 def s08_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (DataSketches, built-in since Spark 3.5):
     build one distinct-parts sketch per return flag, then UNION the
     stored sketches for the global estimate — the at-scale
     distinct-counting architecture (sketches are tiny, associative,
     and re-mergeable later without touching the data again; exact
-    countDistinct re-shuffles everything every time). No SQL oracle:
-    estimates are implementation-defined, so the driver records the
-    rows-only check; the pytest pins every estimate (per-flag and
-    union) inside the sketch's error bounds of the exact counts."""
+    countDistinct re-shuffles everything every time).
+
+    Driver-scoreable contract (same shape as s05): emit the exact
+    distinct counts plus a within-relative-tolerance verdict of each
+    sketch estimate — per flag AND for the sketch-union row, so the
+    merge path is scored too, not just the leaf sketches. The oracle
+    computes the same exact values and asserts the verdicts TRUE.
+    The sketch is hash-based and deterministic. pytest additionally
+    pins the estimates inside tighter error bounds."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sk"), F.count("*").alias("n_rows")
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("n_rows"),
+    )
+    verdict = (
+        F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= HLL_SKETCH_TOL
     )
     flags = per_flag.select(
-        "l_returnflag",
-        F.hll_sketch_estimate("sk").alias("distinct_parts"),
-        "n_rows",
+        "l_returnflag", "exact_parts", "n_rows", verdict.alias("within_rel_err")
     )
-    union = per_flag.agg(
-        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
-    ).select(
-        F.lit("__all__").alias("l_returnflag"),
-        F.hll_sketch_estimate("sk").alias("distinct_parts"),
-        "n_rows",
+    glob = li.agg(
+        F.hll_sketch_agg("l_partkey").alias("g_sk"),
+        F.countDistinct("l_partkey").alias("g_exact"),
+    )
+    union = (
+        per_flag.agg(
+            F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.lit("__all__").alias("l_returnflag"),
+            F.col("g_exact").alias("exact_parts"),
+            "n_rows",
+            (
+                F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("g_exact"))
+                / F.col("g_exact")
+                <= HLL_SKETCH_TOL
+            ).alias("within_rel_err"),
+        )
     )
     return flags.unionByName(union).orderBy("l_returnflag")
+
+
+ORACLE["s08_hll_sketch_union"] = """
+WITH flags AS (
+  SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         count(*)                  AS n_rows,
+         TRUE                      AS within_rel_err
+  FROM lineitem GROUP BY l_returnflag
+), overall AS (
+  SELECT '__all__'                 AS l_returnflag,
+         count(DISTINCT l_partkey) AS exact_parts,
+         count(*)                  AS n_rows,
+         TRUE                      AS within_rel_err
+  FROM lineitem
+)
+SELECT * FROM flags UNION ALL SELECT * FROM overall
+ORDER BY l_returnflag
+"""
 
 
 def s09_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:

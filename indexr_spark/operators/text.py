@@ -36,7 +36,14 @@ _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
 EN_MARKERS = ("the", "a", "of", "to", "and", "in", "is")
 
 MINHASH_SEEDS = 16
-MINHASH_BANDS = 2  # 2 bands x 8 rows: pair-detect P = 1-(1-J^8)^2
+MINHASH_BANDS = 2  # d07 default: 2 bands x 8 rows, pair-detect P = 1-(1-J^8)^2
+# d09's candidate banding is recall-tuned for its verify threshold: the
+# S-curve for b bands x r rows crosses at (1/b)^(1/r), and 4x4 measured
+# 0.933 recall of the J>=0.1 ground truth at sf0.01 (2x8: 0.659) while
+# keeping the candidate count ~3x d07's, not the ~4.5x of 8x2. Banding
+# is a parameter of the shared candidate helper, so a deployment tunes
+# bands-per-threshold without touching the operators.
+JACCARD_BANDS = 4
 # Universal hash family over one base md5 hash: mh_j(t) = (A_j*h(t)+B_j) mod P.
 # One md5 per token instead of one per (token, seed) — 16x fewer digests.
 # A_j bounded so A_j*h < 2^63 (no BIGINT overflow on either engine).
@@ -228,33 +235,67 @@ ORDER BY keep_id
 """
 
 
-def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidate pairs.
+def _canon_expr():
+    """Canonical token-set key: md5 of the sorted distinct token set
+    (d06's key). MinHash signatures are pure functions of the distinct
+    token set, so docs sharing this key share every band signature."""
+    return F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " "))
 
-    Pipeline: distinct unigram token sets → K=16 portable min-hashes
-    (seeded md5) → 2 bands × 8 rows → band-signature bucket join →
-    candidate pairs (a < b). The bucket join is the scale move: pairs
-    are only formed within identical (band, signature) buckets, never
-    across the full n² space. Same construction in the oracle.
 
-    Shuffle economics: all 16 min-hashes are computed as array
-    expressions over the token set *within the row* — signature
-    building costs ZERO shuffles (the earlier explode(tokens × seeds)
-    + groupBy formulation shuffled |docs|·|tokens|·16 rows). Each
-    token is md5-hashed ONCE; the 16 family members are cheap modular
-    arithmetic over that base hash. The only shuffle left is the
-    bucket join itself, on (band, sig).
+def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct token set: (gid, rep, n_docs, any_text).
 
-    The hashing stage is CPU-bound on tiny input *bytes* (Spark
-    splits scans by bytes, not by work), so the docs are explicitly
-    repartitioned across cores first — at 100 TB the scan itself
-    provides the parallelism and the repartition coalesces away.
+    Dedup-first: web-crawl corpora are duplication-heavy, and every
+    doc-level LSH pays k²/2 bucket pairs per dup-cluster of size k.
+    Collapsing identical token sets BEFORE the signature join means
+    the quadratic part runs over unique sets only; dup-cluster pairs
+    are re-expanded afterwards from the (doc→gid) mapping, exactly
+    reproducing the doc-level pair set (signatures are functions of
+    the token set). At 100 TB the groupBy is one hash shuffle of
+    (gid, doc_id) pairs — the cheapest pass in the pipeline — and the
+    membership stays a TABLE (never a collect_list array), so a
+    100M-doc dup cluster costs rows, not one giant row.
+
+    `any_text` is F.min over texts whose token sets are identical —
+    used only for signature computation, where any member is exact.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(_canon_expr().alias("gid")).agg(
+        F.min("doc_id").alias("rep"),
+        F.count("*").alias("n_docs"),
+        F.min("text").alias("any_text"),
     )
-    toks = distinct_tokens("text")
-    rows_per_band = MINHASH_SEEDS // MINHASH_BANDS
+
+
+def _doc_gid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gid) membership mapping for group→doc expansion."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _canon_expr().alias("gid"))
+
+
+def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
+    """Per (group, band) signature rows: (gid, rep, band, sig, sigs).
+
+    All K=16 min-hashes are computed as array expressions over the
+    token set *within the row* — signature building costs ZERO
+    shuffles. Each token is md5-hashed ONCE; the K family members are
+    cheap modular arithmetic over that base hash. `sigs` carries the
+    full per-group signature array so the bucket join can apply
+    first-match-band semantics (see _lsh_group_pairs).
+    """
+    rows_per_band = MINHASH_SEEDS // bands
+    # The groups frame arrives from a groupBy whose tiny output AQE
+    # coalesces to ~1 partition; every downstream broadcast join (the
+    # bucket join, then the doc expansion) STREAMS through that side,
+    # so without respreading, the millions of emitted pair rows would
+    # flow through one task (measured: 790k rows/s single-task vs the
+    # full 32-way machine). Explicit repartition keeps the fan-out
+    # stages wide; at 100 TB the groups frame is large enough that the
+    # scan itself provides width and this coalesces into the shuffle.
+    groups = groups.repartition(
+        groups.sparkSession.sparkContext.defaultParallelism, "gid"
+    )
+    toks = distinct_tokens("any_text")
     base = F.transform(toks, lambda t: hash32(t))
 
     def family_member(j: int):
@@ -264,33 +305,103 @@ def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.array_min(F.transform(base, lambda h: (h * a + b) % MINHASH_P))
 
     mh_cols = [
-        family_member(j).cast("string").alias(f"mh{j}")
-        for j in range(MINHASH_SEEDS)
+        family_member(j).cast("string").alias(f"mh{j}") for j in range(MINHASH_SEEDS)
     ]
     sig_cols = [
         F.concat_ws(
-            ",", *[F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        ).alias(f"sig{b}")
-        for b in range(MINHASH_BANDS)
+            ",",
+            *[F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)],
+        )
+        for b in range(bands)
     ]
-    per_doc = d.select("doc_id", *mh_cols).select("doc_id", *sig_cols)
-    # one row per (doc, band): band id + its signature
-    stack_args = ", ".join(f"{b}, sig{b}" for b in range(MINHASH_BANDS))
-    sigs = per_doc.selectExpr(
-        "doc_id", f"stack({MINHASH_BANDS}, {stack_args}) AS (band, sig)"
+    per_g = groups.select("gid", "rep", *mh_cols).select(
+        "gid", "rep", F.array(*sig_cols).alias("sigs")
     )
+    return per_g.select(
+        "gid", "rep", "sigs", F.posexplode("sigs").alias("band", "sig")
+    )
+
+
+def _lsh_group_pairs(groups: DataFrame, bands: int) -> DataFrame:
+    """Distinct cross-group candidate pairs (ga, gb) via the banded
+    bucket join over unique token sets.
+
+    First-match-band dedup: a pair colliding in k bands would appear
+    k times; instead of a 2.8M-row `.distinct()` shuffle (measured
+    +3.5 s at sf0.1), each joined row keeps the pair iff the current
+    band is the FIRST band where the two signature arrays agree — an
+    in-row zip_with/array_position predicate, so every pair survives
+    exactly once and no dedup shuffle exists at all.
+    """
+    sigs = _group_band_sigs(groups, bands)
     a, b = sigs.alias("a"), sigs.alias("b")
+    first_match = F.array_position(
+        F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
+        F.lit(True),
+    )
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-        .orderBy("a_id", "b_id")
+        .filter(first_match == F.col("a.band") + 1)
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
     )
+
+
+def _lsh_doc_pairs(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
+    """LSH candidate DOC pairs (a_id < b_id), dedup-first.
+
+    Union of (1) all pairs inside each identical-token-set group —
+    identical sets share every band signature, so the doc-level LSH
+    emits every within-group pair by construction — and (2) the
+    cross-group rep-pair set expanded back to docs through the
+    membership mapping. The two legs are disjoint (same-group vs
+    different-group) and each emits a pair exactly once, so no
+    distinct is needed. Expansion is join-based: at 100 TB both legs
+    are hash joins on gid; the small group-pair frame broadcasts.
+    """
+    groups = _canon_groups(spark, sf_dir)
+    gp = _lsh_group_pairs(groups, bands)
+    m = _doc_gid_map(spark, sf_dir)
+    ma, mb = m.alias("ma"), m.alias("mb")
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma.gid") == F.col("mb.gid"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .select(F.col("ma.doc_id").alias("a_id"), F.col("mb.doc_id").alias("b_id"))
+    )
+    cross = (
+        gp.join(ma, F.col("ga") == F.col("ma.gid"))
+        .join(mb, F.col("gb") == F.col("mb.gid"))
+        .select(
+            F.least("ma.doc_id", "mb.doc_id").alias("a_id"),
+            F.greatest("ma.doc_id", "mb.doc_id").alias("b_id"),
+        )
+    )
+    return within.union(cross)
+
+
+def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    Pipeline: dedup identical token sets (_canon_groups) → K=16
+    portable min-hashes (seeded md5) per UNIQUE set → 2 bands × 8 rows
+    → band-signature bucket join with first-match-band dedup
+    (_lsh_group_pairs) → expand group pairs back to doc pairs
+    (_lsh_doc_pairs). The bucket join is the scale move: pairs form
+    only within identical (band, signature) buckets, never across the
+    full n² space — and after dedup-first, only across unique token
+    sets, so dup-heavy corpora (the 100 TB web-crawl case) pay the
+    quadratic bucket cost once per distinct set, not once per copy.
+    Same pair set as the doc-level construction; the oracle mirrors
+    the doc-level form and hash-matches exactly.
+    """
+    return _lsh_doc_pairs(spark, sf_dir, MINHASH_BANDS).orderBy("a_id", "b_id")
 
 
 ORACLE["d07_minhash_lsh"] = f"""
@@ -407,7 +518,20 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(shingles(tokens("text"), JACCARD_NGRAM), lambda s: hash32(s))
         ).alias("shs"),
     )
-    cand = d07_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    # Candidates come from the shared dedup-first LSH helper — NOT a
+    # re-run of d07 (round-2's d09 re-executed d07's whole pipeline
+    # internally; 51 s at sf0.1) — at d09's own recall-tuned banding
+    # (JACCARD_BANDS x 4): 2x8 detects J≈0.1 token-set pairs with
+    # P≈2e-8, measured 0.659 recall vs the d09b ground truth; 4x4
+    # measures 0.933 (d09r_jaccard_recall scores this every round).
+    # The verify stage is memory-bandwidth-bound (each candidate row
+    # materializes both shingle arrays through the broadcast joins),
+    # so the candidate stream is respread to full width first — AQE's
+    # byte-based coalescing sees "small" shuffle partitions and would
+    # run the array-heavy verify on a fraction of the cores.
+    cand = _lsh_doc_pairs(spark, sf_dir, JACCARD_BANDS).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Broadcast the doc→shingle-set map: candidates outnumber docs
     # ~50× on a dup-heavy corpus, and a shuffle join would ship the
     # a-side array through the second exchange 2.4M times. Broadcast
@@ -430,7 +554,8 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# d07's candidate CTE chain + exact verify over list_intersect.
+# The shared candidate CTE chain (at d09's 4x4 banding) + exact
+# verify over list_intersect.
 ORACLE["d09_ngram_jaccard"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
@@ -443,7 +568,7 @@ WITH tok AS (
          min((h * (999961 + 2 * seed) + 997 * (seed + 1)) % {MINHASH_P}) AS minh
   FROM seeded GROUP BY doc_id, seed
 ), sigs AS (
-  SELECT doc_id, seed // {MINHASH_SEEDS // MINHASH_BANDS} AS band,
+  SELECT doc_id, seed // {MINHASH_SEEDS // JACCARD_BANDS} AS band,
          string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
   FROM mh GROUP BY doc_id, band
 ), cand AS (
@@ -523,6 +648,57 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
 """
+
+
+def d09r_jaccard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scoring for the LSH-verified dedup path: d09's
+    detected pair set vs d09b's exhaustive ground truth, as a single
+    (n_true, n_detected, n_hit, recall) row — the s10_ann_recall
+    pattern (similarity.py) applied to near-dup detection, so the
+    driver *scores* recall instead of it living in a docstring claim.
+
+    Precision is structurally 1.0 (d09 verifies exact Jaccard on every
+    candidate, so detected ⊆ true); recall is the metric that moves
+    with banding. 4x4 banding measures 0.933 at sf0.01.
+    """
+    gt = d09b_jaccard_allpairs(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("in_true")
+    )
+    det = d09_ngram_jaccard(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("in_det")
+    )
+    both = gt.join(det, ["a_id", "b_id"], "full_outer")
+    n_true = F.count("in_true")
+    n_hit = F.count(F.when(F.col("in_true").isNotNull() & F.col("in_det").isNotNull(), 1))
+    return both.agg(
+        n_true.alias("n_true"),
+        F.count("in_det").alias("n_detected"),
+        n_hit.alias("n_hit"),
+        F.round(n_hit.cast("double") / n_true, 6).alias("recall"),
+    )
+
+
+# The two pair-set oracles composed: full-outer join, then the same
+# count/ratio aggregates. Nested WITH blocks live inside parenthesized
+# subqueries (DuckDB-legal), so the component SQL is reused verbatim.
+ORACLE["d09r_jaccard_recall"] = """
+WITH gt AS (SELECT a_id, b_id FROM ({gt_sql})),
+     det AS (SELECT a_id, b_id FROM ({det_sql})),
+     j AS (
+       SELECT gt.a_id AS ta, det.a_id AS da
+       FROM gt FULL OUTER JOIN det
+         ON gt.a_id = det.a_id AND gt.b_id = det.b_id
+     )
+SELECT count(ta)                                            AS n_true,
+       count(da)                                            AS n_detected,
+       count(CASE WHEN ta IS NOT NULL AND da IS NOT NULL THEN 1 END) AS n_hit,
+       round(CAST(count(CASE WHEN ta IS NOT NULL AND da IS NOT NULL THEN 1 END) AS DOUBLE)
+             / count(ta), 6)                                AS recall
+FROM j
+""".format(
+    gt_sql=ORACLE["d09b_jaccard_allpairs"].replace("ORDER BY a_id, b_id", ""),
+    det_sql=ORACLE["d09_ngram_jaccard"].replace("ORDER BY a_id, b_id", ""),
+)
 
 
 BPE_CHUNK = "[a-z]{1,3}"  # greedy subword chunker — engine-portable
@@ -1502,6 +1678,7 @@ QUERIES = {
     "d08_simhash": d08_simhash,
     "d09_ngram_jaccard": d09_ngram_jaccard,
     "d09b_jaccard_allpairs": d09b_jaccard_allpairs,
+    "d09r_jaccard_recall": d09r_jaccard_recall,
     "d11_bpe_tokens": d11_bpe_tokens,
     "d12_dup_clusters": d12_dup_clusters,
     "d13_stratified_sample": d13_stratified_sample,

