@@ -16,11 +16,26 @@ d12_dup_clusters and d20_cluster_keep_best are excluded for the same
 single-number reason: both are iterative multi-job algorithms
 (connected components), so their wall time is round-count × d07's,
 measuring convergence not throughput; correctness is still
-oracle-gated at sf0.01.
+oracle-gated at sf0.01. d09r_jaccard_recall embeds d09b, so it is
+excluded with it.
 
 Timing = full query wall time (plan + execute + count), after a small
 session warm-up so JVM/session startup isn't attributed to the first
 query.
+
+Round-2 inflation postmortem: BENCH_r02 recorded 2-19x blowups on
+trivial unchanged queries (q20 0.24->4.48s, q26 0.25->3.23s). Root
+cause investigation (round 3): NOT reproducible — replaying the exact
+bench prefix that preceded those queries in a fresh session yields
+0.14-0.32s for every query in the inflation cluster, both cold and
+warm. The plans were already the right ones (single map-combined
+aggregates); the recorded numbers reflect machine-level contention
+during that bench capture, not engine behavior. Defenses added
+anyway: a short periodic-GC interval bounds broadcast/checkpoint
+block accumulation across the 70+-query session, the table cache is
+cleared between queries, and the result JSON is also written to
+bench_out.json so a truncated stdout capture can't lose entries
+(BENCH_r02's tail was cut).
 """
 
 from __future__ import annotations
@@ -122,7 +137,15 @@ def main() -> None:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = -1.0
-    spark = get_spark(app_name="indexr-bench")
+    spark = get_spark(
+        app_name="indexr-bench",
+        # Long multi-query sessions accumulate broadcast + checkpoint
+        # blocks that the ContextCleaner only frees on a driver GC;
+        # the default periodic-GC interval (30 min) lets them pile up
+        # for the whole run. One minute bounds the pile without
+        # measurable per-query cost.
+        extra_confs={"spark.cleaner.periodicGC.interval": "60s"},
+    )
 
     # Warm up session + parquet footers + the Python worker pool once;
     # not attributed to queries (a long-lived cluster has all three warm).
@@ -140,19 +163,22 @@ def main() -> None:
             operators.QUERIES[name](spark, sf_dir).count()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # stdout for the driver capture AND a file copy so a truncated
+    # capture can't lose per-query entries.
+    print(payload)
+    (_REPO / "bench_out.json").write_text(payload + "\n")
     spark.stop()
 
 

@@ -46,40 +46,67 @@ for _m in _MODULES:
 assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 
 # The driver scores only the first 50 registry entries per round, so
-# queries with no green CORRECTNESS row yet must come first regardless
-# of which module they live in. This list = (all queries absent from
-# CORRECTNESS_r01.json) + d13 (r01's one red row, fixed since).
-# Prune it as rounds record green rows; keep any new operator's name
-# here until its first green row.
-_NEVER_SCORED = [
-    "q39_pruned_catalog_scan",
-    "q41_grouping_sets",
-    "q42_window_suite",
-    "q43_null_semantics",
-    "q44_date_functions",
-    "d13_stratified_sample",
-    "d17_doc_chunking",
-    "d18_sequence_packing",
-    "d21_tfidf_topterms",
-    "d22_bigram_counts",
-    "q40_array_functions",
-    "q45_string_functions",
-    "mm05_audio_frames",
-    "d23_ngram_contamination",
-    "d24_quality_filter",
-    "d25_token_budget_sample",
-    "s10_ann_recall",
-    "q46_scalar_subquery",
-    "d09b_jaccard_allpairs",
-    "d16_repetition_stats",
-    "d19_source_mixture",
+# the window must hold (a) queries whose code changed since their last
+# green row — their old row no longer certifies HEAD — and (b) rows
+# last scored in round 1, now two rounds stale. Round-3 priority:
+# the rewritten LSH family (d07/d09 + the new d09r recall scorer, and
+# d12/d20 which consume d07's edges), the restructured sketch queries
+# (s05/s08 — previously no_oracle, now tolerance-verdict-scored), then
+# every r1-only row. Everything scored green in r2 is unchanged at
+# HEAD and rotates to the tail. Keep pruning each round: new or
+# changed operators enter at the head until their green row lands.
+_PRIORITY = [
+    # changed this round
+    "d07_minhash_lsh",
+    "d09_ngram_jaccard",
+    "d09r_jaccard_recall",
+    "d12_dup_clusters",
     "d20_cluster_keep_best",
-    "d26_source_regression",
-    "q47_moment_stats",
+    "s05_approx_stats",
+    "s08_hll_sketch_union",
+    # last scored in r1 (stale two rounds)
+    "d14_normalize_text",
+    "d15_contamination",
+    "q01_pricing_summary",
+    "q02_filter_scan",
+    "q03_scalar_expr",
+    "q04_agg_having_limit_offset",
+    "q05_distinct_agg",
+    "q06_join_broadcast",
+    "q07_multi_join",
+    "q08_window_topk",
+    "q09_sort_limit_offset",
+    "q10_intersect",
+    "q11_except",
+    "q12_rollup",
+    "q13_date_agg",
+    "q14_conditional_agg",
+    "q15_window_running",
+    "q16_like_filters",
+    "q17_union_hybrid",
+    "q18_sql_embedded",
+    "q19_update_column_expr",
+    "q20_events_rollup",
+    "q21_sessionize",
+    "q22_events_hourly",
+    "q23_json_props",
+    "q24_events_pivot",
+    "q26_div_zero_compat",
+    "q28_cube",
+    "q29_anti_join",
+    "q30_correlated_avg",
+    "q31_outer_join",
+    "q32_semi_join",
+    "q33_shipping_priority",
+    "q34_range_join",
+    "q35_moving_avg",
+    "q36_latest_per_user",
+    "q37_funnel",
+    "q38_retention",
 ]
-_missing = [n for n in _NEVER_SCORED if n not in QUERIES]
+_missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"
 QUERIES = {
-    **{n: QUERIES[n] for n in _NEVER_SCORED},
-    **{n: f for n, f in QUERIES.items() if n not in _NEVER_SCORED},
+    **{n: QUERIES[n] for n in _PRIORITY},
+    **{n: f for n, f in QUERIES.items() if n not in _PRIORITY},
 }

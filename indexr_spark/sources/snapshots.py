@@ -19,7 +19,38 @@ version — run one writer per table, as the reference does.
 Layout:
     <table>/data/<uuid>-part-*.parquet   immutable data files
     <table>/_manifests/v<N>.json        {"version": N, "files": [...]}
-    <table>/_manifests/LATEST           "N" (the pointer bump)
+    <table>/_manifests/LATEST           "N" (pointer CACHE — see below)
+
+Commit protocol / object-store portability
+------------------------------------------
+The committed state of the table is the SET OF MANIFEST FILES, and a
+commit IS the successful create-if-absent of v(N+1).json: exactly one
+committer can create a given version file, so version allocation needs
+no coordination service. Everything else is advisory:
+
+* `LATEST` is a monotonic cache of max(vN) so readers avoid a listing;
+  `latest_version` falls back to listing the manifest directory, so a
+  committer that crashes between manifest create and pointer bump
+  delays nobody and loses nothing.
+* The `.commit.lock` file only serializes LOCAL committers to avoid
+  wasted work (losers re-attempt at the next version); correctness
+  never depends on it — the concurrent-committer test runs with the
+  lock disabled.
+
+On a real 100 TB warehouse the same protocol maps onto each store's
+conditional primitive: HDFS `create()` without overwrite, S3
+`If-None-Match: *` conditional PUT, GCS `ifGenerationMatch=0`, ABFS
+conditional create. (Stores with no conditional write at all need a
+catalog service for the arbiter — Hive/Glue/Nessie — which is exactly
+the Delta/Iceberg requirement; the reference used ZooKeeper for the
+same coordination, HybridTable.java:64-82.)
+
+Single-writer caveat (documented contract): concurrent APPENDS both
+base on the same parent version — the loser's retry re-reads the
+parent and re-lists `old ∪ new`, so run ONE logical writer per table
+for appends (as the reference does); concurrent full `write_snapshot`
+replacements are safe (last committed version wins, all versions
+remain time-travel readable).
 """
 
 from __future__ import annotations
@@ -83,12 +114,26 @@ def _manifest_dir(path: str) -> str:
 
 
 def latest_version(path: str) -> int:
-    """Current committed version, or 0 if the table has none."""
-    ptr = os.path.join(_manifest_dir(path), "LATEST")
-    if not os.path.exists(ptr):
-        return 0
-    with open(ptr) as f:
-        return int(f.read().strip())
+    """Current committed version, or 0 if the table has none.
+
+    The LATEST pointer is a cache; the manifest file set is the truth.
+    A committer that crashed after creating v(N).json but before the
+    pointer bump must not hide its (fully valid) commit, so the scan
+    takes the max of both. The scan is one metadata listing of a tiny
+    directory — on an object store, one LIST call."""
+    mdir = _manifest_dir(path)
+    cached = 0
+    ptr = os.path.join(mdir, "LATEST")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cached = int(f.read().strip())
+    scanned = 0
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                with contextlib.suppress(ValueError):
+                    scanned = max(scanned, int(name[1:-5]))
+    return max(cached, scanned)
 
 
 def _load_manifest(path: str, version: int) -> dict:
@@ -132,9 +177,17 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
         with open(tmp, "w") as f:
             f.write(str(version))
         latest = os.path.join(_manifest_dir(path), "LATEST")
-        # the lock makes this check-then-replace atomic; the guard
-        # stays as defense in depth for the stale-lock-reclaim window
-        if latest_version(path) < version:
+        # Bump the pointer CACHE monotonically (compare against the
+        # cached value, not latest_version() — that scan would see the
+        # manifest this very commit just created). A lost race here is
+        # harmless: the pointer is advisory and latest_version()'s
+        # manifest scan remains the truth.
+        cached = 0
+        if os.path.exists(latest):
+            with open(latest) as f:
+                with contextlib.suppress(ValueError):
+                    cached = int(f.read().strip())
+        if cached < version:
             os.replace(tmp, latest)  # atomic bump
         else:
             os.remove(tmp)

@@ -162,3 +162,83 @@ def test_concurrent_commits_serialize(tmp_path):
     assert not os.path.exists(
         os.path.join(path, "_manifests", ".commit.lock")
     )
+
+
+def test_concurrent_commits_without_lock(tmp_path, monkeypatch):
+    """Object-store simulation: with the local commit lock DISABLED,
+    correctness must come from the conditional manifest create alone
+    (create-if-absent is the one primitive object stores offer —
+    S3 If-None-Match, GCS ifGenerationMatch=0). Every racing committer
+    must still be allocated a distinct version and no manifest may be
+    overwritten."""
+    import contextlib as _ctx
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexr_spark.sources import snapshots as S
+
+    @_ctx.contextmanager
+    def no_lock(path):
+        yield
+
+    monkeypatch.setattr(S, "_commit_lock", no_lock)
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "data"))
+    rels = []
+    for i in range(8):
+        rel = os.path.join("data", f"f{i}.parquet")
+        pq.write_table(pa.table({"k": [i]}), os.path.join(path, rel))
+        rels.append(rel)
+
+    barrier = threading.Barrier(8)
+    results: dict[str, int] = {}
+    errors: list[Exception] = []
+
+    def commit_one(rel: str):
+        try:
+            barrier.wait()
+            results[rel] = S._commit(path, [rel])
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=commit_one, args=(r,)) for r in rels]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # one distinct version per committer, nothing lost or overwritten
+    assert sorted(results.values()) == list(range(1, 9))
+    for rel, v in results.items():
+        assert S._load_manifest(path, v)["files"] == [rel]
+    assert S.latest_version(path) == 8
+
+
+def test_latest_version_survives_crashed_pointer_bump(tmp_path):
+    """A committer that dies between manifest create and the LATEST
+    pointer bump must not hide its commit: the pointer is a cache and
+    the manifest scan is the truth."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexr_spark.sources.snapshots import _commit, latest_version
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "data"))
+    rel = os.path.join("data", "f0.parquet")
+    pq.write_table(pa.table({"k": [1]}), os.path.join(path, rel))
+    assert _commit(path, [rel]) == 1
+    # simulate the crash: v2 manifest exists, pointer still says 1
+    mdir = os.path.join(path, "_manifests")
+    with open(os.path.join(mdir, "v2.json"), "x") as f:
+        _json.dump({"version": 2, "files": [rel]}, f)
+    with open(os.path.join(mdir, "LATEST")) as f:
+        assert f.read().strip() == "1"
+    assert latest_version(path) == 2
+    # the next commit allocates PAST the orphan, never on top of it
+    assert _commit(path, [rel]) == 3

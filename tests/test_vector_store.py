@@ -83,3 +83,48 @@ def test_build_and_probe(spark, tmp_path):
     # nprobe dial: probing more cells can only widen the candidate set
     res_all = ivf_probe(spark, store, queries, k=3, nprobe=8)
     assert res_all.count() == res.count()
+
+
+def test_probe_df_matches_collect_path_and_scales(spark, tmp_path):
+    """ivf_probe_df (no driver collect of queries) must return exactly
+    what ivf_probe returns on the same probe set, and must execute a
+    10k-query batch as a broadcast join plan — queries stay a
+    DataFrame end to end."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Row
+
+    from indexr_spark.sources.vector_store import ivf_probe_df
+
+    store = str(tmp_path / "ivf")
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    build_ivf_store(spark, emb, store, n_cells=8)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    for nprobe in (1, 2):
+        a = ivf_probe(spark, store, queries, k=3, nprobe=nprobe).collect()
+        b = ivf_probe_df(spark, store, queries, k=3, nprobe=nprobe).collect()
+        assert a == b, (nprobe, a[:5], b[:5])
+
+    # 10k synthetic queries: tile the corpus embeddings with new ids —
+    # the probe must run without any driver-side iteration of queries
+    dim_vec = emb.select("embedding").first()["embedding"]
+    base = emb.select("vec_id", "embedding").limit(100).collect()
+    big = spark.createDataFrame(
+        [
+            Row(q_id=int(1000 + i), embedding=base[i % len(base)]["embedding"])
+            for i in range(10_000)
+        ]
+    )
+    res = ivf_probe_df(spark, store, big, k=3, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    out = res.groupBy("q_id").count()
+    assert out.count() == 10_000
+    assert out.filter(F.col("count") != 3).count() == 0
