@@ -756,8 +756,10 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # materialize the candidate pairs once; every derived count/join
-    # below reads the checkpoint instead of re-running the LSH job
-    edges = d07_minhash_lsh(spark, sf_dir).select("a_id", "b_id").localCheckpoint()
+    # below reads the checkpoint instead of re-running the LSH job.
+    # The unordered helper, not d07 itself: edges feed joins, so d07's
+    # oracle-determinism orderBy would be a wasted global sort here.
+    edges = _lsh_doc_pairs(spark, sf_dir, MINHASH_BANDS).localCheckpoint()
     # Pin the edge list's partitioning to the join key: every round's
     # und⋈labels join then reuses it instead of re-shuffling the
     # (static) edges. Partition count scales with the measured edge

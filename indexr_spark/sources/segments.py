@@ -27,6 +27,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import threading
 from typing import Any
 
 import pyarrow.parquet as pq
@@ -233,8 +234,7 @@ def build_cmap_index(spark: SparkSession, path: str, columns: list[str]) -> dict
         for r in rows:
             rel = os.path.relpath(r["file"].removeprefix("file:"), path)
             out.setdefault(rel, {})[column] = "".join(sorted(r["chars"]))
-    with open(os.path.join(path, CMAP_NAME), "w") as f:
-        json.dump({"version": 1, "files": out}, f, indent=1)
+    _atomic_json_write(os.path.join(path, CMAP_NAME), {"version": 1, "files": out})
     return out
 
 
@@ -294,6 +294,18 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
+def _atomic_json_write(final: str, payload: dict) -> None:
+    """Atomic publish (temp + rename): a reader racing this write must
+    see the old file or the new one, never a truncated one — plain
+    open("w") exposes an empty file mid-write (caught live by the
+    lock-free concurrent-commit test). os.replace is atomic on POSIX;
+    on an object store the equivalent is the PUT itself."""
+    tmp = f"{final}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, final)
+
+
 def write_sidecar(path: str, files_rel: list[str] | None = None) -> dict:
     """Fold parquet row-group footer stats into per-file min/max —
     ColumnNode.java:33-60's fold of pack min/max, at file grain.
@@ -305,8 +317,14 @@ def write_sidecar(path: str, files_rel: list[str] | None = None) -> dict:
     commit re-reads footers only for files new in this version."""
     prev: dict[str, dict] = {}
     if files_rel is not None and os.path.exists(os.path.join(path, SIDECAR_NAME)):
-        with open(os.path.join(path, SIDECAR_NAME)) as f:
-            prev = {e["path"]: e for e in json.load(f).get("files", [])}
+        # The sidecar is a derived cache: if a concurrent committer is
+        # mid-replace (or the file is damaged), recompute every footer
+        # instead of failing the commit.
+        try:
+            with open(os.path.join(path, SIDECAR_NAME)) as f:
+                prev = {e["path"]: e for e in json.load(f).get("files", [])}
+        except (ValueError, OSError, KeyError):
+            prev = {}
     if files_rel is not None:
         targets = [os.path.join(path, rel) for rel in sorted(files_rel)]
     else:
@@ -324,8 +342,7 @@ def write_sidecar(path: str, files_rel: list[str] | None = None) -> dict:
             continue
         files.append(_file_stats_entry(path, fpath))
     sidecar = {"version": 1, "files": files}
-    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
-        json.dump(sidecar, f, indent=1, default=str)
+    _atomic_json_write(os.path.join(path, SIDECAR_NAME), sidecar)
     return sidecar
 
 
@@ -432,8 +449,7 @@ def write_sidecar_spark(spark: SparkSession, path: str, file_format: str) -> dic
             }
         )
     sidecar = {"version": 1, "files": files}
-    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
-        json.dump(sidecar, f, indent=1, default=str)
+    _atomic_json_write(os.path.join(path, SIDECAR_NAME), sidecar)
     return sidecar
 
 

@@ -1,0 +1,106 @@
+"""Equivalence pin for the dedup-first LSH candidate generator.
+
+d07/d09's candidates now come from _lsh_doc_pairs: identical token
+sets collapse to one group before the banded signature join, colliding
+bands dedup via a first-match predicate, and group pairs re-expand to
+doc pairs through joins. The claim that makes this safe is exact pair-
+set equality with the naive doc-level construction (signatures are
+pure functions of the distinct token set). This test checks that claim
+on a synthetic corpus engineered to hit every edge at once:
+
+* large duplicate clusters (identical texts),
+* same-token-SET-different-order docs (canonical-group members whose
+  texts differ),
+* near-dup docs colliding in band 1 but not band 0 (first-match path),
+* docs colliding in BOTH bands (the k-fold dup the first-match
+  predicate must emit exactly once),
+* singleton docs with no collisions.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from indexr_spark.functions.text import distinct_tokens, hash32
+from indexr_spark.operators.text import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    MINHASH_SEEDS,
+    _lsh_doc_pairs,
+)
+
+VOCAB = [f"w{i}" for i in range(12)]  # tiny vocab → dense collisions
+
+
+def _corpus(seed: int, n: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    docs = []
+    i = 0
+    while len(docs) < n:
+        kind = rng.random()
+        words = rng.sample(VOCAB, rng.randint(2, 6))
+        text = " ".join(words)
+        docs.append((i, text)); i += 1
+        if kind < 0.3 and len(docs) < n:  # exact-dup cluster
+            for _ in range(rng.randint(1, 4)):
+                if len(docs) < n:
+                    docs.append((i, text)); i += 1
+        elif kind < 0.5 and len(docs) < n:  # same set, different order
+            docs.append((i, " ".join(reversed(words)))); i += 1
+    return docs
+
+
+def _naive_doc_pairs(spark, df, bands: int) -> set[tuple[int, int]]:
+    """Round-2's doc-level construction: per-doc band signatures,
+    bucket self-join, distinct — the reference semantics."""
+    rows_per_band = MINHASH_SEEDS // bands
+    toks = distinct_tokens("text")
+    base = F.transform(toks, lambda t: hash32(t))
+
+    def fam(j):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return F.array_min(F.transform(base, lambda h: (h * a + b) % MINHASH_P))
+
+    mh = [fam(j).cast("string").alias(f"mh{j}") for j in range(MINHASH_SEEDS)]
+    sigs = [
+        F.concat_ws(
+            ",", *[F.col(f"mh{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        ).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    per_doc = df.select("doc_id", *mh).select("doc_id", *sigs)
+    stack = ", ".join(f"{b}, sig{b}" for b in range(bands))
+    s = per_doc.selectExpr("doc_id", f"stack({bands}, {stack}) AS (band, sig)")
+    a, b = s.alias("a"), s.alias("b")
+    got = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    )
+    return {(r.a_id, r.b_id) for r in got}
+
+
+@pytest.mark.parametrize("seed,bands", [(7, 2), (7, 4), (11, 2), (13, 8)])
+def test_dedup_first_equals_doc_level(spark, tmp_path, seed, bands):
+    docs = _corpus(seed, 60)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / f"docs{seed}_{bands}")
+    df.write.parquet(f"{path}/documents.parquet")
+
+    fast = _lsh_doc_pairs(spark, path, bands).collect()
+    fast_pairs = [(r.a_id, r.b_id) for r in fast]
+    # exactly-once emission: no pair may appear twice (the first-match
+    # predicate and the disjoint within/cross legs guarantee it)
+    assert len(fast_pairs) == len(set(fast_pairs))
+    assert set(fast_pairs) == _naive_doc_pairs(spark, df, bands)
