@@ -169,12 +169,18 @@ def d04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle rolling hash (the winnowing-style representative
     fingerprint used for container-level dedup)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(tokens("text"), 3)
-    return d.select(
-        "doc_id",
-        F.md5("text").alias("fp_md5"),
-        F.array_min(F.transform(sh, hash60)).alias("fp_min_shingle"),
-    ).orderBy("doc_id")
+    # token array materialized first — no CSE inside lambdas (see d22)
+    return (
+        d.select("doc_id", "text", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("fp_md5"),
+            F.array_min(
+                F.transform(shingles(F.col("toks"), 3), hash60)
+            ).alias("fp_min_shingle"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 ORACLE["d04_fingerprint"] = f"""
@@ -295,8 +301,16 @@ def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
     groups = groups.repartition(
         groups.sparkSession.sparkContext.defaultParallelism, "gid"
     )
-    toks = distinct_tokens("any_text")
-    base = F.transform(toks, lambda t: hash32(t))
+    # Base token hashes materialized ONCE per group as a column: the 16
+    # family members each reference the base array, and Catalyst does
+    # no CSE inside lambda bodies — passing the raw transform(md5(...))
+    # expression would re-digest every token 16 times (see d22).
+    groups = groups.select(
+        "gid",
+        "rep",
+        F.transform(distinct_tokens("any_text"), lambda t: hash32(t)).alias("hs"),
+    )
+    base = F.col("hs")
 
     def family_member(j: int):
         # closure factory: a 2-arg lambda would be treated by PySpark
@@ -440,7 +454,13 @@ def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing orderBy exists only for oracle determinism. Bit test
     # (h >> j) & 1 is floor(h / 2^j) % 2 — exact in doubles for
     # h < 2^32, and expressible with a captured lambda variable.
-    hashes = F.transform(distinct_tokens("text"), lambda t: hash32(t))
+    # hash array materialized once per row: each of the 32 bit tests
+    # references it, and lambdas get no CSE (see d22)
+    d = d.select(
+        "doc_id",
+        F.transform(distinct_tokens("text"), lambda t: hash32(t)).alias("hs"),
+    )
+    hashes = F.col("hs")
     n = F.size(hashes)
 
     def bit_set(j):
@@ -510,12 +530,13 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array per pair side, and ints cut that shuffle ~3× vs strings.
     # Jaccard over the hashed sets equals Jaccard over the string sets
     # on both engines by construction (identical hash family).
-    shs = d.select(
+    shs = d.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
         F.array_distinct(
             # single-arg lambda: hash32 has an optional seed param, and
-            # a 2-arg callable would get the (element, index) form
-            F.transform(shingles(tokens("text"), JACCARD_NGRAM), lambda s: hash32(s))
+            # a 2-arg callable would get the (element, index) form.
+            # toks pre-projected — no CSE inside lambdas (see d22).
+            F.transform(shingles(F.col("toks"), JACCARD_NGRAM), lambda s: hash32(s))
         ).alias("shs"),
     )
     # Candidates come from the shared dedup-first LSH helper — NOT a
@@ -602,9 +623,12 @@ def d09b_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-vocabulary corpora, so this is the small-corpus/audit tool;
     d09_ngram_jaccard (LSH-verified) is the scale path."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # token array materialized first — no CSE inside lambdas (see d22)
+    sh = d.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(tokens("text"), JACCARD_NGRAM))).alias("sh"),
+        F.explode(
+            F.array_distinct(shingles(F.col("toks"), JACCARD_NGRAM))
+        ).alias("sh"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -990,8 +1014,14 @@ def d16_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is scan-parallel at any corpus size); ratios of integers,
     bit-exact on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    shs = shingles(toks, 2)  # bigrams WITH duplicates
+    # toks/shs materialized as columns first: the most-frequent-bigram
+    # count references shs INSIDE a lambda, and lambdas get no CSE
+    # (see d22) — raw expressions would rebuild every shingle array
+    # once per distinct bigram.
+    base = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", shingles(F.col("toks"), 2).alias("shs")
+    )
+    toks, shs = F.col("toks"), F.col("shs")
     top_bigram = F.coalesce(
         F.array_max(
             F.transform(
@@ -1002,7 +1032,7 @@ def d16_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     n = F.size(toks)
-    return d.select(
+    return base.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
@@ -1381,8 +1411,14 @@ def d22_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; the explode never leaves the input partition before
     the partial aggregate."""
     d = load_table(spark, sf_dir, "documents")
+    # Materialize the token array as a column BEFORE the shingle HOF:
+    # Catalyst does no common-subexpression elimination inside lambda
+    # bodies, so passing the raw tokens(...) expression re-runs the
+    # whole split+filter per element_at — measured 3.7 s vs 0.4 s at
+    # sf0.1 for this query. One Project makes it a per-row attribute.
     return (
-        d.select(F.explode(shingles(tokens("text"), 2)).alias("bigram"))
+        d.select(tokens("text").alias("toks"))
+        .select(F.explode(shingles(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
@@ -1425,12 +1461,15 @@ def d23_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     degeneracy cannot occur. Grams travel as portable 32-bit hashes,
     not strings, cutting shuffle bytes ~4×."""
     d = load_table(spark, sf_dir, "documents")
-    g = d.select(
+    # token array materialized first — no CSE inside lambdas (see d22)
+    g = d.select("doc_id", "source", tokens("text").alias("toks")).select(
         "doc_id",
         "source",
         F.explode(
             F.array_distinct(
-                F.transform(shingles(tokens("text"), CONTAM_NGRAM), lambda s: hash32(s))
+                F.transform(
+                    shingles(F.col("toks"), CONTAM_NGRAM), lambda s: hash32(s)
+                )
             )
         ).alias("g"),
     )
