@@ -56,7 +56,7 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 # HEAD and rotates to the tail. Keep pruning each round: new or
 # changed operators enter at the head until their green row lands.
 _PRIORITY = [
-    # changed this round
+    # changed this round (LSH rewrite + sketch-verdict restructure)
     "d07_minhash_lsh",
     "d09_ngram_jaccard",
     "d09r_jaccard_recall",
@@ -64,6 +64,15 @@ _PRIORITY = [
     "d20_cluster_keep_best",
     "s05_approx_stats",
     "s08_hll_sketch_union",
+    # changed this round (token-array materialization rewrite) — their
+    # r2 green rows predate the rewrite, so rule (a) applies to them
+    # too even though the rewrite is result-identical by construction
+    "d04_fingerprint",
+    "d08_simhash",
+    "d09b_jaccard_allpairs",
+    "d16_repetition_stats",
+    "d22_bigram_counts",
+    "d23_ngram_contamination",
     # last scored in r1 (stale two rounds)
     "d14_normalize_text",
     "d15_contamination",
@@ -102,6 +111,10 @@ _PRIORITY = [
     "q35_moving_avg",
     "q36_latest_per_user",
     "q37_funnel",
+    # NOTE: 51 entries — q38_retention sits at position 51, just past
+    # the 50-query scoring window. Changed-code entries outrank stale
+    # rows (rule a > rule b); q38's code is unchanged since its r1
+    # green row and it rotates into the r4 window.
     "q38_retention",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]

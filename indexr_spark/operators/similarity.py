@@ -581,8 +581,10 @@ def s08_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch estimate — per flag AND for the sketch-union row, so the
     merge path is scored too, not just the leaf sketches. The oracle
     computes the same exact values and asserts the verdicts TRUE.
-    The sketch is hash-based and deterministic. pytest additionally
-    pins the estimates inside tighter error bounds."""
+    The sketch is hash-based and deterministic. (The estimates
+    themselves are engine-specific so they cannot appear in the
+    oracle-checked output; test_hll_sketch_union_accuracy rebuilds
+    them independently and pins them inside the tighter ~2% bound.)"""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk"),

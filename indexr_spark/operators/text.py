@@ -249,7 +249,7 @@ def _canon_expr():
 
 
 def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per distinct token set: (gid, rep, n_docs, any_text).
+    """One row per distinct token set: (gid, rep, any_text).
 
     Dedup-first: web-crawl corpora are duplication-heavy, and every
     doc-level LSH pays k²/2 bucket pairs per dup-cluster of size k.
@@ -268,7 +268,6 @@ def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy(_canon_expr().alias("gid")).agg(
         F.min("doc_id").alias("rep"),
-        F.count("*").alias("n_docs"),
         F.min("text").alias("any_text"),
     )
 

@@ -125,7 +125,8 @@ def latest_version(path: str) -> int:
     cached = 0
     ptr = os.path.join(mdir, "LATEST")
     if os.path.exists(ptr):
-        with open(ptr) as f:
+        # the pointer is advisory: damage falls through to the scan
+        with contextlib.suppress(ValueError, OSError), open(ptr) as f:
             cached = int(f.read().strip())
     scanned = 0
     if os.path.isdir(mdir):
@@ -159,16 +160,29 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
                 **(meta or {}),
             }
             mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
+            # Atomic conditional create: the manifest content is fully
+            # written to a private temp file, then hard-LINKED to the
+            # version name — link() fails if the name exists (exactly
+            # one committer wins the version; a loser advances rather
+            # than overwriting the winner) and the manifest appears
+            # complete-or-not-at-all (a committer dying mid-write
+            # leaves only the invisible temp, never a truncated
+            # v<N>.json that latest_version's scan would surface as
+            # committed truth). Object stores get both properties from
+            # a single conditional PUT.
+            tmp = os.path.join(
+                _manifest_dir(path), f".v{version}.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
             try:
-                # O_EXCL create: belt-and-braces under the lock (a
-                # stale-lock reclaim can briefly admit two holders) —
-                # exactly one committer wins a version number; a loser
-                # advances rather than overwriting the winner.
-                with open(mpath, "x") as f:
-                    json.dump(manifest, f, indent=1)
+                os.link(tmp, mpath)
             except FileExistsError:
                 version += 1
                 continue
+            finally:
+                with contextlib.suppress(OSError):
+                    os.remove(tmp)
             break
         write_sidecar(path, files_rel=manifest["files"])
         tmp = os.path.join(

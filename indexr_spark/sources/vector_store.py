@@ -153,18 +153,29 @@ def ivf_probe_df(
     collect defeats distribution). Here nothing is collected: the
     centroids (a tiny constant) are inlined as literal arrays, each
     query row picks its `nprobe` nearest cells IN-ROW (score every
-    centroid, sort, slice), explodes to (query, cell) rows, and the
-    broadcast join against the cell-partitioned store lets Spark's
-    dynamic partition pruning skip unprobed cells at runtime. Same
-    ranking contract as `ivf_probe` (ties → lower cell id / vec_id).
+    centroid, sort, slice), and explodes to (query, cell) rows for the
+    broadcast join against the cell-partitioned store. A large batch
+    probes essentially every cell (the probed set is data-dependent,
+    so no static partition filter is possible without collecting the
+    queries — exactly the trade between the two paths), which makes
+    the full-store scan the correct plan here; for small interactive
+    sets use `ivf_probe`, whose collect buys static `cell=` pruning.
+    Same ranking contract as `ivf_probe` (ties → lower cell id /
+    vec_id; zero-norm queries take the same norm-1 fallback).
     """
     from pyspark.sql import Window as W
 
     with open(os.path.join(store_dir, CENTROIDS_NAME)) as f:
         centroids = json.load(f)
+    qn_raw = F.sqrt(_dot(F.col("qe"), F.col("qe")))
     q = queries.select(
         "q_id", F.col("embedding").cast("array<double>").alias("qe")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    ).withColumn(
+        # `qn or 1.0` in ivf_probe's driver loop — same zero-vector
+        # fallback, in-row (nullif(0)→null, coalesce→1.0)
+        "qn",
+        F.coalesce(F.nullif(qn_raw, F.lit(0.0)), F.lit(1.0)),
+    )
     # in-row nprobe-cell selection: array_sort on (cos, -cell) structs
     # sorts ascending on both, so reversing yields cos desc with ties
     # broken toward the LOWER cell id — the exact driver-side key.
