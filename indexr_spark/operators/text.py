@@ -16,6 +16,8 @@ and the ORDER BY tails here exist only for oracle determinism.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -335,7 +337,9 @@ def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
     )
 
 
-def _lsh_group_pairs(groups: DataFrame, bands: int) -> DataFrame:
+def _lsh_group_pairs(
+    groups: DataFrame, bands: int, max_bucket: int | None = None
+) -> DataFrame:
     """Distinct cross-group candidate pairs (ga, gb) via the banded
     bucket join over unique token sets.
 
@@ -345,8 +349,39 @@ def _lsh_group_pairs(groups: DataFrame, bands: int) -> DataFrame:
     band is the FIRST band where the two signature arrays agree — an
     in-row zip_with/array_position predicate, so every pair survives
     exactly once and no dedup shuffle exists at all.
+
+    `max_bucket` is the scale valve for pathological corpora: a
+    (band, sig) bucket of k unique sets emits k²/2 pairs, so one
+    boilerplate-heavy signature can dominate the whole join. With a
+    cap, oversized buckets are excluded BEFORE the self-join and the
+    drop is LOGGED with bucket count and forgone-pair estimate —
+    never a silent cap. Off by default: the oracle-matched operators
+    (d07/d09) need the exact pair set; a 100 TB run sets it to keep
+    the worst bucket bounded (recall loss is confined to the dropped
+    signatures, which on real corpora are degenerate boilerplate).
     """
     sigs = _group_band_sigs(groups, bands)
+    if max_bucket is not None:
+        sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("n"))
+        over = sizes.filter(F.col("n") > max_bucket)
+        # metadata-sized driver pull (one row per oversized bucket)
+        dropped = over.agg(
+            F.count("*").alias("buckets"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+        ).collect()[0]
+        if dropped["buckets"]:
+            logging.getLogger(__name__).warning(
+                "LSH bucket cap %d: dropping %d oversized buckets "
+                "(~%d candidate pairs forgone)",
+                max_bucket,
+                dropped["buckets"],
+                int(dropped["pairs"]),
+            )
+            sigs = sigs.join(
+                F.broadcast(over.select("band", "sig")),
+                ["band", "sig"],
+                "left_anti",
+            )
     a, b = sigs.alias("a"), sigs.alias("b")
     first_match = F.array_position(
         F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
@@ -364,7 +399,12 @@ def _lsh_group_pairs(groups: DataFrame, bands: int) -> DataFrame:
     )
 
 
-def _lsh_doc_pairs(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
+def _lsh_doc_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """LSH candidate DOC pairs (a_id < b_id), dedup-first.
 
     Union of (1) all pairs inside each identical-token-set group —
@@ -377,7 +417,7 @@ def _lsh_doc_pairs(spark: SparkSession, sf_dir: str, bands: int) -> DataFrame:
     are hash joins on gid; the small group-pair frame broadcasts.
     """
     groups = _canon_groups(spark, sf_dir)
-    gp = _lsh_group_pairs(groups, bands)
+    gp = _lsh_group_pairs(groups, bands, max_bucket)
     m = _doc_gid_map(spark, sf_dir)
     ma, mb = m.alias("ma"), m.alias("mb")
     within = (
