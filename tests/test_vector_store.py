@@ -128,3 +128,23 @@ def test_probe_df_matches_collect_path_and_scales(spark, tmp_path):
     out = res.groupBy("q_id").count()
     assert out.count() == 10_000
     assert out.filter(F.col("count") != 3).count() == 0
+
+
+def test_probe_paths_agree_on_zero_norm_query(spark, tmp_path):
+    """A zero query vector must take the same norm-1 fallback on both
+    probe paths (the driver-side loop uses `or 1.0`; the DataFrame
+    path mirrors it with nullif/coalesce) — same cells probed, same
+    0.0 cosines, same ranking."""
+    from pyspark.sql import Row
+
+    from indexr_spark.sources.vector_store import ivf_probe_df
+
+    store = str(tmp_path / "ivf")
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    build_ivf_store(spark, emb, store, n_cells=4)
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = spark.createDataFrame([Row(q_id=999, embedding=[0.0] * dim)])
+    a = ivf_probe(spark, store, q, k=3, nprobe=2).collect()
+    b = ivf_probe_df(spark, store, q, k=3, nprobe=2).collect()
+    assert a == b
+    assert all(r.cosine == 0.0 for r in a)
