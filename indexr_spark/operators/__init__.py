@@ -119,6 +119,10 @@ _PRIORITY = [
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"
+# duplicates would silently dedupe in the dict rebuild and shift which
+# entries land inside the driver's first-50 scoring window
+assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority names"
+assert len(_PRIORITY) == 51, "window math documented above assumes 51"
 QUERIES = {
     **{n: QUERIES[n] for n in _PRIORITY},
     **{n: f for n, f in QUERIES.items() if n not in _PRIORITY},

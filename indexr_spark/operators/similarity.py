@@ -599,10 +599,7 @@ def s08_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = per_flag.select(
         "l_returnflag", "exact_parts", "n_rows", verdict.alias("within_rel_err")
     )
-    glob = li.agg(
-        F.hll_sketch_agg("l_partkey").alias("g_sk"),
-        F.countDistinct("l_partkey").alias("g_exact"),
-    )
+    glob = li.agg(F.countDistinct("l_partkey").alias("g_exact"))
     union = (
         per_flag.agg(
             F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")

@@ -357,11 +357,16 @@ def _lsh_group_pairs(
     drop is LOGGED with bucket count and forgone-pair estimate —
     never a silent cap. Off by default: the oracle-matched operators
     (d07/d09) need the exact pair set; a 100 TB run sets it to keep
-    the worst bucket bounded (recall loss is confined to the dropped
-    signatures, which on real corpora are degenerate boilerplate).
+    the worst bucket bounded. Capped mode materializes the signature
+    frame once (localCheckpoint) — the bucket census is a real job —
+    and dedups pairs with a distinct() instead of the first-match
+    predicate: a pair whose FIRST agreeing band was capped away must
+    still surface through a surviving later band, which first-match
+    (computed over the full signature arrays) would wrongly drop.
     """
     sigs = _group_band_sigs(groups, bands)
     if max_bucket is not None:
+        sigs = sigs.localCheckpoint()  # census + join read one run
         sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("n"))
         over = sizes.filter(F.col("n") > max_bucket)
         # metadata-sized driver pull (one row per oversized bucket)
@@ -372,7 +377,7 @@ def _lsh_group_pairs(
         if dropped["buckets"]:
             logging.getLogger(__name__).warning(
                 "LSH bucket cap %d: dropping %d oversized buckets "
-                "(~%d candidate pairs forgone)",
+                "(~%d within-bucket candidate pairs affected)",
                 max_bucket,
                 dropped["buckets"],
                 int(dropped["pairs"]),
@@ -383,18 +388,23 @@ def _lsh_group_pairs(
                 "left_anti",
             )
     a, b = sigs.alias("a"), sigs.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.rep") < F.col("b.rep")),
+    )
+    if max_bucket is not None:
+        # surviving-band collisions must all count; dedup by value
+        return joined.select(
+            F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb")
+        ).distinct()
     first_match = F.array_position(
         F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
         F.lit(True),
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
-        .filter(first_match == F.col("a.band") + 1)
+        joined.filter(first_match == F.col("a.band") + 1)
         .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
     )
 

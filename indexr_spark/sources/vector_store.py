@@ -192,8 +192,13 @@ def ivf_probe_df(
     )
     store = _prepared(spark.read.parquet(store_dir))
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    # No broadcast hint: AQE broadcasts the query side while it fits
+    # (a 10k batch is a few MB) and falls back to a shuffle hash join
+    # on cell when a truly huge batch would OOM the driver — a forced
+    # broadcast would reintroduce the driver bottleneck this path
+    # exists to avoid.
     pairs = (
-        store.join(F.broadcast(q), ["cell"])
+        store.join(q, ["cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cos.alias("cos"))
     )

@@ -125,12 +125,22 @@ def test_bucket_cap_drops_oversized_and_logs(spark, tmp_path, caplog):
     path = str(tmp_path / "capdocs")
     df.write.parquet(f"{path}/documents.parquet")
 
-    uncapped = _lsh_doc_pairs(spark, path, 2).count()
+    uncapped_pairs = {
+        (r.a_id, r.b_id) for r in _lsh_doc_pairs(spark, path, 2).collect()
+    }
+    assert uncapped_pairs  # non-vacuous: the corpus must collide uncapped
+    # a cap no bucket reaches must reproduce the uncapped pair set
+    # exactly — this pins the capped path's distinct-based dedup to the
+    # uncapped path's first-match dedup
+    huge_cap = {
+        (r.a_id, r.b_id)
+        for r in _lsh_doc_pairs(spark, path, 2, max_bucket=10**6).collect()
+    }
+    assert huge_cap == uncapped_pairs
     with caplog.at_level(_logging.WARNING, logger="indexr_spark.operators.text"):
         capped = _lsh_doc_pairs(spark, path, 2, max_bucket=1).count()
-    if uncapped > 0:
-        assert capped < uncapped
-        assert any("LSH bucket cap" in r.message for r in caplog.records)
+    assert capped < len(uncapped_pairs)
+    assert any("LSH bucket cap" in r.message for r in caplog.records)
     # within-group pairs survive any cap: identical texts never route
     # through the bucket join
     dup = [(100, "dup dup text"), (101, "dup dup text")]
