@@ -648,19 +648,42 @@ def s09_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard. Emits the quantization summary + max reconstruction error
     (the quality metric that decides whether int8 serving is safe)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    scale = F.array_max(F.transform(v, F.abs))
-    q = F.transform(v, lambda x: F.floor(x / scale * 127).cast("int"))
-    recon_err = F.array_max(
-        F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale / 127))
+    # v → scale → q staged as columns: scale is referenced inside the
+    # quantize lambda and q is consumed four times, and Catalyst does
+    # no CSE inside lambda bodies (text.py d22 note) — raw expressions
+    # would recompute the scale per element and re-quantize per use.
+    # CAUTION: `err` must be computed BEFORE any select that aliases a
+    # ROUNDED column back to the name "scale" — a column reference
+    # inside a HOF lambda resolves against the select list's lateral
+    # aliases (the rounded value), while the same reference outside a
+    # lambda resolves against the child (the raw value). Verified live:
+    # select(round(scale,6) AS scale, transform(v, x -> x*scale))
+    # multiplies by the ROUNDED scale.
+    staged = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("scale", F.array_max(F.transform("v", F.abs)))
+        .withColumn(
+            "q",
+            F.transform(
+                "v", lambda x: F.floor(x / F.col("scale") * 127).cast("int")
+            ),
+        )
+        .withColumn(
+            "err",
+            F.array_max(
+                F.zip_with(
+                    "v", "q", lambda x, qi: F.abs(x - qi * F.col("scale") / 127)
+                )
+            ),
+        )
     )
-    return emb.select(
+    return staged.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.aggregate(q, F.lit(0), lambda a, x: a + x).alias("q_sum"),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
-        F.round(recon_err, 6).alias("max_recon_err"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round("err", 6).alias("max_recon_err"),
     ).orderBy("vec_id")
 
 
