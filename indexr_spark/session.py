@@ -40,6 +40,16 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow for any pandas-UDF boundary (the sanctioned slow path).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark 4 defaults ANSI mode ON, where x/0 THROWS. The reference
+    # engine is decidedly non-ANSI (div/mod by zero yields 0 —
+    # functions/compat.py mirrors that), and every ratio expression in
+    # this engine was written against NULL-on-zero-divide semantics:
+    # an empty document or zero-norm embedding in a 100 TB corpus must
+    # yield a NULL ratio that downstream filters drop, not kill the
+    # whole job with SparkArithmeticException. No current green row
+    # depends on ANSI behavior (the test corpus has no zero
+    # denominators); this changes crash-vs-NULL behavior only.
+    "spark.sql.ansi.enabled": "false",
 }
 
 

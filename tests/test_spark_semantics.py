@@ -1,0 +1,91 @@
+"""Pins of Spark behaviors this engine depends on (or defends against).
+
+If a Spark upgrade flips one of these, operators relying on the
+documented behavior need re-auditing — better a failing pin here than
+a silent value change in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_lateral_alias_resolution_differs_inside_lambdas(spark):
+    """In one select list, a plain column reference resolves against
+    the CHILD plan, but the same reference inside a higher-order-
+    function lambda resolves against the select list's LATERAL alias.
+    s09_quantize_int8 was silently corrupted by this (rounded scale
+    fed to the reconstruction-error lambda); every operator now stages
+    lambda-consumed columns before introducing shadowing aliases.
+    If this test fails after a Spark upgrade, the resolution rules
+    changed — re-audit the staging comments referencing it."""
+    df = spark.createDataFrame([([1.0, 2.0], 0.123456789)], "v array<double>, s double")
+    out = df.select(
+        F.round("s", 2).alias("s"),
+        (F.col("s") * 1).alias("plain_ref"),
+        F.transform("v", lambda x: x * F.col("s")).alias("lambda_ref"),
+    ).collect()[0]
+    assert out.plain_ref == 0.123456789  # child wins outside lambdas
+    assert out.lambda_ref[0] == 0.12  # lateral alias wins inside lambdas
+
+
+def test_division_by_zero_yields_null_not_nan(spark):
+    """Non-ANSI Spark division by zero returns NULL (not inf/NaN) for
+    doubles — the Jaccard/cosine operators rely on `x/0 -> NULL ->
+    filtered out` matching DuckDB's NULL-on-zero-divide."""
+    row = spark.createDataFrame([(1.0, 0.0)], "a double, b double").select(
+        (F.col("a") / F.col("b")).alias("q")
+    ).collect()[0]
+    assert row.q is None
+
+
+def test_array_sort_structs_orders_by_fields_in_sequence(spark):
+    """array_sort on structs orders by the first field, then the
+    second — the in-row nprobe cell selection and the LSH tie-break
+    (cos desc via reverse, then -cell for lower-cell-wins) depend on
+    this field-order semantics."""
+    rows = spark.createDataFrame([(1,)], "x int").select(
+        F.reverse(
+            F.array_sort(
+                F.array(
+                    F.struct(F.lit(1.0).alias("c"), F.lit(-2).alias("nc")),
+                    F.struct(F.lit(1.0).alias("c"), F.lit(-1).alias("nc")),
+                    F.struct(F.lit(0.5).alias("c"), F.lit(-3).alias("nc")),
+                )
+            )
+        ).alias("sorted")
+    ).collect()[0].sorted
+    # reverse(asc) = c desc; ties on c -> nc desc = cell asc
+    assert [(r.c, r.nc) for r in rows] == [(1.0, -1), (1.0, -2), (0.5, -3)]
+
+
+def test_text_operators_survive_empty_documents(spark, tmp_path):
+    """Hostile-corpus robustness: empty / whitespace-only / single-
+    token documents must yield NULL ratios (dropped by downstream
+    filters), never a SparkArithmeticException. Spark 4 defaults ANSI
+    mode ON where x/0 throws; the engine pins ansi.enabled=false in
+    its runtime confs (session.py) to match the reference's non-ANSI
+    arithmetic — this test drives the operators most exposed to zero
+    denominators over exactly such a corpus."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators import text as T
+
+    docs = [(0, "a b c d"), (1, ""), (2, "word"), (3, "a b c d"), (4, "   ")]
+    df = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.col("doc_id").cast("string"))
+        .withColumn("source", F.col("doc_id").cast("string"))
+    )
+    path = str(tmp_path / "hostile")
+    df.write.parquet(f"{path}/documents.parquet")
+    for name in (
+        "d01_token_stats",
+        "d02_lang_id",
+        "d07_minhash_lsh",
+        "d09_ngram_jaccard",
+        "d11_bpe_tokens",
+        "d14_normalize_text",
+        "d16_repetition_stats",
+    ):
+        T.QUERIES[name](spark, path).count()  # must not raise
