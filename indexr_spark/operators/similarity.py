@@ -43,6 +43,37 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _argmax_cell(centroids: list[list[float]], labels: list[int] | None = None) -> Column:
+    """Nearest-centroid id by cosine, as ONE compact expression: a 2-D
+    literal of norm-scaled centroids + a single transform lambda for the
+    dot products + an array_max over (dot, -label) structs. Ties break
+    toward the smaller label. Expression size is constant in the number
+    of centroids — the per-centroid struct fan this replaces cost ~2 s of
+    codegen/eval overhead at 10 centroids (the r3 s06 regression).
+
+    Cosine argmax is scale-invariant in |e|, so dividing by the row norm
+    is skipped here; scaling each centroid by 1/|c| happens driver-side.
+    Expects column e (array<double>). Returns a long column `cell`."""
+    scaled = [
+        [float(x) / ((sum(y * y for y in cv) ** 0.5) or 1.0) for x in cv]
+        for cv in centroids
+    ]
+    labels = labels if labels is not None else list(range(len(centroids)))
+    dots = F.transform(
+        F.lit(scaled),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("e"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    neg = F.lit([-int(l) for l in labels])
+    best = F.array_max(
+        F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
+    )
+    return (-best["nc"]).cast("long").alias("cell")
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     # Vector math is CPU-bound on tiny input bytes; spread rows across
     # cores explicitly (Spark splits scans by bytes, not by work). At
@@ -193,12 +224,25 @@ def _bucket_of(spark: SparkSession, emb: DataFrame) -> DataFrame:
     formulation shuffled |vecs|·64 rows twice). Only the dot's sign
     is consumed, so summation-order float noise cannot flip results
     away from the oracle's equivalent construction."""
-    bucket = F.lit(0).cast("long")
-    for p, w in enumerate(_plane_weights()):
-        dot = _dot(F.col("e"), F.array(*[F.lit(x) for x in w]))
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    # ONE 2-D plane literal + ONE transform lambda for all plane dots
+    # (constant-size expression; the per-plane expression fan costs ~2x
+    # in codegen/eval — the r3 s06 lesson applied here preventively).
+    dots = F.transform(
+        F.lit(_plane_weights()),
+        lambda w: F.aggregate(
+            F.zip_with(F.col("e"), w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.lit([1 << p for p in range(ANN_PLANES)])
+    bucket = F.aggregate(
+        F.zip_with(
+            dots, bits, lambda d, b: F.when(d >= 0, b).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return emb.select("vec_id", bucket.alias("bucket"))
 
 
@@ -378,21 +422,14 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     label asc (margins here are far beyond float noise).
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    pos = emb.select("vec_id", F.posexplode(F.col("e")).alias("dim", "x"))
-    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    cent_dims = (
-        pos.join(lab, "vec_id")
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-    )
-    cent = (
-        cent_dims.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), F.col("cv"))
+    # Centroid build: one hash aggregate with a per-dimension avg column —
+    # partial (map-side) combine reduces each partition to 10×dim doubles
+    # before the shuffle. The r3 formulation posexploded the corpus to
+    # |rows|·dim and re-joined labels: 6.4M shuffled rows and ~12 s of the
+    # 7.5 s regression lived there (labels were already ON emb).
+    dim = len(emb.select("e").head()["e"])
+    cent = emb.groupBy("label").agg(
+        F.array(*[F.round(F.avg(F.col("e")[i]), 6) for i in range(dim)]).alias("cv")
     )
     # The coarse quantizer is a 10-row model: pull it to the driver and
     # assign cells with an in-row argmax over literal centroid arrays —
@@ -402,15 +439,23 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact same values. Tie-break: smaller cell wins (struct max on
     # (ccos, -cell)).
     model = sorted(
-        ((r["cell"], list(r["cv"])) for r in cent.collect()), key=lambda x: x[0]
+        ((r["label"], list(r["cv"])) for r in cent.collect()), key=lambda x: x[0]
     )
-    candidates = []
-    for cell, cv in model:
-        cv_lit = F.array(*[F.lit(x) for x in cv])
-        cn = sum(x * x for x in cv) ** 0.5
-        ccos = _dot(F.col("e"), cv_lit) / (F.col("nrm") * F.lit(cn))
-        candidates.append(F.struct(ccos.alias("c"), F.lit(-cell).alias("nc")))
-    best_cell = (-F.array_max(F.array(*candidates))["nc"]).alias("cell")
+    # The r3 formulation built one struct expression PER centroid, each
+    # holding its own 64-element array literal — measured 2-2.4 s of pure
+    # codegen/eval overhead at this size (the 3.7x regression; and note
+    # PySpark's F.lit(list) expands to a 64-child CreateArray, so "one
+    # Literal per centroid" is not reachable from Python — ConstantFolding
+    # equalizes both forms, the cost was the per-centroid expression fan).
+    # Instead: ONE 2-D literal of norm-scaled centroids and ONE transform
+    # lambda — expression size is constant in k, measured 0.5-0.7 s, and
+    # the assignment still costs zero joins / zero shuffles. Scaling by
+    # 1/|c| driver-side only feeds the ARGMAX (candidate selection); the
+    # reported cosine is computed exactly downstream, and assignment
+    # margins are far beyond float noise (r3 determinism note).
+    best_cell = _argmax_cell(
+        [cv for _, cv in model], [cell for cell, _ in model]
+    )
     assigned = emb.select("vec_id", "e", "nrm", best_cell)
     q = assigned.filter(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("q_id"),

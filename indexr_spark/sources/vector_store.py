@@ -28,22 +28,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from indexr_spark.operators.similarity import _dot
+from indexr_spark.operators.similarity import _argmax_cell, _dot
 
 CENTROIDS_NAME = "_centroids.json"
 
 
 def _assign_cell(centroids: list[list[float]]):
-    """In-row argmax cell id over literal centroid arrays (cosine;
-    ties → lower cell id). Expects columns e (array<double>), nrm."""
-    candidates = []
-    for cell, cv in enumerate(centroids):
-        cn = math.sqrt(sum(x * x for x in cv)) or 1.0
-        ccos = _dot(F.col("e"), F.array(*[F.lit(x) for x in cv])) / (
-            F.col("nrm") * F.lit(cn)
-        )
-        candidates.append(F.struct(ccos.alias("c"), F.lit(-cell).alias("nc")))
-    return (-F.array_max(F.array(*candidates))["nc"]).cast("int").alias("cell")
+    """In-row argmax cell id over a single 2-D centroid literal (cosine;
+    ties → lower cell id). Expects columns e (array<double>), nrm.
+    Delegates to the constant-size expression in operators/similarity —
+    the per-centroid struct fan it replaces was the r3 s06 regression."""
+    return _argmax_cell(centroids).cast("int").alias("cell")
 
 
 def _prepared(vectors: DataFrame) -> DataFrame:
@@ -176,17 +171,30 @@ def ivf_probe_df(
         "qn",
         F.coalesce(F.nullif(qn_raw, F.lit(0.0)), F.lit(1.0)),
     )
-    # in-row nprobe-cell selection: array_sort on (cos, -cell) structs
-    # sorts ascending on both, so reversing yields cos desc with ties
-    # broken toward the LOWER cell id — the exact driver-side key.
-    cands = []
-    for cell, cv in enumerate(centroids):
-        cn = math.sqrt(sum(x * x for x in cv)) or 1.0
-        ccos = _dot(F.col("qe"), F.array(*[F.lit(x) for x in cv])) / (
-            F.col("qn") * F.lit(cn)
-        )
-        cands.append(F.struct(ccos.alias("c"), F.lit(-cell).alias("nc")))
-    top = F.slice(F.reverse(F.array_sort(F.array(*cands))), 1, nprobe)
+    # in-row nprobe-cell selection: array_sort on (dot, -cell) structs
+    # sorts ascending on both, so reversing yields score desc with ties
+    # broken toward the LOWER cell id — the exact driver-side key. The
+    # centroids fold into ONE 2-D literal of 1/|c|-scaled rows and ONE
+    # transform lambda (constant-size expression — the per-centroid
+    # struct fan it replaces was the r3 s06 regression); dividing by qn
+    # is per-row constant, so dropping it cannot reorder a query's cells.
+    scaled = [
+        [float(x) / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
+        for cv in centroids
+    ]
+    dots = F.transform(
+        F.lit(scaled),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qe"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    neg = F.lit([-c for c in range(len(centroids))])
+    cands = F.zip_with(
+        dots, neg, lambda d, nc: F.struct(d.alias("c"), nc.alias("nc"))
+    )
+    top = F.slice(F.reverse(F.array_sort(cands)), 1, nprobe)
     q = q.withColumn(
         "cell", F.explode(F.transform(top, lambda s: (-s["nc"]).cast("int")))
     )

@@ -89,3 +89,47 @@ def test_text_operators_survive_empty_documents(spark, tmp_path):
         "d16_repetition_stats",
     ):
         T.QUERIES[name](spark, path).count()  # must not raise
+
+
+def test_lit_of_list_expands_to_create_array_not_literal(spark):
+    """PySpark's F.lit(list) does NOT produce a single array Literal —
+    it expands to an n-child CreateArray (one Literal per element).
+    ConstantFolding collapses it in the OPTIMIZED plan, but building
+    one such expression per centroid/plane still fans out analysis and
+    codegen cost linearly (the r3 s06 3.7x regression). The fix that
+    holds: one 2-D literal + one transform lambda (_argmax_cell). If
+    this pin fails, lit(list) became a true Literal and the workaround
+    can be revisited."""
+    plan = (
+        spark.range(1)
+        .select(F.lit([1.0, 2.0, 3.0]).alias("a"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "array(1.0, 2.0, 3.0)" in plan  # CreateArray, not Literal
+
+
+def test_argmax_cell_expression_stays_constant_size(spark):
+    """Budget pin for the IVF assignment projection: the analyzed plan
+    of _argmax_cell over k centroids must not grow with k beyond the
+    2-D literal's own values — i.e. the expression is ONE transform
+    lambda, not k per-centroid subtrees. Guards against the r3
+    regression shape creeping back (10 centroids -> ~6,400 expression
+    nodes -> 3.7x slowdown)."""
+    from indexr_spark.operators.similarity import _argmax_cell
+
+    df = spark.createDataFrame([([1.0] * 8,)], "e array<double>")
+
+    def structure_nodes(k: int) -> tuple[int, int]:
+        p = (
+            df.select(_argmax_cell([[float(i + j) for j in range(8)] for i in range(k)]))
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        # the literal payload grows with k by design; the expression
+        # STRUCTURE (lambda/fold nodes) must not
+        return p.count("lambdafunction"), p.count("aggregate(")
+
+    assert structure_nodes(20) == structure_nodes(2)
