@@ -268,16 +268,39 @@ def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     used only for signature computation, where any member is exact.
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(_canon_expr().alias("gid")).agg(
+    # Token-less docs (empty/whitespace-only) carry no minhash signal:
+    # the doc-level oracle drops them from the signature CTE (unnest of
+    # an empty token list emits no rows), so they can never pair. The
+    # within-group leg would otherwise pair all empty docs through the
+    # shared md5('') canon key — a latent oracle mismatch on hostile
+    # corpora (r3 ADVICE). The token set is projected ONCE and both the
+    # filter and the canon key read the column — a filter on
+    # size(distinct_tokens(text)) would re-tokenize the corpus (no
+    # cross-operator CSE).
+    d = d.select(
+        "doc_id", "text", distinct_tokens("text").alias("dt")
+    ).filter(F.size("dt") > 0)
+    return d.groupBy(
+        F.md5(F.array_join(F.array_sort(F.col("dt")), " ")).alias("gid")
+    ).agg(
         F.min("doc_id").alias("rep"),
         F.min("text").alias("any_text"),
     )
 
 
 def _doc_gid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, gid) membership mapping for group→doc expansion."""
+    """(doc_id, gid) membership mapping for group→doc expansion.
+    Token-less docs excluded — same oracle-parity rationale as
+    _canon_groups (they can never appear in a signature bucket)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", _canon_expr().alias("gid"))
+    return (
+        d.select("doc_id", distinct_tokens("text").alias("dt"))
+        .filter(F.size("dt") > 0)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.array_sort(F.col("dt")), " ")).alias("gid"),
+        )
+    )
 
 
 def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
@@ -387,26 +410,49 @@ def _lsh_group_pairs(
                 ["band", "sig"],
                 "left_anti",
             )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    # Chunked self-join — the quadratic-bucket SKEW fix. A (band, sig)
+    # bucket of k sets emits k(k-1)/2 pairs inside ONE join task; on
+    # this corpus the top 4 buckets (k≈1300-1800) produce 90% of 5.4M
+    # pairs, serializing the join on 4 of 32 cores (measured 4.2 s).
+    # Splitting each bucket into C hash-chunks and joining on
+    # (band, sig, chunk) spreads a bucket's pair generation over C
+    # tasks: the left side replicates each row to its own-chunk-and-up
+    # tags (avg C/2 copies of a tiny sig row), the right side keeps its
+    # single chunk, and every unordered pair is generated exactly once
+    # (cross-chunk via the tag ordering; same-chunk via rep<rep).
+    # Orientation is then restored by rep so downstream semantics are
+    # bit-identical to the unchunked join. This is the same valve a
+    # 1000-executor run needs: without it the largest bucket IS the
+    # straggler, with it the worst key parallelizes C-ways.
+    C = sigs.sparkSession.sparkContext.defaultParallelism
+    chunk = F.pmod(F.xxhash64("gid"), F.lit(C)).cast("int")
+    a = (
+        sigs.withColumn("ca", chunk)
+        .withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(C - 1))))
+        .alias("a")
+    )
+    b = sigs.withColumn("cb", chunk).alias("b")
     joined = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.sig") == F.col("b.sig"))
-        & (F.col("a.rep") < F.col("b.rep")),
+        & (F.col("a.cb") == F.col("b.cb"))
+        & (
+            (F.col("a.ca") < F.col("b.cb"))
+            | ((F.col("a.ca") == F.col("b.cb")) & (F.col("a.rep") < F.col("b.rep")))
+        ),
     )
+    fwd = F.col("a.rep") < F.col("b.rep")  # restore rep-orientation
+    ga = F.when(fwd, F.col("a.gid")).otherwise(F.col("b.gid")).alias("ga")
+    gb = F.when(fwd, F.col("b.gid")).otherwise(F.col("a.gid")).alias("gb")
     if max_bucket is not None:
         # surviving-band collisions must all count; dedup by value
-        return joined.select(
-            F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb")
-        ).distinct()
+        return joined.select(ga, gb).distinct()
     first_match = F.array_position(
         F.zip_with(F.col("a.sigs"), F.col("b.sigs"), lambda x, y: x == y),
         F.lit(True),
     )
-    return (
-        joined.filter(first_match == F.col("a.band") + 1)
-        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-    )
+    return joined.filter(first_match == F.col("a.band") + 1).select(ga, gb)
 
 
 def _lsh_doc_pairs(
@@ -428,7 +474,13 @@ def _lsh_doc_pairs(
     """
     groups = _canon_groups(spark, sf_dir)
     gp = _lsh_group_pairs(groups, bands, max_bucket)
-    m = _doc_gid_map(spark, sf_dir)
+    # The membership map feeds FOUR join legs (within-group self-join +
+    # both sides of the cross expansion); without materialization each
+    # leg re-tokenizes + re-digests the corpus for the canon key —
+    # measured ~0.25 s/leg at sf0.1, ~1 s of pure recompute. One
+    # localCheckpoint pins the (doc_id, gid) pairs — corpus-row-count
+    # sized but only two narrow columns, the cheapest frame to pin.
+    m = _doc_gid_map(spark, sf_dir).localCheckpoint()
     ma, mb = m.alias("ma"), m.alias("mb")
     within = (
         ma.join(
@@ -572,7 +624,16 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 the all-pairs way). `d09b_jaccard_allpairs` keeps the
     exhaustive version as the opt-in ground-truth mode.
 
-    Jaccard is a ratio of integers — bit-exact on both engines."""
+    Jaccard is a ratio of integers — bit-exact on both engines.
+
+    (A sequence-level verify-before-expand variant — dedup docs by
+    token SEQUENCE, verify group pairs, expand survivors — was built
+    and measured 2.5x SLOWER here: this corpus duplicates at the
+    near-dup level, not the exact-sequence level (4992 sequence groups
+    for 5000 docs), so the expansion shrank nothing while the md5
+    string join keys cost more than long doc_ids. It wins only when
+    exact duplication is heavy; the dedup-first LSH already captures
+    that win at the candidate stage.)"""
     d = load_table(spark, sf_dir, "documents")
     # Shingles are carried as HASHED int arrays (portable hash32, same
     # expression in the oracle): the candidate-verify joins ship one
@@ -587,7 +648,7 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             # toks pre-projected — no CSE inside lambdas (see d22).
             F.transform(shingles(F.col("toks"), JACCARD_NGRAM), lambda s: hash32(s))
         ).alias("shs"),
-    )
+    ).localCheckpoint()  # feeds BOTH broadcast legs: shingle+digest once
     # Candidates come from the shared dedup-first LSH helper — NOT a
     # re-run of d07 (round-2's d09 re-executed d07's whole pipeline
     # internally; 51 s at sf0.1) — at d09's own recall-tuned banding

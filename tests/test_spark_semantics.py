@@ -133,3 +133,44 @@ def test_argmax_cell_expression_stays_constant_size(spark):
         return p.count("lambdafunction"), p.count("aggregate(")
 
     assert structure_nodes(20) == structure_nodes(2)
+
+
+def test_lsh_oracle_parity_on_hostile_corpus(spark, tmp_path):
+    """r3 ADVICE: docs with EMPTY token sets used to share the
+    md5('') canon gid and pair with each other through the
+    within-group leg, while the DuckDB oracle silently drops them
+    (unnest over an empty token list emits no signature rows) — a
+    latent hash mismatch on any corpus with >= 2 empty docs. The
+    hostile test above only asserted no-raise; this one asserts full
+    oracle parity on a corpus with two empty, one whitespace-only,
+    and two single-token docs."""
+    import duckdb
+
+    from indexr_spark.operators import text as T
+
+    docs = [
+        (0, "a b c d e"),
+        (1, ""),
+        (2, ""),
+        (3, "   "),
+        (4, "word"),
+        (5, "word"),
+        (6, "a b c d e"),
+        (7, "a b c d x"),
+    ]
+    df = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("t"))
+    )
+    path = str(tmp_path / "hostile")
+    df.write.parquet(f"{path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/documents.parquet/*.parquet')"
+    )
+    for name in ("d07_minhash_lsh", "d09_ngram_jaccard"):
+        srows = sorted(tuple(r) for r in T.QUERIES[name](spark, path).collect())
+        orows = sorted(tuple(r) for r in con.execute(T.ORACLE[name]).fetchall())
+        assert srows == orows, (name, srows, orows)
