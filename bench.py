@@ -1,9 +1,21 @@
 #!/usr/bin/env python
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full result as one JSON line, then a COMPACT final JSON
+line (same shape, query keys shortened to their family id — q01, d07,
+s06, mm01 — values identical):
+
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q01": sec, ...}, "sf": 0.1}
+
+Why two lines: the round driver captures only the TAIL of stdout
+(~2000 chars) and parses the last JSON line it finds there. With 70+
+queries the full-name line is ~2500 chars, so rounds 2-3 recorded a
+truncated, unparseable tail ("parsed": null). The compact line fits
+with room to spare; the full-name line and bench_out.json carry the
+long form for humans and the regression gate. Spark's console
+progress bar is disabled for the same reason (it shared stdout with
+the payload).
 
 Headline set: one representative per operator family (reference-parity
 scan/agg/sort, joins, windows, sessionization, dedup/MinHash-LSH,
@@ -30,12 +42,22 @@ bench prefix that preceded those queries in a fresh session yields
 0.14-0.32s for every query in the inflation cluster, both cold and
 warm. The plans were already the right ones (single map-combined
 aggregates); the recorded numbers reflect machine-level contention
-during that bench capture, not engine behavior. Defenses added
-anyway: a short periodic-GC interval bounds broadcast/checkpoint
-block accumulation across the 70+-query session, the table cache is
-cleared between queries, and the result JSON is also written to
-bench_out.json so a truncated stdout capture can't lose entries
-(BENCH_r02's tail was cut).
+during that bench capture, not engine behavior. Round-4 defenses on
+top of the r3 ones (periodic GC, per-query cache clear, file copy of
+the payload): loadavg is recorded into the payload (a contended
+capture is visible in the artifact), and best-of-2 escalates to a
+third run when the two samples disagree by >1.5x — a steady query
+measured during a contention spike gets one more chance at its true
+time.
+
+Regression gate: bench_baseline.json (committed) holds the last
+accepted per-query times. After the run, any query >1.5x its baseline
+(and >0.3s absolute, to ignore jitter on trivial queries) is listed
+in the payload's "regressions" field and printed to stderr. The r3
+s06 regression (2.2s -> 7.5s, expression-shape cost with an unchanged
+plan shape) would have been flagged by exactly this check; EXPLAIN.md
+only catches plan changes. Update the baseline intentionally
+(cp bench_out.json alongside manual review), never automatically.
 """
 
 from __future__ import annotations
@@ -130,6 +152,23 @@ HEADLINE = [
     "mm05_audio_frames",
 ]
 
+# escalate best-of-2 to best-of-3 when the two samples disagree this much
+DISPERSION = 1.5
+# regression gate thresholds vs bench_baseline.json
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_SEC = 0.3
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # non-POSIX fallback
+        return []
+
+
+def _short(name: str) -> str:
+    return name.split("_", 1)[0]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,6 +176,7 @@ def main() -> None:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = -1.0
+    load_before = _loadavg()
     spark = get_spark(
         app_name="indexr-bench",
         # Long multi-query sessions accumulate broadcast + checkpoint
@@ -144,7 +184,11 @@ def main() -> None:
         # the default periodic-GC interval (30 min) lets them pile up
         # for the whole run. One minute bounds the pile without
         # measurable per-query cost.
-        extra_confs={"spark.cleaner.periodicGC.interval": "60s"},
+        extra_confs={
+            "spark.cleaner.periodicGC.interval": "60s",
+            # keep stdout clean for the driver's tail capture
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
     # Warm up session + parquet footers + the Python worker pool once;
@@ -155,6 +199,8 @@ def main() -> None:
 
     # best-of-2: the first run pays JIT/codegen compilation that a
     # long-lived cluster amortizes away; min is the steady-state cost.
+    # A third run triggers only when the first two disagree by more
+    # than DISPERSION — the contention-spike case.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
@@ -162,23 +208,61 @@ def main() -> None:
             t0 = time.time()
             operators.QUERIES[name](spark, sf_dir).count()
             runs.append(time.time() - t0)
+        if max(runs) / max(min(runs), 1e-9) > DISPERSION:
+            t0 = time.time()
+            operators.QUERIES[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    payload = json.dumps(
-        {
-            "metric": "headline_query_wall_time",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
-    # stdout for the driver capture AND a file copy so a truncated
-    # capture can't lose per-query entries.
-    print(payload)
-    (_REPO / "bench_out.json").write_text(payload + "\n")
+
+    # regression gate vs the committed baseline
+    regressions: dict[str, dict[str, float]] = {}
+    baseline_path = _REPO / "bench_baseline.json"
+    if baseline_path.exists():
+        try:
+            base = json.loads(baseline_path.read_text()).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            base = {}
+        for name, now in timings.items():
+            then = base.get(name)
+            if (
+                then
+                and now > REGRESSION_FLOOR_SEC
+                and now / then > REGRESSION_RATIO
+            ):
+                regressions[name] = {"baseline": then, "now": now}
+        for name, r in sorted(regressions.items()):
+            print(
+                f"BENCH REGRESSION {name}: {r['baseline']}s -> {r['now']}s "
+                f"({r['now'] / r['baseline']:.1f}x)",
+                file=sys.stderr,
+            )
+
+    full = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
+        "regressions": regressions,
+    }
+    compact = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": {_short(n): t for n, t in timings.items()},
+        "sf": sf,
+    }
+    # full form first (humans / logs / file), COMPACT LAST so the
+    # driver's 2000-char tail capture always contains one parseable
+    # JSON line. bench_out.json carries the full form.
+    (_REPO / "bench_out.json").write_text(json.dumps(full) + "\n")
+    print(json.dumps(full))
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
