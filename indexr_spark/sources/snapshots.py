@@ -45,12 +45,14 @@ catalog service for the arbiter — Hive/Glue/Nessie — which is exactly
 the Delta/Iceberg requirement; the reference used ZooKeeper for the
 same coordination, HybridTable.java:64-82.)
 
-Single-writer caveat (documented contract): concurrent APPENDS both
-base on the same parent version — the loser's retry re-reads the
-parent and re-lists `old ∪ new`, so run ONE logical writer per table
-for appends (as the reference does); concurrent full `write_snapshot`
-replacements are safe (last committed version wins, all versions
-remain time-travel readable).
+Concurrent appends are retry-rebase safe: an append's commit attempt
+recomputes its file list from the CURRENT latest manifest, so the
+loser of a version race re-unions the winner's files with its own and
+re-attempts — both appends land (the optimistic-concurrency loop
+Delta/Iceberg use; the reference serialized the same transition
+through ZooKeeper). Concurrent full `write_snapshot` replacements
+keep last-committed-wins semantics, with every version time-travel
+readable.
 """
 
 from __future__ import annotations
@@ -142,18 +144,41 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
+def _commit(
+    path: str,
+    files: list[str],
+    meta: dict | None = None,
+    rebase=None,
+) -> int:
     """Write manifest v(N+1) then bump LATEST — the only mutation a
     reader can observe, and it's a single tiny file. The table-root
     stats sidecar is refreshed to the committed file set first
     (incremental: only new files' footers are read), so rough-check
-    pruning always describes the version LATEST points at."""
+    pruning always describes the version LATEST points at.
+
+    `rebase(parent_version)`: optional callable re-evaluated at the top
+    of EVERY commit attempt — it must return the file list to commit
+    given that parent version (append commits union the parent's files
+    with their own, so a racing append's files are never dropped). The
+    attempt only ever targets parent+1: versions are created gap-free
+    (a committer targets N+1 only after observing N), so a successful
+    create-if-absent of parent+1 PROVES parent was the latest committed
+    version at link time — i.e. the rebase read the true predecessor.
+    Rebasing only after a FileExistsError would be unsound: a loser's
+    first attempt can land at parent+1 where parent advanced after its
+    file list was computed, silently dropping the racer's files with no
+    error raised (caught by the concurrent-append test). Without
+    `rebase`, the loser retries with its original file list
+    (full-replace semantics: last committed version wins)."""
     from indexr_spark.sources.segments import write_sidecar
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
     with _commit_lock(path):
-        version = latest_version(path) + 1
         while True:
+            parent = latest_version(path)
+            if rebase is not None:
+                files = rebase(parent)
+            version = parent + 1
             manifest = {
                 "version": version,
                 "files": sorted(files),
@@ -178,7 +203,8 @@ def _commit(path: str, files: list[str], meta: dict | None = None) -> int:
             try:
                 os.link(tmp, mpath)
             except FileExistsError:
-                version += 1
+                # lost the version race: loop — the next attempt
+                # re-reads the (advanced) parent and re-rebases
                 continue
             finally:
                 with contextlib.suppress(OSError):
@@ -286,9 +312,23 @@ def append_snapshot(
     """Commit `df` appended to the current version's file set — the
     streaming/batch append path: new files + a manifest that lists
     old ∪ new. `meta` keys land in the manifest (e.g. the streaming
-    epoch id for exactly-once)."""
-    prev = _load_manifest(path, latest_version(path))["files"] if latest_version(path) else []
-    return _commit(path, prev + _write_data_files(df, path, sort_by), meta)
+    epoch id for exactly-once).
+
+    Concurrent-append safe via retry-rebase: the file set is
+    recomputed from the CURRENT latest manifest on every commit
+    attempt, so a loser re-reads the winner's manifest, re-unions its
+    own (already written, immutable) files and re-attempts at the next
+    version — both appends land, neither's files are dropped. This is
+    the optimistic-concurrency loop Delta/Iceberg appends use; the
+    reference serialized the same transition through ZooKeeper
+    (HybridTable.java:64-82)."""
+    new = _write_data_files(df, path, sort_by)
+
+    def rebase(parent: int) -> list[str]:
+        prev = _load_manifest(path, parent)["files"] if parent else []
+        return sorted(set(prev) | set(new))
+
+    return _commit(path, new, meta, rebase=rebase)
 
 
 def last_committed_meta(path: str, key: str):

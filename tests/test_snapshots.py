@@ -242,3 +242,103 @@ def test_latest_version_survives_crashed_pointer_bump(tmp_path):
     assert latest_version(path) == 2
     # the next commit allocates PAST the orphan, never on top of it
     assert _commit(path, [rel]) == 3
+
+
+def test_concurrent_appends_rebase_without_lock(tmp_path, monkeypatch):
+    """Two appends racing WITHOUT the local lock (object-store
+    simulation) must BOTH land: the loser's retry re-reads the
+    winner's manifest and re-unions file lists (retry-rebase). Before
+    round 4 this was a documented single-writer caveat — the loser
+    based on the stale parent and silently dropped the winner's
+    files."""
+    import contextlib as _ctx
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexr_spark.sources import snapshots as S
+
+    @_ctx.contextmanager
+    def no_lock(path):
+        yield
+
+    monkeypatch.setattr(S, "_commit_lock", no_lock)
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "data"))
+    # base version with one file
+    base = os.path.join("data", "base.parquet")
+    pq.write_table(pa.table({"k": [0]}), os.path.join(path, base))
+    S._commit(path, [base])
+
+    # emulate append_snapshot's commit step for 8 concurrent appenders
+    # (files already written — data writes never race; only the commit
+    # does). Uses the same rebase closure append_snapshot builds.
+    rels = []
+    for i in range(8):
+        rel = os.path.join("data", f"a{i}.parquet")
+        pq.write_table(pa.table({"k": [i + 1]}), os.path.join(path, rel))
+        rels.append(rel)
+
+    barrier = threading.Barrier(8)
+    errors: list[Exception] = []
+
+    def append_one(rel: str):
+        def rebase(parent: int):
+            prev = S._load_manifest(path, parent)["files"] if parent else []
+            return sorted(set(prev) | {rel})
+
+        try:
+            barrier.wait()
+            S._commit(path, [rel], rebase=rebase)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=append_one, args=(r,)) for r in rels]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # every append landed: the final manifest lists base + all 8 files
+    final = S._load_manifest(path, S.latest_version(path))["files"]
+    assert sorted(final) == sorted([base] + rels)
+    assert S.latest_version(path) == 9
+
+
+def test_concurrent_append_snapshot_api(spark, tmp_path, monkeypatch):
+    """The public append_snapshot API under a two-writer race with the
+    local lock disabled: both writers' rows must be readable in the
+    final version."""
+    import contextlib as _ctx
+    import threading
+
+    from indexr_spark.sources import snapshots as S
+
+    @_ctx.contextmanager
+    def no_lock(path):
+        yield
+
+    monkeypatch.setattr(S, "_commit_lock", no_lock)
+
+    path = str(tmp_path / "t")
+    S.write_snapshot(spark.range(0, 5).toDF("k"), path)
+
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def append(lo: int, hi: int):
+        try:
+            df = spark.range(lo, hi).toDF("k")
+            barrier.wait()
+            S.append_snapshot(df, path)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    t1 = threading.Thread(target=append, args=(10, 15))
+    t2 = threading.Thread(target=append, args=(20, 25))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    got = sorted(r.k for r in S.read_snapshot(spark, path).collect())
+    assert got == list(range(0, 5)) + list(range(10, 15)) + list(range(20, 25))
