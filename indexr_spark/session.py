@@ -46,9 +46,24 @@ RUNTIME_CONFS = {
     # this engine was written against NULL-on-zero-divide semantics:
     # an empty document or zero-norm embedding in a 100 TB corpus must
     # yield a NULL ratio that downstream filters drop, not kill the
-    # whole job with SparkArithmeticException. No current green row
-    # depends on ANSI behavior (the test corpus has no zero
-    # denominators); this changes crash-vs-NULL behavior only.
+    # whole job with SparkArithmeticException.
+    #
+    # The pin is WIDER than divide-by-zero, and the extra surface
+    # matters at scale (r3 ADVICE): non-ANSI mode also (1) silently
+    # WRAPS integer overflow — sum(int) widens to long automatically,
+    # but a sum/product that exceeds long range wraps to garbage
+    # instead of failing loudly — and (2) turns invalid casts into
+    # NULLs instead of errors. Engine-side audit: every integer-domain
+    # aggregate here is bounded far below long range (counts and token
+    # totals top out ~1e13 at 100 TB vs long's 9.2e18; the minhash
+    # family keeps h*A+B under 4e15 by construction) and monetary
+    # aggregates fold in double/decimal, so wraparound needs ~1e6x the
+    # design scale. Operators ADDED to this engine that sum products
+    # of longs (or parse user-supplied strings) should widen to
+    # double/decimal explicitly or use try_add/try_multiply rather
+    # than lean on this pin. Oracle parity note: DuckDB hugeint sums
+    # make overflow visible on the oracle side first — a hash mismatch,
+    # not silent agreement.
     "spark.sql.ansi.enabled": "false",
 }
 
