@@ -887,13 +887,35 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — small for near-dup families. The fixpoint is the exact
     component minimum, so results are deterministic and the DuckDB
     oracle (recursive-CTE transitive closure) matches value-for-value.
+
+    Dedup-first, applied to the GRAPH (round 4): the doc-level edge
+    list is quadratic in dup-cluster size — a 10x-replicated corpus
+    measured 238M doc pairs, and iterating CC over that exceeded the
+    single-node budget. But identical token sets form cliques whose
+    members all share the group rep's fate, so CC runs over the GROUP
+    graph (one node per distinct token set, one edge per colliding
+    group pair — 67x fewer edges on that corpus) and the per-doc
+    labels come from one membership join at the end. Component minima
+    are preserved exactly: every doc >= its group's rep (rep = min
+    doc_id of the group), so min-over-group-reps = min-over-docs of
+    the component.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # materialize the candidate pairs once; every derived count/join
-    # below reads the checkpoint instead of re-running the LSH job.
-    # The unordered helper, not d07 itself: edges feed joins, so d07's
-    # oracle-determinism orderBy would be a wasted global sort here.
-    edges = _lsh_doc_pairs(spark, sf_dir, MINHASH_BANDS).localCheckpoint()
+    groups = _canon_groups(spark, sf_dir).localCheckpoint()
+    g = groups.select("gid", "rep")
+    # group-level candidate edges, with gid strings swapped for the
+    # integer rep ids CC iterates on (the gid->rep map is group-count
+    # sized — broadcastable far beyond this corpus; at sizes where it
+    # is not, drop the hints and AQE picks the shuffle join).
+    gedges = _lsh_group_pairs(groups, MINHASH_BANDS)
+    ra = F.broadcast(g.select(F.col("gid").alias("ga"), F.col("rep").alias("ra")))
+    rb = F.broadcast(g.select(F.col("gid").alias("gb"), F.col("rep").alias("rb")))
+    edges = (
+        gedges.join(ra, "ga")
+        .join(rb, "gb")
+        .select(F.col("ra").alias("a_id"), F.col("rb").alias("b_id"))
+        .localCheckpoint()
+    )
     # Pin the edge list's partitioning to the join key: every round's
     # und⋈labels join then reuses it instead of re-shuffling the
     # (static) edges. Partition count scales with the measured edge
@@ -908,7 +930,8 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(parts, "u")
         .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
+    # CC nodes are the group reps, not the docs
+    labels = g.select(F.col("rep").alias("doc_id"), F.col("rep").alias("lbl")).localCheckpoint()
     # Labels only ever decrease, so the total label sum is strictly
     # monotone until fixpoint — an O(1)-row aggregate detects
     # convergence without a self-join per round.
@@ -933,9 +956,24 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS} rounds")
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
+    # expand group labels to docs: one membership join; docs outside
+    # every group (token-less — no signature, no edges) are their own
+    # singleton cluster, matching the oracle's reach base case.
+    memb = (
+        _doc_gid_map(spark, sf_dir)
+        .join(F.broadcast(g), "gid")
+        .select("doc_id", "rep")
+    )
+    doc_labels = (
+        docs.join(memb, "doc_id", "left")
+        .join(
+            labels.select(F.col("doc_id").alias("rep"), "lbl"), "rep", "left"
+        )
+        .select("doc_id", F.coalesce("lbl", F.col("doc_id")).alias("lbl"))
+    )
+    sizes = doc_labels.groupBy("lbl").agg(F.count("*").alias("n_members"))
     return (
-        labels.join(sizes, "lbl")
+        doc_labels.join(sizes, "lbl")
         .select("doc_id", F.col("lbl").alias("cluster_id"), "n_members")
         .orderBy("doc_id")
     )
