@@ -170,6 +170,24 @@ def _short(name: str) -> str:
     return name.split("_", 1)[0]
 
 
+def find_regressions(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    ratio: float = REGRESSION_RATIO,
+    floor_sec: float = REGRESSION_FLOOR_SEC,
+) -> dict[str, dict[str, float]]:
+    """Queries slower than `ratio` x their baseline AND above the
+    absolute floor (sub-floor queries are jitter-dominated). Queries
+    missing from the baseline are never flagged — new entries earn a
+    baseline on the next intentional refresh."""
+    out: dict[str, dict[str, float]] = {}
+    for name, now in timings.items():
+        then = baseline.get(name)
+        if then and now > floor_sec and now / then > ratio:
+            out[name] = {"baseline": then, "now": now}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -225,14 +243,7 @@ def main() -> None:
             base = json.loads(baseline_path.read_text()).get("queries", {})
         except (json.JSONDecodeError, OSError):
             base = {}
-        for name, now in timings.items():
-            then = base.get(name)
-            if (
-                then
-                and now > REGRESSION_FLOOR_SEC
-                and now / then > REGRESSION_RATIO
-            ):
-                regressions[name] = {"baseline": then, "now": now}
+        regressions = find_regressions(timings, base)
         for name, r in sorted(regressions.items()):
             print(
                 f"BENCH REGRESSION {name}: {r['baseline']}s -> {r['now']}s "

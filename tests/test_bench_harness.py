@@ -1,0 +1,62 @@
+"""Bench harness invariants — the parts the round driver depends on.
+
+The driver captures only the TAIL of bench stdout (~2000 chars) and
+parses the last JSON line it finds there; rounds 2-3 recorded an
+unparseable artifact because the payload line outgrew the window.
+These tests pin the compact-line contract and the regression gate
+without running Spark.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_headline_names_resolve_and_short_keys_unique():
+    """Every headline name must exist in the registry namespace rules
+    (family prefix before the first underscore) and shorten to a
+    UNIQUE key — a collision would silently merge two queries' times
+    in the compact line."""
+    shorts = [bench._short(n) for n in bench.HEADLINE]
+    assert len(shorts) == len(set(shorts)), "short-key collision"
+    assert all("_" in n for n in bench.HEADLINE)
+
+
+def test_compact_line_fits_driver_tail_window():
+    """The compact final line must fit the driver's ~2000-char tail
+    capture with headroom, even with worst-case 3-digit-seconds
+    values. The full-name form measurably does NOT fit (that is why
+    the compact line exists) — guard the contract, not the accident."""
+    timings = {n: 999.999 for n in bench.HEADLINE}
+    compact = json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {bench._short(n): t for n, t in timings.items()},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(compact) < 1800, len(compact)
+
+
+def test_find_regressions_flags_ratio_above_floor():
+    base = {"q01_x": 1.0, "q02_y": 0.1, "d07_z": 2.0}
+    now = {"q01_x": 1.6, "q02_y": 0.25, "d07_z": 2.1, "new_op": 9.9}
+    r = bench.find_regressions(now, base)
+    # q01: 1.6x over 1.0s baseline and above the 0.3s floor -> flagged
+    assert r == {"q01_x": {"baseline": 1.0, "now": 1.6}}
+    # q02: 2.5x ratio but below the absolute floor -> jitter, not flagged
+    # d07: above floor but only 1.05x -> not flagged
+    # new_op: no baseline -> never flagged
+
+
+def test_find_regressions_would_have_caught_r3_s06():
+    """The gate exists because of a specific historical failure:
+    s06_ivf_topk went 2.23s -> 7.49s in round 3 with an unchanged plan
+    shape, so the EXPLAIN snapshots could not catch it."""
+    r = bench.find_regressions({"s06_ivf_topk": 7.49}, {"s06_ivf_topk": 2.23})
+    assert "s06_ivf_topk" in r
