@@ -333,22 +333,54 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     embb = emb.join(_bucket_of(spark, emb), "vec_id")
-    a = embb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("e").alias("ae"),
-        F.col("nrm").alias("an"),
-        F.col("bucket").alias("ab"),
+    # Chunked bucket self-join — the quadratic-bucket skew valve (same
+    # construction as the LSH candidate join in operators/text.py): the
+    # plain join on the bucket key has only 2^ANN_PLANES distinct keys,
+    # so each bucket's k²/2 pair generation runs inside ONE task — at
+    # 100k vectors in 16 buckets that serialized ~312M pair evals on 16
+    # of 32 cores (measured 826 s; see COVERAGE.md scale spot-run). The
+    # a-side replicates each row to its own-chunk-and-up tags, the
+    # b-side keeps its single chunk, every unordered pair is generated
+    # exactly once, and id-orientation is restored at emit. (The other
+    # half of the 100 TB story is sizing: planes must grow with the
+    # corpus so bucket size stays bounded — planes ≈ log2(n / target) —
+    # this corpus pins ANN_PLANES=4 for oracle comparability.)
+    C = spark.sparkContext.defaultParallelism
+    chunk = F.pmod(F.xxhash64("vec_id"), F.lit(C)).cast("int")
+    a = (
+        embb.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("e").alias("ae"),
+            F.col("nrm").alias("an"),
+            F.col("bucket").alias("ab"),
+            chunk.alias("ca"),
+        )
+        .withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(C - 1))))
     )
     b = embb.select(
         F.col("vec_id").alias("b_id"),
         F.col("e").alias("be"),
         F.col("nrm").alias("bn"),
         F.col("bucket").alias("bb"),
+        chunk.alias("cb"),
     )
     cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+    fwd = F.col("a_id") < F.col("b_id")
     pairs = (
-        a.join(b, (F.col("ab") == F.col("bb")) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id", cos.alias("cos"))
+        a.join(
+            b,
+            (F.col("ab") == F.col("bb"))
+            & (a["cb"] == b["cb"])
+            & (
+                (F.col("ca") < b["cb"])
+                | ((F.col("ca") == b["cb"]) & (F.col("a_id") < F.col("b_id")))
+            ),
+        )
+        .select(
+            F.when(fwd, F.col("a_id")).otherwise(F.col("b_id")).alias("a_id"),
+            F.when(fwd, F.col("b_id")).otherwise(F.col("a_id")).alias("b_id"),
+            cos.alias("cos"),
+        )
         .filter(F.col("cos") >= NEARDUP_THRESHOLD)
     )
     return (
