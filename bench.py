@@ -162,7 +162,7 @@ REGRESSION_FLOOR_SEC = 0.3
 def _loadavg() -> list[float]:
     try:
         return [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # non-POSIX fallback
+    except (OSError, AttributeError):  # non-POSIX: absent or failing
         return []
 
 
@@ -183,8 +183,12 @@ def find_regressions(
     out: dict[str, dict[str, float]] = {}
     for name, now in timings.items():
         then = baseline.get(name)
-        if then and now > floor_sec and now / then > ratio:
-            out[name] = {"baseline": then, "now": now}
+        # `then > 0` is deliberate, not falsy-accident: a baseline that
+        # rounded to 0.0 can't support a ratio — treat the floor crossing
+        # itself as the regression signal for those.
+        if then is not None and now > floor_sec:
+            if (then > 0 and now / then > ratio) or then == 0:
+                out[name] = {"baseline": then, "now": now}
     return out
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from indexr_spark.functions.joins import chunked_self_join
 from indexr_spark.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -43,30 +44,44 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _argmax_cell(centroids: list[list[float]], labels: list[int] | None = None) -> Column:
-    """Nearest-centroid id by cosine, as ONE compact expression: a 2-D
-    literal of norm-scaled centroids + a single transform lambda for the
-    dot products + an array_max over (dot, -label) structs. Ties break
-    toward the smaller label. Expression size is constant in the number
-    of centroids — the per-centroid struct fan this replaces cost ~2 s of
-    codegen/eval overhead at 10 centroids (the r3 s06 regression).
-
-    Cosine argmax is scale-invariant in |e|, so dividing by the row norm
-    is skipped here; scaling each centroid by 1/|c| happens driver-side.
-    Expects column e (array<double>). Returns a long column `cell`."""
-    scaled = [
-        [float(x) / ((sum(y * y for y in cv) ** 0.5) or 1.0) for x in cv]
-        for cv in centroids
-    ]
-    labels = labels if labels is not None else list(range(len(centroids)))
-    dots = F.transform(
-        F.lit(scaled),
-        lambda c: F.aggregate(
-            F.zip_with(F.col("e"), c, lambda x, y: x * y),
+def _dots_2d(col: Column, vectors: list[list[float]]) -> Column:
+    """Array of left-to-right dot products of `col` against each row
+    of a 2-D literal — ONE transform lambda regardless of row count.
+    This is THE constant-size expression shape that fixed the r3 s06
+    regression (a per-vector expression fan cost ~2 s of codegen/eval
+    at 10 vectors; pinned by test_argmax_cell_expression_stays_
+    constant_size). All in-row model scoring (IVF argmax, LSH planes,
+    nprobe selection) goes through this single definition."""
+    return F.transform(
+        F.lit([[float(x) for x in v] for v in vectors]),
+        lambda v: F.aggregate(
+            F.zip_with(col, v, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
     )
+
+
+def _unit_scaled(vectors: list[list[float]]) -> list[list[float]]:
+    """Each vector divided by its norm driver-side (zero-norm -> as-is);
+    lets cosine ARGMAX/ranking consumers skip per-row division."""
+    return [
+        [float(x) / ((sum(y * y for y in v) ** 0.5) or 1.0) for x in v]
+        for v in vectors
+    ]
+
+
+def _argmax_cell(centroids: list[list[float]], labels: list[int] | None = None) -> Column:
+    """Nearest-centroid id by cosine, as ONE compact expression: a 2-D
+    literal of norm-scaled centroids + a single transform lambda for the
+    dot products (_dots_2d) + an array_max over (dot, -label) structs.
+    Ties break toward the smaller label.
+
+    Cosine argmax is scale-invariant in |e|, so dividing by the row norm
+    is skipped here; scaling each centroid by 1/|c| happens driver-side.
+    Expects column e (array<double>). Returns a long column `cell`."""
+    labels = labels if labels is not None else list(range(len(centroids)))
+    dots = _dots_2d(F.col("e"), _unit_scaled(centroids))
     neg = F.lit([-int(l) for l in labels])
     best = F.array_max(
         F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
@@ -225,16 +240,10 @@ def _bucket_of(spark: SparkSession, emb: DataFrame) -> DataFrame:
     is consumed, so summation-order float noise cannot flip results
     away from the oracle's equivalent construction."""
     # ONE 2-D plane literal + ONE transform lambda for all plane dots
-    # (constant-size expression; the per-plane expression fan costs ~2x
-    # in codegen/eval — the r3 s06 lesson applied here preventively).
-    dots = F.transform(
-        F.lit(_plane_weights()),
-        lambda w: F.aggregate(
-            F.zip_with(F.col("e"), w, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    # (_dots_2d — the constant-size expression shape). Planes stay RAW
+    # (not unit-scaled): only the dot's SIGN is consumed and the values
+    # must fold identically to the oracle's sum(x*w).
+    dots = _dots_2d(F.col("e"), _plane_weights())
     bits = F.lit([1 << p for p in range(ANN_PLANES)])
     bucket = F.aggregate(
         F.zip_with(
@@ -333,52 +342,30 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     embb = emb.join(_bucket_of(spark, emb), "vec_id")
-    # Chunked bucket self-join — the quadratic-bucket skew valve (same
-    # construction as the LSH candidate join in operators/text.py): the
+    # Chunked bucket self-join — the quadratic-bucket skew valve
+    # (chunked_self_join, shared with the LSH candidate join): the
     # plain join on the bucket key has only 2^ANN_PLANES distinct keys,
     # so each bucket's k²/2 pair generation runs inside ONE task — at
     # 100k vectors in 16 buckets that serialized ~312M pair evals on 16
-    # of 32 cores (measured 826 s; see COVERAGE.md scale spot-run). The
-    # a-side replicates each row to its own-chunk-and-up tags, the
-    # b-side keeps its single chunk, every unordered pair is generated
-    # exactly once, and id-orientation is restored at emit. (The other
-    # half of the 100 TB story is sizing: planes must grow with the
-    # corpus so bucket size stays bounded — planes ≈ log2(n / target) —
-    # this corpus pins ANN_PLANES=4 for oracle comparability.)
-    C = spark.sparkContext.defaultParallelism
-    chunk = F.pmod(F.xxhash64("vec_id"), F.lit(C)).cast("int")
-    a = (
-        embb.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("e").alias("ae"),
-            F.col("nrm").alias("an"),
-            F.col("bucket").alias("ab"),
-            chunk.alias("ca"),
-        )
-        .withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(C - 1))))
-    )
-    b = embb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("e").alias("be"),
-        F.col("nrm").alias("bn"),
-        F.col("bucket").alias("bb"),
-        chunk.alias("cb"),
-    )
-    cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
-    fwd = F.col("a_id") < F.col("b_id")
+    # of 32 cores (measured 826 s -> 185 s chunked; COVERAGE.md scale
+    # spot-run). Embedding rows are WIDE (dim doubles) and the valve
+    # replicates left-side rows ~C/2 times through the join shuffle —
+    # but the per-pair cost here is a 64-element HOF dot product, so
+    # compute balance beats shuffle bytes: C=8 (4x fewer replicated
+    # bytes) measured 264 s at 100k vectors vs 185 s at C=cores. Keep
+    # the default C; revisit only if the pair compute ever gets
+    # cheaper than the row shipping (joins.py documents the model).
+    # (The other half of the 100 TB story is sizing: planes must grow
+    # with the corpus so bucket size stays bounded — planes ≈
+    # log2(n / target) — this corpus pins ANN_PLANES=4 for oracle
+    # comparability.)
+    joined = chunked_self_join(embb, key_cols=["bucket"], order_col="vec_id")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    fwd = F.col("a.vec_id") < F.col("b.vec_id")
     pairs = (
-        a.join(
-            b,
-            (F.col("ab") == F.col("bb"))
-            & (a["cb"] == b["cb"])
-            & (
-                (F.col("ca") < b["cb"])
-                | ((F.col("ca") == b["cb"]) & (F.col("a_id") < F.col("b_id")))
-            ),
-        )
-        .select(
-            F.when(fwd, F.col("a_id")).otherwise(F.col("b_id")).alias("a_id"),
-            F.when(fwd, F.col("b_id")).otherwise(F.col("a_id")).alias("b_id"),
+        joined.select(
+            F.when(fwd, F.col("a.vec_id")).otherwise(F.col("b.vec_id")).alias("a_id"),
+            F.when(fwd, F.col("b.vec_id")).otherwise(F.col("a.vec_id")).alias("b_id"),
             cos.alias("cos"),
         )
         .filter(F.col("cos") >= NEARDUP_THRESHOLD)
@@ -459,7 +446,15 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the shuffle. The r3 formulation posexploded the corpus to
     # |rows|·dim and re-joined labels: 6.4M shuffled rows and ~12 s of the
     # 7.5 s regression lived there (labels were already ON emb).
-    dim = len(emb.select("e").head()["e"])
+    # Dimension probe reads ONE row of the raw table — probing through
+    # `emb` would force _with_norm's repartition shuffle just to fetch a
+    # row. An empty corpus yields the empty result, not a TypeError.
+    first = load_table(spark, sf_dir, "embeddings").select("embedding").head()
+    if first is None or first["embedding"] is None:
+        return spark.createDataFrame(
+            [], "q_id long, rank int, vec_id long, cosine double"
+        )
+    dim = len(first["embedding"])
     cent = emb.groupBy("label").agg(
         F.array(*[F.round(F.avg(F.col("e")[i]), 6) for i in range(dim)]).alias("cv")
     )

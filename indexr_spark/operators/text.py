@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from indexr_spark.functions.text import (
@@ -28,6 +28,7 @@ from indexr_spark.functions.text import (
     shingles,
     tokens,
 )
+from indexr_spark.functions.joins import chunked_self_join
 from indexr_spark.tables import load_table
 
 ORACLE: dict[str, str] = {}
@@ -225,7 +226,7 @@ def d06_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     token set* are duplicates (word-order-insensitive). This corpus
     does contain such collisions, unlike raw-text duplicates."""
     d = load_table(spark, sf_dir, "documents")
-    canon = F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " "))
+    canon = _canon_key(distinct_tokens("text"))
     return (
         d.groupBy(canon.alias("canon_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
@@ -243,11 +244,17 @@ ORDER BY keep_id
 """
 
 
-def _canon_expr():
-    """Canonical token-set key: md5 of the sorted distinct token set
-    (d06's key). MinHash signatures are pure functions of the distinct
-    token set, so docs sharing this key share every band signature."""
-    return F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " "))
+def _canon_key(dt: Column) -> Column:
+    """Canonical token-set key over a PRE-PROJECTED distinct-token
+    array column: md5 of the sorted set (d06's key). MinHash
+    signatures are pure functions of the distinct token set, so docs
+    sharing this key share every band signature. Takes the column
+    rather than tokenizing internally so callers can share one
+    tokenization between their size() filter and the key (no
+    cross-operator CSE in Catalyst). The single definition is
+    load-bearing: _canon_groups and _doc_gid_map must produce
+    IDENTICAL gids or the group/membership join silently drops docs."""
+    return F.md5(F.array_join(F.array_sort(dt), " "))
 
 
 def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,9 +287,7 @@ def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.select(
         "doc_id", "text", distinct_tokens("text").alias("dt")
     ).filter(F.size("dt") > 0)
-    return d.groupBy(
-        F.md5(F.array_join(F.array_sort(F.col("dt")), " ")).alias("gid")
-    ).agg(
+    return d.groupBy(_canon_key(F.col("dt")).alias("gid")).agg(
         F.min("doc_id").alias("rep"),
         F.min("text").alias("any_text"),
     )
@@ -296,10 +301,7 @@ def _doc_gid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", distinct_tokens("text").alias("dt"))
         .filter(F.size("dt") > 0)
-        .select(
-            "doc_id",
-            F.md5(F.array_join(F.array_sort(F.col("dt")), " ")).alias("gid"),
-        )
+        .select("doc_id", _canon_key(F.col("dt")).alias("gid"))
     )
 
 
@@ -414,33 +416,15 @@ def _lsh_group_pairs(
     # bucket of k sets emits k(k-1)/2 pairs inside ONE join task; on
     # this corpus the top 4 buckets (k≈1300-1800) produce 90% of 5.4M
     # pairs, serializing the join on 4 of 32 cores (measured 4.2 s).
-    # Splitting each bucket into C hash-chunks and joining on
-    # (band, sig, chunk) spreads a bucket's pair generation over C
-    # tasks: the left side replicates each row to its own-chunk-and-up
-    # tags (avg C/2 copies of a tiny sig row), the right side keeps its
-    # single chunk, and every unordered pair is generated exactly once
-    # (cross-chunk via the tag ordering; same-chunk via rep<rep).
-    # Orientation is then restored by rep so downstream semantics are
+    # chunked_self_join spreads each bucket's pair generation over ~C
+    # tasks (pairing invariant documented in functions/joins.py);
+    # orientation is then restored by rep so downstream semantics are
     # bit-identical to the unchunked join. This is the same valve a
     # 1000-executor run needs: without it the largest bucket IS the
-    # straggler, with it the worst key parallelizes C-ways.
-    C = sigs.sparkSession.sparkContext.defaultParallelism
-    chunk = F.pmod(F.xxhash64("gid"), F.lit(C)).cast("int")
-    a = (
-        sigs.withColumn("ca", chunk)
-        .withColumn("cb", F.explode(F.sequence(F.col("ca"), F.lit(C - 1))))
-        .alias("a")
-    )
-    b = sigs.withColumn("cb", chunk).alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.sig") == F.col("b.sig"))
-        & (F.col("a.cb") == F.col("b.cb"))
-        & (
-            (F.col("a.ca") < F.col("b.cb"))
-            | ((F.col("a.ca") == F.col("b.cb")) & (F.col("a.rep") < F.col("b.rep")))
-        ),
+    # straggler. Sig rows are thin, so the default C (= cores) costs
+    # negligible replicated bytes.
+    joined = chunked_self_join(
+        sigs, key_cols=["band", "sig"], order_col="rep", chunk_col="gid"
     )
     fwd = F.col("a.rep") < F.col("b.rep")  # restore rep-orientation
     ga = F.when(fwd, F.col("a.gid")).otherwise(F.col("b.gid")).alias("ga")

@@ -28,7 +28,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from indexr_spark.operators.similarity import _argmax_cell, _dot
+from indexr_spark.operators.similarity import (
+    _argmax_cell,
+    _dot,
+    _dots_2d,
+    _unit_scaled,
+)
 
 CENTROIDS_NAME = "_centroids.json"
 
@@ -174,22 +179,12 @@ def ivf_probe_df(
     # in-row nprobe-cell selection: array_sort on (dot, -cell) structs
     # sorts ascending on both, so reversing yields score desc with ties
     # broken toward the LOWER cell id — the exact driver-side key. The
-    # centroids fold into ONE 2-D literal of 1/|c|-scaled rows and ONE
-    # transform lambda (constant-size expression — the per-centroid
-    # struct fan it replaces was the r3 s06 regression); dividing by qn
-    # is per-row constant, so dropping it cannot reorder a query's cells.
-    scaled = [
-        [float(x) / (math.sqrt(sum(y * y for y in cv)) or 1.0) for x in cv]
-        for cv in centroids
-    ]
-    dots = F.transform(
-        F.lit(scaled),
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qe"), c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    # centroids fold through the shared _dots_2d 2-D-literal lambda
+    # (the constant-size expression shape; the per-centroid struct fan
+    # it replaces was the r3 s06 regression), 1/|c|-scaled driver-side;
+    # dividing by qn is per-row constant, so dropping it cannot reorder
+    # a query's cells.
+    dots = _dots_2d(F.col("qe"), _unit_scaled(centroids))
     neg = F.lit([-c for c in range(len(centroids))])
     cands = F.zip_with(
         dots, neg, lambda d, nc: F.struct(d.alias("c"), nc.alias("nc"))

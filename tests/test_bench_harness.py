@@ -22,6 +22,12 @@ def test_headline_names_resolve_and_short_keys_unique():
     shorts = [bench._short(n) for n in bench.HEADLINE]
     assert len(shorts) == len(set(shorts)), "short-key collision"
     assert all("_" in n for n in bench.HEADLINE)
+    # and every headline name must exist in the registry — a typo here
+    # would otherwise only surface as a KeyError mid-bench-run
+    from indexr_spark import operators
+
+    missing = set(bench.HEADLINE) - set(operators.QUERIES)
+    assert not missing, missing
 
 
 def test_compact_line_fits_driver_tail_window():
@@ -52,6 +58,14 @@ def test_find_regressions_flags_ratio_above_floor():
     # q02: 2.5x ratio but below the absolute floor -> jitter, not flagged
     # d07: above floor but only 1.05x -> not flagged
     # new_op: no baseline -> never flagged
+
+
+def test_find_regressions_zero_baseline_flags_floor_crossing():
+    """A baseline that rounded to 0.0 can't support a ratio; crossing
+    the absolute floor IS the regression signal there (the falsy-zero
+    skip would have silently exempted such queries forever)."""
+    r = bench.find_regressions({"q01_x": 0.5}, {"q01_x": 0.0})
+    assert "q01_x" in r
 
 
 def test_find_regressions_would_have_caught_r3_s06():
