@@ -52,7 +52,8 @@ time.
 
 Regression gate: bench_baseline.json (committed) holds the last
 accepted per-query times. After the run, any query >1.5x its baseline
-(and >0.3s absolute, to ignore jitter on trivial queries) is listed
+(and >0.5s absolute, to ignore jitter on trivial queries —
+a 0.26s->0.39s swing is scheduler noise, observed flagged in testing) is listed
 in the payload's "regressions" field and printed to stderr. The r3
 s06 regression (2.2s -> 7.5s, expression-shape cost with an unchanged
 plan shape) would have been flagged by exactly this check; EXPLAIN.md
@@ -156,7 +157,7 @@ HEADLINE = [
 DISPERSION = 1.5
 # regression gate thresholds vs bench_baseline.json
 REGRESSION_RATIO = 1.5
-REGRESSION_FLOOR_SEC = 0.3
+REGRESSION_FLOOR_SEC = 0.5
 
 
 def _loadavg() -> list[float]:

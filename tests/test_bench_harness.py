@@ -51,11 +51,11 @@ def test_compact_line_fits_driver_tail_window():
 
 def test_find_regressions_flags_ratio_above_floor():
     base = {"q01_x": 1.0, "q02_y": 0.1, "d07_z": 2.0}
-    now = {"q01_x": 1.6, "q02_y": 0.25, "d07_z": 2.1, "new_op": 9.9}
+    now = {"q01_x": 1.6, "q02_y": 0.45, "d07_z": 2.1, "new_op": 9.9}
     r = bench.find_regressions(now, base)
-    # q01: 1.6x over 1.0s baseline and above the 0.3s floor -> flagged
+    # q01: 1.6x over 1.0s baseline and above the 0.5s floor -> flagged
     assert r == {"q01_x": {"baseline": 1.0, "now": 1.6}}
-    # q02: 2.5x ratio but below the absolute floor -> jitter, not flagged
+    # q02: 4.5x ratio but below the absolute floor -> jitter, not flagged
     # d07: above floor but only 1.05x -> not flagged
     # new_op: no baseline -> never flagged
 
@@ -64,7 +64,7 @@ def test_find_regressions_zero_baseline_flags_floor_crossing():
     """A baseline that rounded to 0.0 can't support a ratio; crossing
     the absolute floor IS the regression signal there (the falsy-zero
     skip would have silently exempted such queries forever)."""
-    r = bench.find_regressions({"q01_x": 0.5}, {"q01_x": 0.0})
+    r = bench.find_regressions({"q01_x": 0.9}, {"q01_x": 0.0})
     assert "q01_x" in r
 
 

@@ -1,0 +1,64 @@
+"""Property pin for functions/joins.chunked_self_join — the pairing
+invariant (each unordered pair of same-key rows generated EXACTLY once,
+no self-pairs) that both the LSH candidate join and the embedding
+near-dup join rely on. A first-attempt variant of the same construction
+silently dropped pairs under version races in snapshots (different
+module, same class of subtle-join bug) — hence an exhaustive check here
+rather than an example test."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from indexr_spark.functions.joins import chunked_self_join
+
+
+def _pairs_via_chunked(spark, rows, C):
+    df = spark.createDataFrame(rows, "k int, oid long")
+    j = chunked_self_join(df, key_cols=["k"], order_col="oid", n_chunks=C)
+    fwd = F.col("a.oid") < F.col("b.oid")
+    out = j.select(
+        F.when(fwd, F.col("a.oid")).otherwise(F.col("b.oid")).alias("lo"),
+        F.when(fwd, F.col("b.oid")).otherwise(F.col("a.oid")).alias("hi"),
+    ).collect()
+    return Counter((r.lo, r.hi) for r in out)
+
+
+def _expected_pairs(rows):
+    by_key: dict[int, list[int]] = {}
+    for k, oid in rows:
+        by_key.setdefault(k, []).append(oid)
+    exp = Counter()
+    for oids in by_key.values():
+        s = sorted(oids)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                exp[(s[i], s[j])] += 1
+    return exp
+
+
+def test_every_unordered_pair_exactly_once_across_chunk_counts(spark):
+    """Sweep chunk counts (1, 2, 3, 7, 32) over a dataset with skewed
+    keys (one bucket of 12, one of 3, singletons, an empty-key gap):
+    the chunked join must emit exactly the same pair multiset as the
+    plain O(k^2) construction, for every C."""
+    rows = (
+        [(1, i) for i in range(12)]
+        + [(2, 100 + i) for i in range(3)]
+        + [(3, 200)]
+        + [(5, 500), (5, 501)]
+    )
+    exp = _expected_pairs(rows)
+    for C in (1, 2, 3, 7, 32):
+        got = _pairs_via_chunked(spark, rows, C)
+        assert got == exp, (C, got - exp, exp - got)
+
+
+def test_duplicate_order_values_do_not_pair_with_self(spark):
+    """order_col must be unique per key group by contract; rows in
+    DIFFERENT key groups may share order values without cross-talk."""
+    rows = [(1, 7), (2, 7), (1, 8)]
+    got = _pairs_via_chunked(spark, rows, 4)
+    assert got == Counter({(7, 8): 1})
