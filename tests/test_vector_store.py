@@ -148,3 +148,40 @@ def test_probe_paths_agree_on_zero_norm_query(spark, tmp_path):
     b = ivf_probe_df(spark, store, q, k=3, nprobe=2).collect()
     assert a == b
     assert all(r.cosine == 0.0 for r in a)
+
+
+def test_neardup_numpy_matches_catalyst_pair_set(spark):
+    """The BLAS blocked verify (neardup_pairs_numpy — the 100 TB
+    throughput path) must reproduce the oracle-exact Catalyst path's
+    pair set on the test corpus: same (a_id, b_id) pairs, same 6dp
+    cosines. numpy's different summation order could in principle flip
+    a cosine sitting exactly on a rounding boundary — this corpus has
+    none, which is exactly why the numpy form stays out of the
+    oracle-scored registry and d10 remains the reference."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.functions.joins import chunked_self_join
+    from indexr_spark.operators import similarity as S
+    from indexr_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    np_pairs = {
+        (r.a_id, r.b_id, r.cosine) for r in S.neardup_pairs_numpy(emb).collect()
+    }
+    embb = S._with_norm(load_table(spark, sf, "embeddings"))
+    embb = embb.join(S._bucket_of(spark, embb), "vec_id")
+    j = chunked_self_join(embb, key_cols=["bucket"], order_col="vec_id")
+    cos = S._dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    fwd = F.col("a.vec_id") < F.col("b.vec_id")
+    cat = {
+        (r.a_id, r.b_id, r.cosine)
+        for r in j.select(
+            F.when(fwd, F.col("a.vec_id")).otherwise(F.col("b.vec_id")).alias("a_id"),
+            F.when(fwd, F.col("b.vec_id")).otherwise(F.col("a.vec_id")).alias("b_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= S.NEARDUP_THRESHOLD)
+        .collect()
+    }
+    assert np_pairs == cat and len(np_pairs) > 0
