@@ -149,3 +149,31 @@ def test_bucket_cap_drops_oversized_and_logs(spark, tmp_path, caplog):
     ddf.write.parquet(f"{dpath}/documents.parquet")
     got = {(r.a_id, r.b_id) for r in _lsh_doc_pairs(spark, dpath, 2, max_bucket=1).collect()}
     assert got == {(100, 101)}
+
+
+def test_dedup_action_pipeline_end_to_end(spark, tmp_path):
+    """The user story the dedup family exists for: run d20 to get the
+    keep-list, anti-join the corpus down to survivors, and prove the
+    result is actually deduplicated — re-clustering the kept corpus
+    yields only singleton clusters (every component was collapsed to
+    its best member). This drives d07 -> d12 -> d20 -> action ->
+    re-verify as one pipeline, the way a 100 TB dedup pass would."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators import text as T
+
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    keep = T.QUERIES["d20_cluster_keep_best"](spark, src).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")
+    n_clusters = keep.count()
+    assert kept.count() == n_clusters < docs.count()
+
+    # write the deduped corpus and re-cluster it: all singletons
+    out = str(tmp_path / "deduped")
+    kept.write.parquet(f"{out}/documents.parquet")
+    reclustered = T.QUERIES["d12_dup_clusters"](spark, out)
+    assert reclustered.filter(F.col("n_members") > 1).count() == 0
+    assert reclustered.count() == n_clusters
