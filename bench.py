@@ -51,14 +51,16 @@ measured during a contention spike gets one more chance at its true
 time.
 
 Regression gate: bench_baseline.json (committed) holds the last
-accepted per-query times. After the run, any query >1.5x its baseline
-(and >0.5s absolute, to ignore jitter on trivial queries —
-a 0.26s->0.39s swing is scheduler noise, observed flagged in testing) is listed
-in the payload's "regressions" field and printed to stderr. The r3
-s06 regression (2.2s -> 7.5s, expression-shape cost with an unchanged
-plan shape) would have been flagged by exactly this check; EXPLAIN.md
-only catches plan changes. Update the baseline intentionally
-(cp bench_out.json alongside manual review), never automatically.
+accepted per-query times. After the run, any query >1.75x its baseline
+(and >0.5s absolute) is listed
+in the payload's "regressions" field and printed to stderr. Both
+thresholds are calibrated against measured noise on this box: back-to-
+back identical-code runs swing mid-weight queries ~1.5x (d07 1.9->3.0s,
+d21 0.7->1.1s under residual load) and sub-0.5s queries ~2x+, while the
+failure class the gate exists for is much larger (the r3 s06 regression
+was 3.4x with an UNCHANGED plan shape — invisible to EXPLAIN.md).
+Update the baseline intentionally (cp bench_out.json alongside manual
+review), never automatically.
 """
 
 from __future__ import annotations
@@ -156,7 +158,7 @@ HEADLINE = [
 # escalate best-of-2 to best-of-3 when the two samples disagree this much
 DISPERSION = 1.5
 # regression gate thresholds vs bench_baseline.json
-REGRESSION_RATIO = 1.5
+REGRESSION_RATIO = 1.75
 REGRESSION_FLOOR_SEC = 0.5
 
 

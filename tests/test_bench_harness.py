@@ -51,10 +51,10 @@ def test_compact_line_fits_driver_tail_window():
 
 def test_find_regressions_flags_ratio_above_floor():
     base = {"q01_x": 1.0, "q02_y": 0.1, "d07_z": 2.0}
-    now = {"q01_x": 1.6, "q02_y": 0.45, "d07_z": 2.1, "new_op": 9.9}
+    now = {"q01_x": 1.9, "q02_y": 0.45, "d07_z": 2.1, "new_op": 9.9}
     r = bench.find_regressions(now, base)
-    # q01: 1.6x over 1.0s baseline and above the 0.5s floor -> flagged
-    assert r == {"q01_x": {"baseline": 1.0, "now": 1.6}}
+    # q01: 1.9x over 1.0s baseline and above the 0.5s floor -> flagged
+    assert r == {"q01_x": {"baseline": 1.0, "now": 1.9}}
     # q02: 4.5x ratio but below the absolute floor -> jitter, not flagged
     # d07: above floor but only 1.05x -> not flagged
     # new_op: no baseline -> never flagged
