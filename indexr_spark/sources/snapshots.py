@@ -332,12 +332,33 @@ def append_snapshot(
 
 
 def last_committed_meta(path: str, key: str):
-    """Value of `key` in the latest manifest, or None — how the
-    streaming sink asks "did this epoch already commit?"."""
+    """Value of `key` in the latest manifest, or None."""
     v = latest_version(path)
     if v == 0:
         return None
     return _load_manifest(path, v).get(key)
+
+
+def max_committed_meta(path: str, key: str):
+    """Max value of `key` across ALL live manifests, or None — how the
+    streaming sink asks "did this epoch already commit?". Latest-only
+    (last_committed_meta) is wrong for that question now that
+    concurrent appends are supported: a racing non-streaming append
+    can land AFTER the epoch's commit, burying the epoch key one
+    manifest down and tricking a replayed epoch into re-appending its
+    rows. Scanning every live manifest is one LIST + a few tiny JSON
+    reads; vacuum bounds the manifest count."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return None
+    best = None
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            with contextlib.suppress(ValueError, OSError, json.JSONDecodeError):
+                val = _load_manifest(path, int(name[1:-5])).get(key)
+                if val is not None and (best is None or val > best):
+                    best = val
+    return best
 
 
 def upsert_snapshot(

@@ -126,16 +126,21 @@ def snapshot_sink(spec: TableSpec, snapshot_dir: str, order_col: str | None = No
     """foreachBatch sink that commits each micro-batch as a manifest
     APPEND on a snapshot table — the time-travelable alternative to
     the epoch-keyed directory sink. Exactly-once: the epoch id is
-    recorded in the manifest, and a retried epoch (same id as the
-    last commit) is a no-op instead of a double-append. Readers see
-    each batch atomically (manifest pointer bump) and can pin or
+    recorded in the manifest, and a retried epoch (id at or below the
+    MAX epoch across live manifests — epochs are monotone per stream)
+    is a no-op instead of a double-append. The max-scan rather than a
+    latest-manifest check matters since concurrent appends became
+    supported: a racing non-streaming append can land right after the
+    epoch's commit and bury the epoch key one manifest down. Readers
+    see each batch atomically (manifest pointer bump) and can pin or
     time-travel the rt table like any snapshot table."""
-    from indexr_spark.sources.snapshots import append_snapshot, last_committed_meta
+    from indexr_spark.sources.snapshots import append_snapshot, max_committed_meta
 
     sort_cols = spec.realtime.agg.dims if (spec.realtime and spec.realtime.agg) else spec.sort_by
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        if last_committed_meta(snapshot_dir, "epoch") == epoch_id:
+        committed = max_committed_meta(snapshot_dir, "epoch")
+        if committed is not None and epoch_id <= committed:
             return  # retried epoch — already committed
         rolled = _rollup_batch(batch, spec, order_col)
         append_snapshot(

@@ -101,6 +101,19 @@ def test_snapshot_sink_exactly_once(spark, tmp_path):
     got_v1 = {tuple(r) for r in read_snapshot(spark, sdir, version=1).collect()}
     assert got_v1 == {(1, 1.0), (2, 2.0)}
 
+    # BURIED-EPOCH replay (reachable since concurrent appends became
+    # supported): a non-streaming append lands after epoch 1, pushing
+    # the epoch key one manifest down. A replay of epoch 1 must STILL
+    # be a no-op — the guard scans all live manifests for the max
+    # epoch, not just the latest one.
+    from indexr_spark.sources.snapshots import append_snapshot
+
+    other = spark.createDataFrame([(9, 9.0)], "k int, v double")
+    append_snapshot(other, sdir)  # no epoch meta
+    n_before = read_snapshot(spark, sdir).count()
+    sink(b1, 1)  # late replay of epoch 1
+    assert read_snapshot(spark, sdir).count() == n_before  # no double rows
+
 
 def test_concurrent_commits_serialize(tmp_path):
     """Racing committers must end with LATEST at the highest committed
