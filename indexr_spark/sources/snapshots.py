@@ -144,11 +144,20 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
+class ConcurrentSnapshotConflict(RuntimeError):
+    """Raised when a commit that computed its contents FROM a specific
+    base version (copy-on-write MERGE) finds the table advanced past
+    that base — committing would silently drop the interleaved
+    writer's changes. Callers re-read and retry the whole operation
+    (the Delta/Iceberg write-conflict contract)."""
+
+
 def _commit(
     path: str,
     files: list[str],
     meta: dict | None = None,
     rebase=None,
+    expect_parent: int | None = None,
 ) -> int:
     """Write manifest v(N+1) then bump LATEST — the only mutation a
     reader can observe, and it's a single tiny file. The table-root
@@ -169,13 +178,24 @@ def _commit(
     file list was computed, silently dropping the racer's files with no
     error raised (caught by the concurrent-append test). Without
     `rebase`, the loser retries with its original file list
-    (full-replace semantics: last committed version wins)."""
+    (full-replace semantics: last committed version wins).
+
+    `expect_parent`: optimistic conflict detection for commits whose
+    CONTENTS were derived from a specific base version (copy-on-write
+    MERGE): if the table's parent at commit time differs, raise
+    ConcurrentSnapshotConflict instead of silently replacing away an
+    interleaved writer's commit."""
     from indexr_spark.sources.segments import write_sidecar
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
     with _commit_lock(path):
         while True:
             parent = latest_version(path)
+            if expect_parent is not None and parent != expect_parent:
+                raise ConcurrentSnapshotConflict(
+                    f"table {path} advanced v{expect_parent} -> v{parent} "
+                    "since this rewrite read its base; re-read and retry"
+                )
             if rebase is not None:
                 files = rebase(parent)
             version = parent + 1
@@ -296,11 +316,20 @@ def write_snapshot(
     path: str,
     sort_by: list[str] | None = None,
     num_segments: int | None = None,
+    expect_parent: int | None = None,
 ) -> int:
     """Commit `df` as the table's new full contents (version N+1).
     Prior versions' files are untouched — still readable via
-    read_snapshot(version=...)."""
-    return _commit(path, _write_data_files(df, path, sort_by, num_segments))
+    read_snapshot(version=...). Pass `expect_parent` when `df` was
+    DERIVED from a specific version (copy-on-write rewrites): the
+    commit then refuses with ConcurrentSnapshotConflict if the table
+    advanced past that base, instead of replacing away an interleaved
+    writer's commit."""
+    return _commit(
+        path,
+        _write_data_files(df, path, sort_by, num_segments),
+        expect_parent=expect_parent,
+    )
 
 
 def append_snapshot(
@@ -373,12 +402,25 @@ def upsert_snapshot(
     time-travel readers. (File-level write amplification — the same
     trade Delta/Iceberg copy-on-write makes; at 100 TB restrict the
     rewrite to the files whose key ranges overlap the updates, which
-    the stats sidecar identifies.)"""
-    target = read_snapshot(spark, path)
+    the stats sidecar identifies.)
+
+    Conflict-checked: the merge's contents derive from the base
+    version it read, so a concurrent commit landing in between makes
+    the rewrite stale — committing anyway would silently drop the
+    interleaved changes (the lost-update the retry-rebase append fix
+    cannot cover, because a MERGE's files depend on the DATA of its
+    base, not just the file list). Raises ConcurrentSnapshotConflict;
+    callers re-run the merge against the new version."""
+    base = latest_version(path)
+    target = read_snapshot(spark, path, version=base)
     cond = [target[k] == updates[k] for k in key_cols]
     survivors = target.join(updates, cond, "left_anti")
     merged = survivors.unionByName(updates.select(*target.columns))
-    return write_snapshot(merged, path, sort_by)
+    return _commit(
+        path,
+        _write_data_files(merged, path, sort_by),
+        expect_parent=base,
+    )
 
 
 def read_snapshot(

@@ -102,9 +102,15 @@ def upsert_segments(
     updates (classic copy-on-write merge); the anti join shuffles on
     the key unless the updates are broadcast-sized (they usually are).
     """
-    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+    from indexr_spark.sources.snapshots import (
+        ensure_snapshot,
+        latest_version,
+        read_table,
+        write_snapshot,
+    )
 
     ensure_snapshot(table_path)
+    base = latest_version(table_path)
     target = read_table(spark, table_path)
     cond = [target[k] == updates[k] for k in key_cols]
     survivors = target.join(updates, cond, "left_anti")
@@ -113,8 +119,11 @@ def upsert_segments(
     out = survivors.unionByName(updates.select(*target.columns))
     # snapshot commit: new files + manifest bump — a reader pinned to
     # the prior version keeps its files (no rename/delete underneath
-    # an in-flight scan); vacuum() retires them later
-    write_snapshot(out, table_path, sort_by)
+    # an in-flight scan); vacuum() retires them later. expect_parent:
+    # this rewrite's contents derive from `base`, so a concurrent
+    # commit in between makes it stale — refuse (Concurrent-
+    # SnapshotConflict) rather than silently replace it away.
+    write_snapshot(out, table_path, sort_by, expect_parent=base)
     return n_updated, n_inserted
 
 
@@ -132,14 +141,21 @@ def optimize_segments(
     directory for hive-partitioned tables — run on the table root it
     would flatten the partition columns into the data files. Returns
     (files_before, files_after)."""
-    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+    from indexr_spark.sources.snapshots import (
+        ensure_snapshot,
+        latest_version,
+        read_table,
+        write_snapshot,
+    )
 
     ensure_snapshot(table_path)
+    base = latest_version(table_path)
     df = read_table(spark, table_path)
     files_before = df.inputFiles()
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    write_snapshot(df, table_path, sort_by, num_segments=n_files)
+    # conflict-checked: compaction rewrites the base version's data
+    write_snapshot(df, table_path, sort_by, num_segments=n_files, expect_parent=base)
     after = len(read_table(spark, table_path).inputFiles())
     return len(files_before), after
 
@@ -161,10 +177,16 @@ def update_column(
     implementation got from task commits, plus pinned-reader safety
     and time travel the directory swap could not give.
     """
-    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+    from indexr_spark.sources.snapshots import (
+        ensure_snapshot,
+        latest_version,
+        read_table,
+        write_snapshot,
+    )
 
     mode = mode.upper()
     ensure_snapshot(table_path)
+    base = latest_version(table_path)
     df = read_table(spark, table_path)
     if mode == "ADDCOL":
         if value_expr is None:
@@ -185,4 +207,5 @@ def update_column(
     else:
         raise ValueError(f"unknown mode {mode!r}; expected ADDCOL/ALTCOL/DELCOL")
 
-    write_snapshot(out, table_path, sort_by)
+    # conflict-checked: the rewrite derives from `base`
+    write_snapshot(out, table_path, sort_by, expect_parent=base)

@@ -355,3 +355,29 @@ def test_concurrent_append_snapshot_api(spark, tmp_path, monkeypatch):
     assert not errors, errors
     got = sorted(r.k for r in S.read_snapshot(spark, path).collect())
     assert got == list(range(0, 5)) + list(range(10, 15)) + list(range(20, 25))
+
+
+def test_upsert_conflict_detection(spark, tmp_path):
+    """A MERGE whose base version was superseded mid-flight must raise
+    ConcurrentSnapshotConflict instead of silently replacing away the
+    interleaved commit (lost update). Simulated by committing an
+    append between the merge's base read and its commit attempt."""
+    import pytest as _pytest
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    S.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    base = S.latest_version(path)
+    # interleaved append advances the table past the merge's base
+    S.append_snapshot(spark.createDataFrame([(2, "b")], "k int, v string"), path)
+    # a commit pinned to the stale base must refuse
+    with _pytest.raises(S.ConcurrentSnapshotConflict):
+        S._commit(path, ["data/bogus.parquet"], expect_parent=base)
+    # and the real upsert path succeeds against the CURRENT version,
+    # preserving the appended row
+    S.upsert_snapshot(
+        spark, path, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"]
+    )
+    got = {tuple(r) for r in S.read_snapshot(spark, path).collect()}
+    assert got == {(1, "A"), (2, "b")}
