@@ -239,20 +239,25 @@ def _bucket_of(spark: SparkSession, emb: DataFrame) -> DataFrame:
     formulation shuffled |vecs|·64 rows twice). Only the dot's sign
     is consumed, so summation-order float noise cannot flip results
     away from the oracle's equivalent construction."""
-    # ONE 2-D plane literal + ONE transform lambda for all plane dots
-    # (_dots_2d — the constant-size expression shape). Planes stay RAW
-    # (not unit-scaled): only the dot's SIGN is consumed and the values
-    # must fold identically to the oracle's sum(x*w).
+    return emb.select("vec_id", _bucket_expr().alias("bucket"))
+
+
+def _bucket_expr() -> Column:
+    """The bucket id as a row-local COLUMN over `e` — usable directly
+    in a projection (no join-back needed, e.g. the numpy near-dup
+    path). ONE 2-D plane literal + ONE transform lambda for all plane
+    dots (_dots_2d — the constant-size expression shape). Planes stay
+    RAW (not unit-scaled): only the dot's SIGN is consumed and the
+    values must fold identically to the oracle's sum(x*w)."""
     dots = _dots_2d(F.col("e"), _plane_weights())
     bits = F.lit([1 << p for p in range(ANN_PLANES)])
-    bucket = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             dots, bits, lambda d, b: F.when(d >= 0, b).otherwise(F.lit(0))
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 def s04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,15 +915,14 @@ def neardup_pairs_numpy(
     Expects raw (vec_id, embedding) rows; returns (a_id, b_id,
     cosine) with a_id < b_id, cosine rounded to 6dp.
     """
-    spark = emb.sparkSession
-    # inline prep (not _with_norm — that expects a label column):
-    # norms are computed in numpy inside the block, so only e is needed
-    prepped = emb.repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    ).select("vec_id", _as_double(F.col("embedding")).alias("e"))
-    bucketed = prepped.join(_bucket_of(spark, prepped), "vec_id").select(
-        "vec_id", "e", "bucket"
-    )
+    # Single-shuffle plan: the bucket id is a row-local expression
+    # (_bucket_expr), so it rides the scan projection — no repartition,
+    # no join-back; the groupBy(bucket) below is the only exchange.
+    # (A prior draft repartitioned by vec_id and joined _bucket_of back
+    # on: two extra full-corpus shuffles for nothing — review catch.)
+    bucketed = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).select("vec_id", "e", _bucket_expr().alias("bucket"))
 
     def block(pdf):
         # self-contained worker: executors don't have the repo on

@@ -360,27 +360,54 @@ def append_snapshot(
     return _commit(path, new, meta, rebase=rebase)
 
 
-def last_committed_meta(path: str, key: str):
-    """Value of `key` in the latest manifest, or None."""
-    v = latest_version(path)
-    if v == 0:
-        return None
-    return _load_manifest(path, v).get(key)
+_WATERMARK_NAME = "META_WATERMARKS"
+
+
+def _meta_watermarks(path: str) -> dict:
+    """The {meta_key: max_value} carried forward by vacuum when it
+    retires manifests (see max_committed_meta)."""
+    wpath = os.path.join(_manifest_dir(path), _WATERMARK_NAME)
+    with contextlib.suppress(OSError, json.JSONDecodeError):
+        with open(wpath) as f:
+            return json.load(f)
+    return {}
+
+
+def _fold_meta_watermarks(path: str, metas: list[dict]) -> None:
+    """Merge the max of each custom meta key from `metas` into the
+    watermark file (atomic replace; monotone per key)."""
+    wm = _meta_watermarks(path)
+    for m in metas:
+        for k, v in m.items():
+            if k in ("version", "files") or v is None:
+                continue
+            if k not in wm or v > wm[k]:
+                wm[k] = v
+    tmp = os.path.join(
+        _manifest_dir(path), f".{_WATERMARK_NAME}.{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(wm, f)
+    os.replace(tmp, os.path.join(_manifest_dir(path), _WATERMARK_NAME))
 
 
 def max_committed_meta(path: str, key: str):
-    """Max value of `key` across ALL live manifests, or None — how the
-    streaming sink asks "did this epoch already commit?". Latest-only
-    (last_committed_meta) is wrong for that question now that
-    concurrent appends are supported: a racing non-streaming append
-    can land AFTER the epoch's commit, burying the epoch key one
-    manifest down and tricking a replayed epoch into re-appending its
-    rows. Scanning every live manifest is one LIST + a few tiny JSON
-    reads; vacuum bounds the manifest count."""
+    """Max value of `key` across all live manifests AND the vacuum
+    watermark, or None — how the streaming sink asks "did this epoch
+    already commit?". A latest-manifest-only check is wrong for that
+    question now that concurrent appends are supported: a racing
+    non-streaming append can land AFTER the epoch's commit, burying
+    the epoch key one manifest down and tricking a replayed epoch into
+    re-appending its rows. And the manifest scan alone is wrong across
+    a vacuum: retiring an expired manifest must not erase the epoch
+    evidence, so vacuum folds the max of every custom meta key into a
+    watermark file BEFORE deleting (the exactly-once guard survives
+    arbitrary vacuums). Scanning the live manifests is one LIST + a
+    few tiny JSON reads; vacuum bounds their count."""
+    best = _meta_watermarks(path).get(key)
     mdir = _manifest_dir(path)
     if not os.path.isdir(mdir):
-        return None
-    best = None
+        return best
     for name in os.listdir(mdir):
         if name.startswith("v") and name.endswith(".json"):
             with contextlib.suppress(ValueError, OSError, json.JSONDecodeError):
@@ -416,11 +443,7 @@ def upsert_snapshot(
     cond = [target[k] == updates[k] for k in key_cols]
     survivors = target.join(updates, cond, "left_anti")
     merged = survivors.unionByName(updates.select(*target.columns))
-    return _commit(
-        path,
-        _write_data_files(merged, path, sort_by),
-        expect_parent=base,
-    )
+    return write_snapshot(merged, path, sort_by, expect_parent=base)
 
 
 def read_snapshot(
@@ -478,8 +501,21 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
             ):
                 os.remove(fpath)
                 deleted.append(rel)
+    # fold custom meta keys (e.g. the streaming epoch) into the
+    # watermark BEFORE deleting expired manifests: retiring a manifest
+    # must not erase the exactly-once evidence max_committed_meta
+    # relies on (a replayed epoch after a routine vacuum would
+    # otherwise double-append)
+    expired_metas = []
+    expired_names = []
     for mname in os.listdir(_manifest_dir(path)):
         if mname.startswith("v") and mname.endswith(".json"):
             if int(mname[1:-5]) not in keep:
-                os.remove(os.path.join(_manifest_dir(path), mname))
+                with contextlib.suppress(OSError, json.JSONDecodeError):
+                    expired_metas.append(_load_manifest(path, int(mname[1:-5])))
+                expired_names.append(mname)
+    if expired_metas:
+        _fold_meta_watermarks(path, expired_metas)
+    for mname in expired_names:
+        os.remove(os.path.join(_manifest_dir(path), mname))
     return sorted(deleted)

@@ -102,15 +102,11 @@ def upsert_segments(
     updates (classic copy-on-write merge); the anti join shuffles on
     the key unless the updates are broadcast-sized (they usually are).
     """
-    from indexr_spark.sources.snapshots import (
-        ensure_snapshot,
-        latest_version,
-        read_table,
-        write_snapshot,
-    )
+    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
 
-    ensure_snapshot(table_path)
-    base = latest_version(table_path)
+    # ensure_snapshot returns the CURRENT version (existing or the
+    # freshly bootstrapped v1) — no second manifest scan needed
+    base = ensure_snapshot(table_path)
     target = read_table(spark, table_path)
     cond = [target[k] == updates[k] for k in key_cols]
     survivors = target.join(updates, cond, "left_anti")
@@ -141,15 +137,11 @@ def optimize_segments(
     directory for hive-partitioned tables — run on the table root it
     would flatten the partition columns into the data files. Returns
     (files_before, files_after)."""
-    from indexr_spark.sources.snapshots import (
-        ensure_snapshot,
-        latest_version,
-        read_table,
-        write_snapshot,
-    )
+    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
 
-    ensure_snapshot(table_path)
-    base = latest_version(table_path)
+    # ensure_snapshot returns the CURRENT version (existing or the
+    # freshly bootstrapped v1) — no second manifest scan needed
+    base = ensure_snapshot(table_path)
     df = read_table(spark, table_path)
     files_before = df.inputFiles()
     n_rows = df.count()
@@ -177,16 +169,12 @@ def update_column(
     implementation got from task commits, plus pinned-reader safety
     and time travel the directory swap could not give.
     """
-    from indexr_spark.sources.snapshots import (
-        ensure_snapshot,
-        latest_version,
-        read_table,
-        write_snapshot,
-    )
+    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
 
     mode = mode.upper()
-    ensure_snapshot(table_path)
-    base = latest_version(table_path)
+    # ensure_snapshot returns the CURRENT version (existing or the
+    # freshly bootstrapped v1) — no second manifest scan needed
+    base = ensure_snapshot(table_path)
     df = read_table(spark, table_path)
     if mode == "ADDCOL":
         if value_expr is None:

@@ -41,6 +41,7 @@ queries re-aggregate across segments.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 
@@ -122,29 +123,55 @@ def _rollup_batch(batch: DataFrame, spec: TableSpec, order_col: str | None) -> D
     return batch.groupBy(*agg.dims).agg(*exprs)
 
 
-def snapshot_sink(spec: TableSpec, snapshot_dir: str, order_col: str | None = None):
+def snapshot_sink(
+    spec: TableSpec,
+    snapshot_dir: str,
+    order_col: str | None = None,
+    app_id: str | None = None,
+):
     """foreachBatch sink that commits each micro-batch as a manifest
     APPEND on a snapshot table — the time-travelable alternative to
     the epoch-keyed directory sink. Exactly-once: the epoch id is
     recorded in the manifest, and a retried epoch (id at or below the
-    MAX epoch across live manifests — epochs are monotone per stream)
-    is a no-op instead of a double-append. The max-scan rather than a
-    latest-manifest check matters since concurrent appends became
-    supported: a racing non-streaming append can land right after the
-    epoch's commit and bury the epoch key one manifest down. Readers
-    see each batch atomically (manifest pointer bump) and can pin or
-    time-travel the rt table like any snapshot table."""
+    MAX epoch committed for this `app_id` — epochs are monotone per
+    STREAM INCARNATION) is a no-op instead of a double-append. The
+    max-scan rather than a latest-manifest check matters since
+    concurrent appends became supported: a racing non-streaming append
+    can land right after the epoch's commit and bury the epoch key one
+    manifest down (vacuum likewise folds retired epochs into a
+    watermark so the guard survives it).
+
+    `app_id` scopes the epoch counter, exactly like Delta's
+    txnAppId/txnVersion idempotent-write contract: Structured
+    Streaming's epoch ids RESTART AT ZERO with a fresh checkpoint, so
+    re-pointing a stream at an existing table without a new app_id
+    would suppress every epoch up to the old maximum — silent data
+    loss. Give each (stream checkpoint -> table) pairing its own
+    app_id; the skip is also logged so a mis-paired restart is visible
+    rather than silent. Readers see each batch atomically (manifest
+    pointer bump) and can pin or time-travel the rt table like any
+    snapshot table."""
     from indexr_spark.sources.snapshots import append_snapshot, max_committed_meta
 
     sort_cols = spec.realtime.agg.dims if (spec.realtime and spec.realtime.agg) else spec.sort_by
+    epoch_key = f"epoch_{app_id}" if app_id else "epoch"
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        committed = max_committed_meta(snapshot_dir, "epoch")
+        committed = max_committed_meta(snapshot_dir, epoch_key)
         if committed is not None and epoch_id <= committed:
+            logging.getLogger(__name__).warning(
+                "snapshot_sink %s: skipping epoch %d (<= committed max %d "
+                "for %r) — replay, or a stream restarted on a fresh "
+                "checkpoint without a new app_id",
+                snapshot_dir,
+                epoch_id,
+                committed,
+                epoch_key,
+            )
             return  # retried epoch — already committed
         rolled = _rollup_batch(batch, spec, order_col)
         append_snapshot(
-            rolled, snapshot_dir, sort_by=sort_cols or None, meta={"epoch": epoch_id}
+            rolled, snapshot_dir, sort_by=sort_cols or None, meta={epoch_key: epoch_id}
         )
 
     return sink

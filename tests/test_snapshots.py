@@ -381,3 +381,57 @@ def test_upsert_conflict_detection(spark, tmp_path):
     )
     got = {tuple(r) for r in S.read_snapshot(spark, path).collect()}
     assert got == {(1, "A"), (2, "b")}
+
+
+def test_epoch_guard_survives_vacuum(spark, tmp_path):
+    """vacuum() retires expired manifests — but must NOT erase the
+    exactly-once evidence: the max of every custom meta key folds into
+    a watermark file before deletion, so a replayed epoch after a
+    routine vacuum is still a no-op (caught in round-4 review: the
+    manifest-scan-only guard double-appended after vacuum)."""
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+    from indexr_spark.streaming.ingest import snapshot_sink
+
+    spec = TableSpec(
+        name="t",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    sdir = str(tmp_path / "rt")
+    sink = snapshot_sink(spec, sdir)
+    sink(spark.createDataFrame([(1, 1.0)], "k int, v double"), 7)
+    # two later appends push the epoch manifest past the keep horizon
+    S.append_snapshot(spark.createDataFrame([(2, 2.0)], "k int, v double"), sdir)
+    S.append_snapshot(spark.createDataFrame([(3, 3.0)], "k int, v double"), sdir)
+    S.vacuum(sdir, keep_versions=2)
+    assert S.max_committed_meta(sdir, "epoch") == 7  # via the watermark
+    n = S.read_snapshot(spark, sdir).count()
+    sink(spark.createDataFrame([(1, 1.0)], "k int, v double"), 7)  # replay
+    assert S.read_snapshot(spark, sdir).count() == n  # no double-append
+
+
+def test_epoch_guard_scoped_by_app_id(spark, tmp_path):
+    """A stream incarnation with a FRESH checkpoint restarts epoch ids
+    at zero; scoping the epoch counter by app_id (the Delta
+    txnAppId contract) lets the new incarnation write while the old
+    incarnation's replays stay suppressed."""
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+    from indexr_spark.streaming.ingest import snapshot_sink
+
+    spec = TableSpec(
+        name="t",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    sdir = str(tmp_path / "rt")
+    run1 = snapshot_sink(spec, sdir, app_id="run1")
+    run1(spark.createDataFrame([(1, 1.0)], "k int, v double"), 500)
+    # new incarnation, fresh checkpoint -> epochs restart at 0
+    run2 = snapshot_sink(spec, sdir, app_id="run2")
+    run2(spark.createDataFrame([(2, 2.0)], "k int, v double"), 0)
+    got = {tuple(r) for r in S.read_snapshot(spark, sdir).collect()}
+    assert got == {(1, 1.0), (2, 2.0)}  # run2's epoch 0 NOT suppressed
+    run1(spark.createDataFrame([(9, 9.0)], "k int, v double"), 500)  # replay
+    assert S.read_snapshot(spark, sdir).count() == 2

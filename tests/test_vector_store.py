@@ -174,14 +174,41 @@ def test_neardup_numpy_matches_catalyst_pair_set(spark):
     j = chunked_self_join(embb, key_cols=["bucket"], order_col="vec_id")
     cos = S._dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     fwd = F.col("a.vec_id") < F.col("b.vec_id")
+    # filter on the RAW cosine then round — d10's exact order (a
+    # round-then-filter reference would diverge at a rounding boundary)
     cat = {
         (r.a_id, r.b_id, r.cosine)
         for r in j.select(
             F.when(fwd, F.col("a.vec_id")).otherwise(F.col("b.vec_id")).alias("a_id"),
             F.when(fwd, F.col("b.vec_id")).otherwise(F.col("a.vec_id")).alias("b_id"),
-            F.round(cos, 6).alias("cosine"),
+            cos.alias("raw"),
         )
-        .filter(F.col("cosine") >= S.NEARDUP_THRESHOLD)
+        .filter(F.col("raw") >= S.NEARDUP_THRESHOLD)
+        .select("a_id", "b_id", F.round("raw", 6).alias("cosine"))
         .collect()
     }
     assert np_pairs == cat and len(np_pairs) > 0
+
+
+def test_neardup_numpy_and_catalyst_both_drop_zero_vectors(spark):
+    """Zero-norm vectors: the Catalyst path's cosine is NULL (non-ANSI
+    0.0/0.0 -> NULL, dropped by the threshold filter) and the numpy
+    path substitutes norm 1 giving cosine 0.0 (also below threshold) —
+    both paths DROP every pair involving a zero vector, so the
+    equivalence contract holds on hostile inputs too. (Pins the
+    refutation of a review hypothesis that Spark would produce NaN
+    here and NaN >= threshold would emit the pair; the session's
+    non-ANSI arithmetic pin makes the division NULL, not NaN.)"""
+    from indexr_spark.operators import similarity as S
+
+    rows = [
+        (0, [0.0] * 8, "a"),
+        (1, [1.0] * 8, "a"),
+        (2, [1.0] * 8, "a"),
+        (3, [0.0] * 8, "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    pairs = sorted(
+        (r.a_id, r.b_id) for r in S.neardup_pairs_numpy(df.select("vec_id", "embedding")).collect()
+    )
+    assert pairs == [(1, 2)]  # only the genuine near-dup; no zero-vector pairs
