@@ -29,7 +29,7 @@ from indexr_spark.functions.text import (
     tokens,
 )
 from indexr_spark.functions.joins import chunked_self_join
-from indexr_spark.tables import load_table
+from indexr_spark.tables import load_table, spread_scan
 
 ORACLE: dict[str, str] = {}
 
@@ -257,7 +257,32 @@ def _canon_key(dt: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(dt), " "))
 
 
-def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _canon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, gid) for every token-bearing doc — ONE
+    tokenize + canon-digest pass that both the group frame and the
+    membership map derive from (callers that need both checkpoint
+    this and pass it down, halving the corpus tokenization cost).
+
+    Token-less docs (empty/whitespace-only) carry no minhash signal:
+    the doc-level oracle drops them from the signature CTE (unnest of
+    an empty token list emits no rows), so they can never pair. The
+    within-group leg would otherwise pair all empty docs through the
+    shared md5('') canon key — a latent oracle mismatch on hostile
+    corpora (r3 ADVICE). The token set is projected ONCE and both the
+    filter and the canon key read the column — a filter on
+    size(distinct_tokens(text)) would re-tokenize the corpus (no
+    cross-operator CSE).
+    """
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
+    dd = d.select(
+        "doc_id", "text", distinct_tokens("text").alias("dt")
+    ).filter(F.size("dt") > 0)
+    return dd.select("doc_id", "text", _canon_key(F.col("dt")).alias("gid"))
+
+
+def _canon_groups(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """One row per distinct token set: (gid, rep, any_text).
 
     Dedup-first: web-crawl corpora are duplication-heavy, and every
@@ -274,35 +299,23 @@ def _canon_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     `any_text` is F.min over texts whose token sets are identical —
     used only for signature computation, where any member is exact.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # Token-less docs (empty/whitespace-only) carry no minhash signal:
-    # the doc-level oracle drops them from the signature CTE (unnest of
-    # an empty token list emits no rows), so they can never pair. The
-    # within-group leg would otherwise pair all empty docs through the
-    # shared md5('') canon key — a latent oracle mismatch on hostile
-    # corpora (r3 ADVICE). The token set is projected ONCE and both the
-    # filter and the canon key read the column — a filter on
-    # size(distinct_tokens(text)) would re-tokenize the corpus (no
-    # cross-operator CSE).
-    d = d.select(
-        "doc_id", "text", distinct_tokens("text").alias("dt")
-    ).filter(F.size("dt") > 0)
-    return d.groupBy(_canon_key(F.col("dt")).alias("gid")).agg(
+    if base is None:
+        base = _canon_base(spark, sf_dir)
+    return base.groupBy("gid").agg(
         F.min("doc_id").alias("rep"),
         F.min("text").alias("any_text"),
     )
 
 
-def _doc_gid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_gid_map(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, gid) membership mapping for group→doc expansion.
     Token-less docs excluded — same oracle-parity rationale as
-    _canon_groups (they can never appear in a signature bucket)."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", distinct_tokens("text").alias("dt"))
-        .filter(F.size("dt") > 0)
-        .select("doc_id", _canon_key(F.col("dt")).alias("gid"))
-    )
+    _canon_base (they can never appear in a signature bucket)."""
+    if base is None:
+        base = _canon_base(spark, sf_dir)
+    return base.select("doc_id", "gid")
 
 
 def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
@@ -389,9 +402,16 @@ def _lsh_group_pairs(
     still surface through a surviving later band, which first-match
     (computed over the full signature arrays) would wrongly drop.
     """
-    sigs = _group_band_sigs(groups, bands)
+    # ALWAYS materialize the signature frame: the self-join consumes it
+    # on BOTH sides, and ReusedExchange only dedups up to the exchange
+    # boundary — the minhash projection (16 interpreted HOF transforms
+    # per group, the most CPU-dense expression in the pipeline) sits
+    # ABOVE the groups exchange and would run once per side (measured:
+    # the d09-banded join dropped 8.2 s → 4.2 s at sf0.1 when sigs
+    # stopped being double-built). In capped mode the checkpoint also
+    # lets the bucket census and the join read one run.
+    sigs = _group_band_sigs(groups, bands).localCheckpoint()
     if max_bucket is not None:
-        sigs = sigs.localCheckpoint()  # census + join read one run
         sizes = sigs.groupBy("band", "sig").agg(F.count("*").alias("n"))
         over = sizes.filter(F.col("n") > max_bucket)
         # metadata-sized driver pull (one row per oversized bucket)
@@ -456,15 +476,19 @@ def _lsh_doc_pairs(
     distinct is needed. Expansion is join-based: at 100 TB both legs
     are hash joins on gid; the small group-pair frame broadcasts.
     """
-    groups = _canon_groups(spark, sf_dir)
+    # One tokenize + canon-digest pass feeds EVERYTHING downstream: the
+    # group frame (→ signatures → bucket join) and the membership map's
+    # four join legs (within-group self-join + both sides of the cross
+    # expansion). Without materialization each consumer re-tokenizes +
+    # re-digests the corpus — previously groups and the map each ran
+    # their own pass (~1.5 s of recompute at sf0.1 on top of the
+    # per-leg cost). The checkpoint pins (doc_id, text, gid): text
+    # rides along for the group agg's any_text and is column-pruned
+    # out of the map's join legs.
+    base = _canon_base(spark, sf_dir).localCheckpoint()
+    groups = _canon_groups(spark, sf_dir, base=base)
     gp = _lsh_group_pairs(groups, bands, max_bucket)
-    # The membership map feeds FOUR join legs (within-group self-join +
-    # both sides of the cross expansion); without materialization each
-    # leg re-tokenizes + re-digests the corpus for the canon key —
-    # measured ~0.25 s/leg at sf0.1, ~1 s of pure recompute. One
-    # localCheckpoint pins the (doc_id, gid) pairs — corpus-row-count
-    # sized but only two narrow columns, the cheapest frame to pin.
-    m = _doc_gid_map(spark, sf_dir).localCheckpoint()
+    m = _doc_gid_map(spark, sf_dir, base=base)
     ma, mb = m.alias("ma"), m.alias("mb")
     within = (
         ma.join(
@@ -618,7 +642,9 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     string join keys cost more than long doc_ids. It wins only when
     exact duplication is heavy; the dedup-first LSH already captures
     that win at the candidate stage.)"""
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: per-doc shingling + hashing is per-row CPU, and the
+    # small corpus file scans as one task (see tables.spread_scan).
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     # Shingles are carried as HASHED int arrays (portable hash32, same
     # expression in the oracle): the candidate-verify joins ship one
     # array per pair side, and ints cut that shuffle ~3× vs strings.
@@ -885,7 +911,8 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    groups = _canon_groups(spark, sf_dir).localCheckpoint()
+    base = _canon_base(spark, sf_dir).localCheckpoint()
+    groups = _canon_groups(spark, sf_dir, base=base).localCheckpoint()
     g = groups.select("gid", "rep")
     # group-level candidate edges, with gid strings swapped for the
     # integer rep ids CC iterates on (the gid->rep map is group-count
@@ -944,7 +971,7 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every group (token-less — no signature, no edges) are their own
     # singleton cluster, matching the oracle's reach base case.
     memb = (
-        _doc_gid_map(spark, sf_dir)
+        _doc_gid_map(spark, sf_dir, base=base)
         .join(F.broadcast(g), "gid")
         .select("doc_id", "rep")
     )

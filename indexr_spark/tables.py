@@ -54,6 +54,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-dense per-row work.
+
+    A small-by-bytes file scans as a handful of tasks (sf0.1's 580 KB
+    documents table is ONE partition), which serializes work whose cost
+    is per-ROW, not per-byte — tokenization, per-token digests, minhash
+    families (measured: the d07/d09 canon-group build spent 3.1 s on
+    1 core vs 0.6 s spread). The shuffle this inserts is bounded by the
+    scan itself: it only fires when partition count is a small fraction
+    of the cluster's slots, and each scanned partition is at most
+    `spark.sql.files.maxPartitionBytes`, so the worst case moves
+    (cores/4) x maxPartitionBytes. At 100 TB the corpus scans thousands
+    of partitions wide and this is a metadata check + no-op — it exists
+    for the small-input-heavy-CPU corner, which is exactly the local
+    test shape.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # .rdd inspects the physical scan's partitioning — no job runs.
+    if df.rdd.getNumPartitions() * 4 > target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
