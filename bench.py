@@ -42,7 +42,13 @@ bench prefix that preceded those queries in a fresh session yields
 0.14-0.32s for every query in the inflation cluster, both cold and
 warm. The plans were already the right ones (single map-combined
 aggregates); the recorded numbers reflect machine-level contention
-during that bench capture, not engine behavior. Round-4 defenses on
+during that bench capture, not engine behavior. Round 4 confirmed the
+mechanism directly: identical-code back-to-back captures measured
+34.7s and 85.3s totals with ZERO guest-visible steal (/proc/stat) and
+an idle process table — host-level throttling phases. Hence the
+cpu_spin_sec_{before,after} calibration fields: a fixed single-thread
+spin recorded into the payload, so readers can normalize a capture by
+the machine speed that prevailed during it. Round-4 defenses on
 top of the r3 ones (periodic GC, per-query cache clear, file copy of
 the payload): loadavg is recorded into the payload (a contended
 capture is visible in the artifact), and best-of-2 escalates to a
@@ -169,6 +175,24 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_calibration() -> float:
+    """Wall seconds for a fixed single-thread spin (20M increments).
+
+    This box's effective CPU speed swings 2-3x between captures
+    (host-level throttling invisible to guest loadavg/steal — measured
+    identical-code runs at 34.7 s and 85.3 s totals in one day). The
+    spin pins the machine's speed *at capture time* into the artifact,
+    so a cross-round bench comparison can separate engine regressions
+    from machine phases: if calibration moved 2x, so did every query.
+    ~1.4 s on this box in a fast phase.
+    """
+    t0 = time.time()
+    x = 0
+    while x < 20_000_000:
+        x += 1
+    return round(time.time() - t0, 3)
+
+
 def _short(name: str) -> str:
     return name.split("_", 1)[0]
 
@@ -202,6 +226,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     load_before = _loadavg()
+    spin_before = _cpu_calibration()
     spark = get_spark(
         app_name="indexr-bench",
         # Long multi-query sessions accumulate broadcast + checkpoint
@@ -266,6 +291,8 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "cpu_spin_sec_before": spin_before,
+        "cpu_spin_sec_after": _cpu_calibration(),
         "regressions": regressions,
     }
     compact = {
