@@ -175,20 +175,23 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _cpu_calibration() -> float:
-    """Wall seconds for a fixed single-thread spin (20M increments).
+def _cpu_calibration(increments: int = 20_000_000) -> float:
+    """Wall seconds for a fixed single-thread spin.
 
     This box's effective CPU speed swings 2-3x between captures
     (host-level throttling invisible to guest loadavg/steal — measured
-    identical-code runs at 34.7 s and 85.3 s totals in one day). The
+    identical-code runs at 34.7 s and 85.3 s totals in one day, and
+    single queries swinging 2.4 s ↔ 100 s bracketed by spins). The
     spin pins the machine's speed *at capture time* into the artifact,
     so a cross-round bench comparison can separate engine regressions
     from machine phases: if calibration moved 2x, so did every query.
-    ~1.4 s on this box in a fast phase.
+    ~0.7 s on this box in a fast phase (throttle phases hit multi-core
+    JVM work HARDER than this single-thread proxy — treat a slow spin
+    as a floor on the slowdown, not an exact factor).
     """
     t0 = time.time()
     x = 0
-    while x < 20_000_000:
+    while x < increments:
         x += 1
     return round(time.time() - t0, 3)
 
@@ -251,8 +254,16 @@ def main() -> None:
     # long-lived cluster amortizes away; min is the steady-state cost.
     # A third run triggers only when the first two disagree by more
     # than DISPERSION — the contention-spike case.
+    # phase_trace: a short spin sampled every 10 queries — localizes a
+    # mid-capture throttle phase to the queries it inflated (~0.2 s per
+    # sample in a fast phase, ~2 s total overhead).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    phase_trace: list[dict[str, float]] = []
+    for i, name in enumerate(HEADLINE):
+        if i % 10 == 0:
+            phase_trace.append(
+                {"query_index": i, "spin_sec": _cpu_calibration(5_000_000)}
+            )
         runs = []
         for _ in range(2):
             t0 = time.time()
@@ -293,6 +304,7 @@ def main() -> None:
         "loadavg_after": _loadavg(),
         "cpu_spin_sec_before": spin_before,
         "cpu_spin_sec_after": _cpu_calibration(),
+        "phase_trace": phase_trace,
         "regressions": regressions,
     }
     compact = {
