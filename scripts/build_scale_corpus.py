@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Build the scale spot-run corpora (COVERAGE.md "Scale spot-run"
+sections) so the numbers there are reproducible round over round.
+
+Round 4 lesson: the first 10x/50x corpora were throwaway scripts, so
+when they were rebuilt the dup structure differed (23.9M group-graph
+edges vs 3.5M the first time — the suffix scheme changes how replica
+families collide in LSH) and the old wall-times stopped being
+comparable. This script IS the corpus definition now.
+
+  python scripts/build_scale_corpus.py docs10x   # /tmp/sf1x10/documents.parquet
+  python scripts/build_scale_corpus.py vecs50x   # /tmp/sfvec50/embeddings.parquet
+
+docs10x — 50k docs (10x sf0.1): replica 0 is sf0.1 verbatim; replicas
+r=1..9 shift doc_id by r*10000; docs with EVEN original ids stay exact
+copies (heavy exact duplication, the web-crawl shape), ODD ids get a
+single per-replica suffix token `xrep{r}` (distinct token sets that
+are extreme near-dups of each other — the LSH stress shape).
+
+vecs50x — 100k vectors (50x sf0.1): replicas shift vec_id by
+r*100000 and add deterministic per-(replica, dim) jitter of at most
+±0.005 derived from md5, so vectors are distinct but cluster
+structure persists.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F
+
+from indexr_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+
+def build_docs10x(out: str = "/tmp/sf1x10") -> None:
+    spark = get_spark(app_name="build-docs10x")
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    reps = [d]
+    for r in range(1, 10):
+        dr = (
+            d.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 2 == 1,
+                    F.concat("text", F.lit(f" xrep{r}")),
+                ).otherwise(F.col("text")),
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.lit(r * 10000))
+        )
+        reps.append(dr)
+    alld = reps[0]
+    for x in reps[1:]:
+        alld = alld.union(x)
+    alld.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(f"wrote {out}/documents.parquet")
+
+
+def build_vecs50x(out: str = "/tmp/sfvec50") -> None:
+    spark = get_spark(app_name="build-vecs50x")
+    e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    reps = [e]
+    for r in range(1, 50):
+        jitter = F.transform(
+            F.col("embedding"),
+            # deterministic per-(replica, position) jitter in ±0.005
+            lambda x, i: x
+            + (
+                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(r), i)), 1, 6), 16, 10)
+                .cast("long")
+                % 1001
+                - 500
+            ).cast("float")
+            / F.lit(100000.0),
+        )
+        er = (
+            e.withColumn("embedding", jitter)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(r * 100000))
+        )
+        reps.append(er)
+    alle = reps[0]
+    for x in reps[1:]:
+        alle = alle.union(x)
+    alle.repartition(16).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    print(f"wrote {out}/embeddings.parquet")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
+    {"docs10x": build_docs10x, "vecs50x": build_vecs50x}[which]()

@@ -177,3 +177,24 @@ def test_dedup_action_pipeline_end_to_end(spark, tmp_path):
     reclustered = T.QUERIES["d12_dup_clusters"](spark, out)
     assert reclustered.filter(F.col("n_members") > 1).count() == 0
     assert reclustered.count() == n_clusters
+
+
+def test_spread_scan_widens_narrow_scans_only(spark, tmp_path):
+    """spread_scan repartitions a single-partition scan to the session
+    parallelism (per-row CPU work must not serialize on one task just
+    because the file is small) and leaves an already-wide frame
+    untouched (at scale the scan provides width; an extra full-corpus
+    shuffle would be the bug)."""
+    from indexr_spark.tables import spread_scan
+
+    path = str(tmp_path / "tiny.parquet")
+    spark.range(100).toDF("doc_id").coalesce(1).write.parquet(path)
+    narrow = spark.read.parquet(path)
+    assert narrow.rdd.getNumPartitions() == 1
+    target = spark.sparkContext.defaultParallelism
+    widened = spread_scan(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 100
+
+    wide = spark.range(1000).repartition(target)
+    assert spread_scan(wide) is wide  # no-op: returns the frame as-is
