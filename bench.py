@@ -57,9 +57,16 @@ measured during a contention spike gets one more chance at its true
 time.
 
 Regression gate: bench_baseline.json (committed) holds the last
-accepted per-query times. After the run, any query >1.75x its baseline
-(and >0.5s absolute) is listed
-in the payload's "regressions" field and printed to stderr. Both
+accepted per-query times plus the spark_cal_sec measured during THAT
+capture. After the run, each timing is first normalized by
+machine_factor = this capture's spark_cal / the baseline's (clamped to
+[1/3, 3]); any query whose NORMALIZED time is >1.75x its baseline (and
+>0.5s absolute) is listed in the payload's "regressions" field and
+printed to stderr. The normalization exists because this box throttles
+in phases that the single-thread spin does not always see (a capture
+measured every small query uniformly ~2-4x slower with fast spins —
+multi-core scheduling was the throttled part); a fixed Spark job
+experiences the phase the same way the benchmark queries do. Both
 thresholds are calibrated against measured noise on this box: back-to-
 back identical-code runs swing mid-weight queries ~1.5x (d07 1.9->3.0s,
 d21 0.7->1.1s under residual load) and sub-0.5s queries ~2x+, while the
@@ -196,6 +203,27 @@ def _cpu_calibration(increments: int = 20_000_000) -> float:
     return round(time.time() - t0, 3)
 
 
+def _spark_calibration(spark) -> float:
+    """Wall seconds for a fixed small Spark job (50M-row shuffled sum).
+
+    The single-thread spin misses the phase that matters most here:
+    captures where the spin stays fast but EVERY Spark query runs
+    ~2-4x slower (host throttling that hits multi-core scheduling and
+    JVM threads, not a pinned single core). A fixed job through the
+    whole stack — codegen, 64-task shuffle, scheduling — measures the
+    platform exactly the way the benchmark queries experience it.
+    ~0.5 s in a fast phase. The regression gate normalizes by the
+    ratio of this number between capture and baseline, so a slow
+    PHASE doesn't read as an engine regression (and a fast phase
+    doesn't hide one).
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+    return round(time.time() - t0, 3)
+
+
 def _short(name: str) -> str:
     return name.split("_", 1)[0]
 
@@ -205,20 +233,31 @@ def find_regressions(
     baseline: dict[str, float],
     ratio: float = REGRESSION_RATIO,
     floor_sec: float = REGRESSION_FLOOR_SEC,
+    machine_factor: float = 1.0,
 ) -> dict[str, dict[str, float]]:
     """Queries slower than `ratio` x their baseline AND above the
     absolute floor (sub-floor queries are jitter-dominated). Queries
     missing from the baseline are never flagged — new entries earn a
-    baseline on the next intentional refresh."""
+    baseline on the next intentional refresh.
+
+    `machine_factor` is capture_spark_cal / baseline_spark_cal — how
+    much slower the machine itself ran than when the baseline was
+    captured (see _spark_calibration). Each measurement is normalized
+    by it before the ratio test, clamped to [1/3, 3] so a broken
+    calibration can't hide a real regression entirely. The flagged
+    entry records both the raw and normalized numbers.
+    """
+    factor = min(3.0, max(1 / 3.0, machine_factor or 1.0))
     out: dict[str, dict[str, float]] = {}
     for name, now in timings.items():
         then = baseline.get(name)
+        norm = round(now / factor, 3)
         # `then > 0` is deliberate, not falsy-accident: a baseline that
         # rounded to 0.0 can't support a ratio — treat the floor crossing
         # itself as the regression signal for those.
-        if then is not None and now > floor_sec:
-            if (then > 0 and now / then > ratio) or then == 0:
-                out[name] = {"baseline": then, "now": now}
+        if then is not None and norm > floor_sec:
+            if (then > 0 and norm / then > ratio) or then == 0:
+                out[name] = {"baseline": then, "now": now, "now_normalized": norm}
     return out
 
 
@@ -249,6 +288,8 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
+    _spark_calibration(spark)  # warm the calibration job's own codegen
+    spark_cal = _spark_calibration(spark)
 
     # best-of-2: the first run pays JIT/codegen compilation that a
     # long-lived cluster amortizes away; min is the steady-state cost.
@@ -278,19 +319,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # regression gate vs the committed baseline
+    # regression gate vs the committed baseline, normalized by how fast
+    # the machine ran THIS capture vs the baseline's capture
     regressions: dict[str, dict[str, float]] = {}
+    machine_factor = 1.0
     baseline_path = _REPO / "bench_baseline.json"
     if baseline_path.exists():
         try:
-            base = json.loads(baseline_path.read_text()).get("queries", {})
+            base_doc = json.loads(baseline_path.read_text())
+            base = base_doc.get("queries", {})
+            base_cal = base_doc.get("spark_cal_sec")
         except (json.JSONDecodeError, OSError):
-            base = {}
-        regressions = find_regressions(timings, base)
+            base, base_cal = {}, None
+        if base_cal:
+            machine_factor = spark_cal / base_cal
+        regressions = find_regressions(timings, base, machine_factor=machine_factor)
         for name, r in sorted(regressions.items()):
             print(
                 f"BENCH REGRESSION {name}: {r['baseline']}s -> {r['now']}s "
-                f"({r['now'] / r['baseline']:.1f}x)",
+                f"(normalized {r['now_normalized']}s, "
+                f"{r['now_normalized'] / r['baseline']:.1f}x)",
                 file=sys.stderr,
             )
 
@@ -304,6 +352,8 @@ def main() -> None:
         "loadavg_after": _loadavg(),
         "cpu_spin_sec_before": spin_before,
         "cpu_spin_sec_after": _cpu_calibration(),
+        "spark_cal_sec": spark_cal,
+        "machine_factor_vs_baseline": round(machine_factor, 3),
         "phase_trace": phase_trace,
         "regressions": regressions,
     }

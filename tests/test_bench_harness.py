@@ -54,10 +54,29 @@ def test_find_regressions_flags_ratio_above_floor():
     now = {"q01_x": 1.9, "q02_y": 0.45, "d07_z": 2.1, "new_op": 9.9}
     r = bench.find_regressions(now, base)
     # q01: 1.9x over 1.0s baseline and above the 0.5s floor -> flagged
-    assert r == {"q01_x": {"baseline": 1.0, "now": 1.9}}
+    assert r == {"q01_x": {"baseline": 1.0, "now": 1.9, "now_normalized": 1.9}}
     # q02: 4.5x ratio but below the absolute floor -> jitter, not flagged
     # d07: above floor but only 1.05x -> not flagged
     # new_op: no baseline -> never flagged
+
+
+def test_find_regressions_machine_factor_normalizes_slow_phase():
+    """A capture on a 2x-throttled machine (every query uniformly 2x)
+    must NOT read as an engine regression once the Spark-job
+    calibration says the machine itself ran 2x slower — and a REAL 4x
+    regression must still be flagged through the normalization."""
+    base = {"q01_x": 1.0, "q02_y": 1.0}
+    now = {"q01_x": 2.0, "q02_y": 8.0}
+    r = bench.find_regressions(now, base, machine_factor=2.0)
+    assert "q01_x" not in r  # phase, not regression
+    assert r["q02_y"]["now_normalized"] == 4.0  # real, still caught
+
+
+def test_find_regressions_machine_factor_clamped():
+    """An absurd calibration (e.g. the job raced a throttle spike)
+    cannot hide a real regression: the factor clamps at 3x."""
+    r = bench.find_regressions({"q01_x": 10.0}, {"q01_x": 1.0}, machine_factor=50.0)
+    assert "q01_x" in r  # 10 / 3 (clamped) = 3.33 > 1.75
 
 
 def test_find_regressions_zero_baseline_flags_floor_crossing():
