@@ -17,6 +17,7 @@ and the ORDER BY tails here exist only for oracle determinism.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +57,24 @@ MINHASH_B = [997 * (j + 1) for j in range(MINHASH_SEEDS)]
 JACCARD_NGRAM = 2
 JACCARD_THRESHOLD = 0.1
 SIMHASH_BITS = 32
+
+
+def _lsh_max_bucket() -> int | None:
+    """Deployment dial for the LSH bucket cap (see _lsh_group_pairs).
+
+    The driver contract fixes operator signatures at (spark, sf_dir),
+    so the scale valve is reachable via INDEXR_LSH_MAX_BUCKET — a
+    100 TB run sets it to bound the worst (band, signature) bucket;
+    oversized buckets are then EXCLUDED from candidate generation with
+    the forgone-pair estimate logged (never silent). Unset (the
+    default, and what the correctness driver runs), d07/d09/d12/d20
+    produce the exact oracle-matched pair/cluster sets. Measured on
+    the 10x spot-run corpus: d09's verify goes >590 s uncapped →
+    112.6 s at max_bucket=500 with ~170M forgone candidates logged
+    (COVERAGE.md).
+    """
+    env = os.environ.get("INDEXR_LSH_MAX_BUCKET")
+    return int(env) if env else None
 
 
 def d01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,7 +543,9 @@ def d07_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same pair set as the doc-level construction; the oracle mirrors
     the doc-level form and hash-matches exactly.
     """
-    return _lsh_doc_pairs(spark, sf_dir, MINHASH_BANDS).orderBy("a_id", "b_id")
+    return _lsh_doc_pairs(
+        spark, sf_dir, MINHASH_BANDS, max_bucket=_lsh_max_bucket()
+    ).orderBy("a_id", "b_id")
 
 
 ORACLE["d07_minhash_lsh"] = f"""
@@ -670,7 +691,9 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the candidate stream is respread to full width first — AQE's
     # byte-based coalescing sees "small" shuffle partitions and would
     # run the array-heavy verify on a fraction of the cores.
-    cand = _lsh_doc_pairs(spark, sf_dir, JACCARD_BANDS).repartition(
+    cand = _lsh_doc_pairs(
+        spark, sf_dir, JACCARD_BANDS, max_bucket=_lsh_max_bucket()
+    ).repartition(
         spark.sparkContext.defaultParallelism
     )
     # Broadcast the doc→shingle-set map: candidates outnumber docs
@@ -918,7 +941,7 @@ def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer rep ids CC iterates on (the gid->rep map is group-count
     # sized — broadcastable far beyond this corpus; at sizes where it
     # is not, drop the hints and AQE picks the shuffle join).
-    gedges = _lsh_group_pairs(groups, MINHASH_BANDS)
+    gedges = _lsh_group_pairs(groups, MINHASH_BANDS, _lsh_max_bucket())
     ra = F.broadcast(g.select(F.col("gid").alias("ga"), F.col("rep").alias("ra")))
     rb = F.broadcast(g.select(F.col("gid").alias("gb"), F.col("rep").alias("rb")))
     edges = (

@@ -198,3 +198,24 @@ def test_spread_scan_widens_narrow_scans_only(spark, tmp_path):
 
     wide = spark.range(1000).repartition(target)
     assert spread_scan(wide) is wide  # no-op: returns the frame as-is
+
+
+def test_lsh_max_bucket_env_valve(spark, monkeypatch):
+    """INDEXR_LSH_MAX_BUCKET is the deployment dial for the bucket
+    cap: unset, d07 emits the exact oracle pair set; set, oversized
+    buckets are excluded BEFORE the self-join, so the capped output is
+    a subset of the exact one (never new pairs) and strictly smaller
+    when the cap actually bites."""
+    from indexr_spark.operators import text as T
+
+    src = "/root/testdata/sf0.001"
+    monkeypatch.delenv("INDEXR_LSH_MAX_BUCKET", raising=False)
+    exact = {
+        (r["a_id"], r["b_id"]) for r in T.QUERIES["d07_minhash_lsh"](spark, src).collect()
+    }
+    monkeypatch.setenv("INDEXR_LSH_MAX_BUCKET", "2")
+    capped = {
+        (r["a_id"], r["b_id"]) for r in T.QUERIES["d07_minhash_lsh"](spark, src).collect()
+    }
+    assert capped <= exact
+    assert len(capped) < len(exact)  # cap=2 must bite on this corpus
