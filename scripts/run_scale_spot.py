@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Run the COVERAGE.md scale spot-runs against the committed corpora.
+
+    python scripts/build_scale_corpus.py docs10x
+    python scripts/run_scale_spot.py docs10x
+
+    python scripts/build_scale_corpus.py vecs50x
+    python scripts/run_scale_spot.py vecs50x
+
+Prints one line per measurement with a single-thread spin calibration
+after each (this box throttles in phases — a row is only comparable
+to another captured at a similar spin; see bench.py). d09 runs CAPPED
+(INDEXR_LSH_MAX_BUCKET=500) because the uncapped verify exceeds 590 s
+on the 10x corpus by specification (pairwise output); the capped run
+is the documented scale posture and logs its forgone pairs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def _spin() -> float:
+    t0 = time.time()
+    x = 0
+    while x < 20_000_000:
+        x += 1
+    return round(time.time() - t0, 2)
+
+
+def _run(spark, name, fn) -> None:
+    t0 = time.time()
+    n = fn().count()
+    print(f"{name}  {time.time() - t0:.1f}s  rows={n}  spin={_spin()}", flush=True)
+
+
+def docs10x(spark) -> None:
+    from indexr_spark import operators
+
+    sf = "/tmp/sf1x10"
+    for q in ("d05_exact_dedup", "d07_minhash_lsh", "d12_dup_clusters",
+              "d20_cluster_keep_best"):
+        _run(spark, q, lambda q=q: operators.QUERIES[q](spark, sf))
+    os.environ["INDEXR_LSH_MAX_BUCKET"] = "500"
+    try:
+        _run(
+            spark,
+            "d09_ngram_jaccard[max_bucket=500]",
+            lambda: operators.QUERIES["d09_ngram_jaccard"](spark, sf),
+        )
+    finally:
+        del os.environ["INDEXR_LSH_MAX_BUCKET"]
+
+
+def vecs50x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from indexr_spark import operators
+    from indexr_spark.operators import similarity as S
+    from indexr_spark.sources import vector_store as VS
+
+    sf = "/tmp/sfvec50"
+    for q in ("s01_cosine_topk", "s04_ann_lsh_topk", "s06_ivf_topk"):
+        _run(spark, q, lambda q=q: operators.QUERIES[q](spark, sf))
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    t0 = time.time()
+    VS.build_ivf_store(spark, emb, "/tmp/ivf50x", n_cells=16)
+    print(f"ivf_store_build  {time.time() - t0:.1f}s  spin={_spin()}", flush=True)
+    qs = emb.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    _run(spark, "ivf_probe[20q,nprobe=2]",
+         lambda: VS.ivf_probe(spark, "/tmp/ivf50x", qs, k=3, nprobe=2))
+    _run(spark, "neardup_pairs_numpy", lambda: S.neardup_pairs_numpy(emb))
+    _run(spark, "d10_embedding_neardup",
+         lambda: operators.QUERIES["d10_embedding_neardup"](spark, sf))
+
+
+if __name__ == "__main__":
+    from indexr_spark.session import get_spark
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
+    spark = get_spark(
+        app_name=f"scale-spot-{which}",
+        extra_confs={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1000).count()
+    print(f"warmed, spin={_spin()}", flush=True)
+    {"docs10x": docs10x, "vecs50x": vecs50x}[which](spark)
+    spark.stop()
