@@ -83,10 +83,18 @@ def vecs50x(spark) -> None:
          lambda: operators.QUERIES["d10_embedding_neardup"](spark, sf))
 
 
+_CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
+           "vecs50x": "/tmp/sfvec50/embeddings.parquet"}
+
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
 
     which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
+    if not os.path.exists(_CORPUS[which]):
+        sys.exit(
+            f"{_CORPUS[which]} missing — build it first:\n"
+            f"    python scripts/build_scale_corpus.py {which}"
+        )
     spark = get_spark(
         app_name=f"scale-spot-{which}",
         extra_confs={"spark.ui.showConsoleProgress": "false"},
