@@ -204,7 +204,8 @@ def _cpu_calibration(increments: int = 20_000_000) -> float:
 
 
 def _spark_calibration(spark) -> float:
-    """Wall seconds for a fixed small Spark job (50M-row shuffled sum).
+    """Min wall seconds over 3 runs of a fixed small Spark job
+    (50M-row shuffled sum).
 
     The single-thread spin misses the phase that matters most here:
     captures where the spin stays fast but EVERY Spark query runs
@@ -212,16 +213,21 @@ def _spark_calibration(spark) -> float:
     JVM threads, not a pinned single core). A fixed job through the
     whole stack — codegen, 64-task shuffle, scheduling — measures the
     platform exactly the way the benchmark queries experience it.
-    ~0.5 s in a fast phase. The regression gate normalizes by the
-    ratio of this number between capture and baseline, so a slow
-    PHASE doesn't read as an engine regression (and a fast phase
-    doesn't hide one).
+    Measured ~2.1-3.2 s warm in a fast phase with ~2x single-run
+    jitter, hence min-of-3 (single samples would add their own noise
+    to the very normalization meant to remove it). The regression
+    gate normalizes by the ratio of this number between capture and
+    baseline, so a slow PHASE doesn't read as an engine regression
+    (and a fast phase doesn't hide one).
     """
     from pyspark.sql import functions as F
 
-    t0 = time.time()
-    spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-    return round(time.time() - t0, 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
 
 
 def _short(name: str) -> str:
@@ -288,8 +294,7 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
-    _spark_calibration(spark)  # warm the calibration job's own codegen
-    spark_cal = _spark_calibration(spark)
+    spark_cal = _spark_calibration(spark)  # first of 3 runs doubles as warm-up
 
     # best-of-2: the first run pays JIT/codegen compilation that a
     # long-lived cluster amortizes away; min is the steady-state cost.
@@ -336,9 +341,12 @@ def main() -> None:
         # inflate one query's entire best-of-2/3 window while the
         # 10-query phase trace never samples it (observed: s06 at
         # 6.2 s inside a capture whose isolated steady state is
-        # 1.7 s). Re-run each flagged query once, minutes later in
-        # the capture — a real regression stays slow, a micro-phase
-        # ghost clears.
+        # 1.7 s). Re-run each flagged query once — head-of-suite
+        # queries get minutes of separation for free; the sleep buys
+        # tail-of-suite queries distance from a micro-phase that may
+        # still be draining. A real regression stays slow either way.
+        if regressions:
+            time.sleep(15)
         for name in sorted(regressions):
             t0 = time.time()
             operators.QUERIES[name](spark, sf_dir).count()
@@ -346,10 +354,17 @@ def main() -> None:
             spark.catalog.clearCache()
         regressions = find_regressions(timings, base, machine_factor=machine_factor)
         for name, r in sorted(regressions.items()):
+            # a 0.0 baseline is flagged via the floor-crossing branch
+            # and supports no ratio — don't let the REPORT divide by it
+            # and lose the whole capture
+            ratio_txt = (
+                f"{r['now_normalized'] / r['baseline']:.1f}x"
+                if r["baseline"] > 0
+                else "baseline 0"
+            )
             print(
                 f"BENCH REGRESSION {name}: {r['baseline']}s -> {r['now']}s "
-                f"(normalized {r['now_normalized']}s, "
-                f"{r['now_normalized'] / r['baseline']:.1f}x)",
+                f"(normalized {r['now_normalized']}s, {ratio_txt})",
                 file=sys.stderr,
             )
 

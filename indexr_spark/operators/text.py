@@ -73,8 +73,19 @@ def _lsh_max_bucket() -> int | None:
     112.6 s at max_bucket=500 with ~170M forgone candidates logged
     (COVERAGE.md).
     """
-    env = os.environ.get("INDEXR_LSH_MAX_BUCKET")
-    return int(env) if env else None
+    env = os.environ.get("INDEXR_LSH_MAX_BUCKET", "").strip()
+    if not env:
+        return None
+    try:
+        cap = int(env)
+    except ValueError:
+        raise ValueError(
+            f"INDEXR_LSH_MAX_BUCKET={env!r} is not an integer; "
+            "set a positive bucket-size cap or unset it to disable"
+        ) from None
+    # 0 (or negative) would exclude EVERY bucket and silently gut the
+    # candidate set — read it as 'disabled', the only sane intent.
+    return cap if cap > 0 else None
 
 
 def d01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,10 +288,16 @@ def _canon_key(dt: Column) -> Column:
 
 
 def _canon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text, gid) for every token-bearing doc — ONE
-    tokenize + canon-digest pass that both the group frame and the
-    membership map derive from (callers that need both checkpoint
-    this and pass it down, halving the corpus tokenization cost).
+    """(doc_id, gid) for every token-bearing doc — ONE tokenize +
+    canon-digest pass that both the group frame and the membership
+    map derive from (callers that need both checkpoint this NARROW
+    frame and pass it down, halving the corpus tokenization cost).
+    Deliberately two thin columns: column pruning cannot reach
+    through a materialized checkpoint, so pinning text here would
+    store the whole corpus body on executors for the query's
+    lifetime — at 100 TB that is pinning the corpus itself. The one
+    consumer that needs a text (_canon_groups' any_text) re-reads it
+    from the raw table with a group-count-sized join instead.
 
     Token-less docs (empty/whitespace-only) carry no minhash signal:
     the doc-level oracle drops them from the signature CTE (unnest of
@@ -294,9 +311,9 @@ def _canon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread_scan(load_table(spark, sf_dir, "documents"))
     dd = d.select(
-        "doc_id", "text", distinct_tokens("text").alias("dt")
+        "doc_id", distinct_tokens("text").alias("dt")
     ).filter(F.size("dt") > 0)
-    return dd.select("doc_id", "text", _canon_key(F.col("dt")).alias("gid"))
+    return dd.select("doc_id", _canon_key(F.col("dt")).alias("gid"))
 
 
 def _canon_groups(
@@ -315,14 +332,21 @@ def _canon_groups(
     membership stays a TABLE (never a collect_list array), so a
     100M-doc dup cluster costs rows, not one giant row.
 
-    `any_text` is F.min over texts whose token sets are identical —
-    used only for signature computation, where any member is exact.
+    `any_text` is the REPRESENTATIVE's text (rep = min doc_id),
+    fetched by a group-count-sized join against the raw table rather
+    than dragged through the groupBy — it is used only for signature
+    computation, where any member is exact (signatures are functions
+    of the distinct token set, which every member shares). No
+    broadcast hint on the join: the reps side is group-count-sized,
+    which a dup-heavy corpus keeps modest but a clean 100 TB corpus
+    does not; AQE picks broadcast when it fits.
     """
     if base is None:
         base = _canon_base(spark, sf_dir)
-    return base.groupBy("gid").agg(
-        F.min("doc_id").alias("rep"),
-        F.min("text").alias("any_text"),
+    reps = base.groupBy("gid").agg(F.min("doc_id").alias("rep"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return reps.join(d, reps.rep == d.doc_id).select(
+        "gid", "rep", F.col("text").alias("any_text")
     )
 
 
@@ -501,9 +525,8 @@ def _lsh_doc_pairs(
     # expansion). Without materialization each consumer re-tokenizes +
     # re-digests the corpus — previously groups and the map each ran
     # their own pass (~1.5 s of recompute at sf0.1 on top of the
-    # per-leg cost). The checkpoint pins (doc_id, text, gid): text
-    # rides along for the group agg's any_text and is column-pruned
-    # out of the map's join legs.
+    # per-leg cost). The checkpoint pins only (doc_id, gid) — see
+    # _canon_base on why the text column must NOT ride along.
     base = _canon_base(spark, sf_dir).localCheckpoint()
     groups = _canon_groups(spark, sf_dir, base=base)
     gp = _lsh_group_pairs(groups, bands, max_bucket)

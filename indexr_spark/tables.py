@@ -73,7 +73,10 @@ def spread_scan(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     # .rdd inspects the physical scan's partitioning — no job runs.
-    if df.rdd.getNumPartitions() * 4 > target:
+    # Spread when at least half the slots would sit idle: covers the
+    # 1-partition scan even at parallelism 2-3, while a near-parity
+    # scan (6000 partitions on 8000 cores) stays a no-op.
+    if df.rdd.getNumPartitions() * 2 > target:
         return df
     return df.repartition(target)
 

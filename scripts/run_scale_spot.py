@@ -45,18 +45,28 @@ def docs10x(spark) -> None:
     from indexr_spark import operators
 
     sf = "/tmp/sf1x10"
-    for q in ("d05_exact_dedup", "d07_minhash_lsh", "d12_dup_clusters",
-              "d20_cluster_keep_best"):
-        _run(spark, q, lambda q=q: operators.QUERIES[q](spark, sf))
-    os.environ["INDEXR_LSH_MAX_BUCKET"] = "500"
+    # The uncapped rows are the COVERAGE.md reference numbers — a cap
+    # inherited from the caller's environment would silently change
+    # their pair/edge counts, so clear it (and restore afterwards).
+    saved = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
+    if saved is not None:
+        print(f"note: INDEXR_LSH_MAX_BUCKET={saved} cleared for the "
+              "uncapped reference rows (restored at exit)", flush=True)
     try:
+        for q in ("d05_exact_dedup", "d07_minhash_lsh", "d12_dup_clusters",
+                  "d20_cluster_keep_best"):
+            _run(spark, q, lambda q=q: operators.QUERIES[q](spark, sf))
+        os.environ["INDEXR_LSH_MAX_BUCKET"] = "500"
         _run(
             spark,
             "d09_ngram_jaccard[max_bucket=500]",
             lambda: operators.QUERIES["d09_ngram_jaccard"](spark, sf),
         )
     finally:
-        del os.environ["INDEXR_LSH_MAX_BUCKET"]
+        if saved is None:
+            os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
+        else:
+            os.environ["INDEXR_LSH_MAX_BUCKET"] = saved
 
 
 def vecs50x(spark) -> None:
