@@ -380,8 +380,16 @@ def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
     # full 32-way machine). Explicit repartition keeps the fan-out
     # stages wide; at 100 TB the groups frame is large enough that the
     # scan itself provides width and this coalesces into the shuffle.
+    # ROUND-ROBIN, not gid-keyed: the upstream reps aggregate is
+    # already hash-partitioned by gid, so a gid-keyed repartition is
+    # optimizer-eliminated as redundant and AQE then coalesces the
+    # aggregate's read to 1-3 tasks — the CPU-dense minhash projection
+    # below ran on 3 of 32 cores (measured 3.2-6.0 s vs 1.2-1.5 s for
+    # the sigs build at sf0.1). No downstream op keys on gid's
+    # partitioning (the bucket join reshuffles by band/sig), so the
+    # keyed form bought nothing.
     groups = groups.repartition(
-        groups.sparkSession.sparkContext.defaultParallelism, "gid"
+        groups.sparkSession.sparkContext.defaultParallelism
     )
     # Base token hashes materialized ONCE per group as a column: the 16
     # family members each reference the base array, and Catalyst does
@@ -413,8 +421,17 @@ def _group_band_sigs(groups: DataFrame, bands: int) -> DataFrame:
     per_g = groups.select("gid", "rep", *mh_cols).select(
         "gid", "rep", F.array(*sig_cols).alias("sigs")
     )
+    # posexplode_OUTER: semantically identical here (`sigs` is a
+    # literal array constructor of `bands` non-null strings — never
+    # empty, never null), but the non-outer form lets Catalyst infer
+    # `size(sigs) > 0` and SUBSTITUTE the whole 16-minhash signature
+    # expression through the projections into a pre-join filter on the
+    # raw documents side — re-tokenizing every doc 16 times with no hs
+    # materialization (the exact per-family-member CSE disaster this
+    # function exists to avoid; it was most of a 2x d07 regression).
+    # The outer form carries no inferable constraint.
     return per_g.select(
-        "gid", "rep", "sigs", F.posexplode("sigs").alias("band", "sig")
+        "gid", "rep", "sigs", F.posexplode_outer("sigs").alias("band", "sig")
     )
 
 

@@ -292,3 +292,33 @@ def test_profiling_ops_single_shuffle(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("hashpartitioning") <= 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_lsh_signature_build_stays_wide_and_unleaked(spark):
+    """Two optimizer hazards around the minhash signature build, both
+    hit in round 4 when _canon_groups grew a reps-join upstream:
+
+    1. A gid-KEYED repartition before the CPU-dense minhash projection
+       is eliminated as redundant (the reps aggregate is already
+       hash-partitioned by gid) and AQE then coalesces the tiny groups
+       frame to 1-3 tasks — the projection must sit above a
+       ROUND-ROBIN exchange, which cannot be elided.
+    2. posexplode (non-outer) lets Catalyst infer `size(sigs) > 0` and
+       substitute the whole 16-minhash expression through the
+       projections into a pre-join Filter on the raw documents scan —
+       re-tokenizing every doc once per family member. No Filter node
+       may contain the minhash arithmetic.
+
+    Together these were a ~2x d07 regression at sf0.1 (the bench gate
+    caught it; this pins the plan shape so it can't creep back)."""
+    from indexr_spark.operators import text as T
+
+    groups = T._canon_groups(spark, SMOKE_SF)
+    sigs = T._group_band_sigs(groups, T.MINHASH_BANDS)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        sigs._jdf.queryExecution(), "formatted"
+    )
+    assert "RoundRobinPartitioning" in plan, plan
+    filters = [l for l in plan.splitlines() if l.startswith("Condition")]
+    for line in filters:
+        assert "array_min" not in line, f"minhash leaked into a Filter:\n{line}"
