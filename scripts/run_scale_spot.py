@@ -110,6 +110,15 @@ if __name__ == "__main__":
         extra_confs={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1000).count()
-    print(f"warmed, spin={_spin()}", flush=True)
+    # Warm the REAL code paths at sf0.1 before timing: a fresh JVM's
+    # first heavy LSH/vector query pays ~12 s of JIT at 10x (18.7 s
+    # cold vs 6.9 s steady for the same capped d09 — COVERAGE.md), so
+    # a range() warm-up alone leaves that cost inside the first
+    # measured row. Untimed by design.
+    from indexr_spark import operators
+
+    warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk"}[which]
+    operators.QUERIES[warm](spark, "/root/testdata/sf0.1").count()
+    print(f"warmed ({warm} at sf0.1), spin={_spin()}", flush=True)
     {"docs10x": docs10x, "vecs50x": vecs50x}[which](spark)
     spark.stop()
