@@ -143,7 +143,15 @@ def test_lsh_oracle_parity_on_hostile_corpus(spark, tmp_path):
     latent hash mismatch on any corpus with >= 2 empty docs. The
     hostile test above only asserted no-raise; this one asserts full
     oracle parity on a corpus with two empty, one whitespace-only,
-    and two single-token docs."""
+    and two single-token docs.
+
+    Docs 8-10 pin the set-vs-sequence distinction that makes
+    _canon_groups' representative-text fetch safe: all three share
+    the distinct token SET {a, b} (one canon group, identical minhash
+    signatures regardless of WHICH member's text computes them — the
+    r4 rework switched any_text from min(text) to the rep's text),
+    but their shingle sets differ (order/multiplicity), so d09's
+    per-doc Jaccard verify must still read each doc's own sequence."""
     import duckdb
 
     from indexr_spark.operators import text as T
@@ -157,6 +165,9 @@ def test_lsh_oracle_parity_on_hostile_corpus(spark, tmp_path):
         (5, "word"),
         (6, "a b c d e"),
         (7, "a b c d x"),
+        (8, "b a"),
+        (9, "a b"),
+        (10, "a b b"),
     ]
     df = (
         spark.createDataFrame(docs, "doc_id long, text string")
