@@ -114,11 +114,26 @@ if __name__ == "__main__":
     # first heavy LSH/vector query pays ~12 s of JIT at 10x (18.7 s
     # cold vs 6.9 s steady for the same capped d09 — COVERAGE.md), so
     # a range() warm-up alone leaves that cost inside the first
-    # measured row. Untimed by design.
-    from indexr_spark import operators
+    # measured row. Untimed by design. The warm-up must run UNCAPPED
+    # regardless of the caller's environment: a capped warm-up JITs
+    # the census+distinct plan, not the first-match plan the uncapped
+    # reference rows measure — so clear the cap here too (docs10x()
+    # restores the caller's value around its own rows).
+    warm_sf = "/root/testdata/sf0.1"
+    if os.path.exists(warm_sf):
+        from indexr_spark import operators
 
-    warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk"}[which]
-    operators.QUERIES[warm](spark, "/root/testdata/sf0.1").count()
-    print(f"warmed ({warm} at sf0.1), spin={_spin()}", flush=True)
+        warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk"}[which]
+        cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
+        try:
+            operators.QUERIES[warm](spark, warm_sf).count()
+        finally:
+            if cap is not None:
+                os.environ["INDEXR_LSH_MAX_BUCKET"] = cap
+        print(f"warmed ({warm} at sf0.1), spin={_spin()}", flush=True)
+    else:
+        print(f"note: {warm_sf} missing — skipping the JIT warm-up; "
+              "the first measured row will overstate steady cost",
+              flush=True)
     {"docs10x": docs10x, "vecs50x": vecs50x}[which](spark)
     spark.stop()

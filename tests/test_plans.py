@@ -318,7 +318,12 @@ def test_lsh_signature_build_stays_wide_and_unleaked(spark):
     plan = spark._jvm.PythonSQLUtils.explainString(
         sigs._jdf.queryExecution(), "formatted"
     )
-    assert "RoundRobinPartitioning" in plan, plan
+    # >= 2 round-robin exchanges: _canon_base's spread_scan contributes
+    # one on the narrow smoke corpus regardless, so mere presence would
+    # be vacuous — the SECOND is the sigs-build repartition this test
+    # exists to pin (the gid-keyed form is optimizer-elided, dropping
+    # the count back to 1).
+    assert plan.count("RoundRobinPartitioning") >= 2, plan
     filters = [l for l in plan.splitlines() if l.startswith("Condition")]
     for line in filters:
         assert "array_min" not in line, f"minhash leaked into a Filter:\n{line}"
