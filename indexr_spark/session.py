@@ -117,6 +117,18 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "1048576")
         # Read/write Parquet with zstd: best scan-per-byte at scale.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # localCheckpoint blocks (the LSH/CC operators' lineage cuts)
+        # are released by the ContextCleaner only after a DRIVER GC
+        # drops the RDD reference; the stock periodic-GC interval is
+        # 30 min, so a long-lived service session that calls those
+        # operators repeatedly accumulates superseded checkpoint
+        # blocks between full GCs — measured 9.7 s -> 18.3 s drift
+        # over six consecutive d07 runs (r4 verdict), while a 60 s
+        # periodic GC held ~5 s steady. Session-level default (bench.py
+        # sets the same), so EVERY session gets the flat profile, not
+        # just the bench harness. Static conf: must be set at build
+        # time, a getOrCreate against an existing session won't flip it.
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

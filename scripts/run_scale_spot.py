@@ -13,6 +13,14 @@ to another captured at a similar spin; see bench.py). d09 runs CAPPED
 (INDEXR_LSH_MAX_BUCKET=500) because the uncapped verify exceeds 590 s
 on the 10x corpus by specification (pairwise output); the capped run
 is the documented scale posture and logs its forgone pairs.
+
+Warm-up scope (r4 ADVICE): only the LSH/ANN kernel of the selected
+family is JIT-warmed (d07 for docs10x, s04 for vecs50x) — the FIRST
+measured row of every OTHER code path (d05/d12/d20 kernels, IVF
+build/probe, the numpy path) still carries residual JIT; discount
+those first rows accordingly or compare best-of-2. The warm-up corpus
+honors INDEXR_TEST_SF_DIR (as conftest does) before falling back to
+/root/testdata/sf0.1.
 """
 
 from __future__ import annotations
@@ -119,7 +127,7 @@ if __name__ == "__main__":
     # the census+distinct plan, not the first-match plan the uncapped
     # reference rows measure — so clear the cap here too (docs10x()
     # restores the caller's value around its own rows).
-    warm_sf = "/root/testdata/sf0.1"
+    warm_sf = os.environ.get("INDEXR_TEST_SF_DIR", "/root/testdata/sf0.1")
     if os.path.exists(warm_sf):
         from indexr_spark import operators
 
