@@ -63,20 +63,42 @@ def start_ann_ingest(
     return writer.start()
 
 
+def _queries_with_buckets(queries: DataFrame) -> DataFrame:
+    """(q_id, qe, qb, qn) — the probe side both paths share; the
+    bucket is a row-local expression, so deriving it never shuffles."""
+    return queries.select(
+        F.col("q_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        bucket_expr(F.col("embedding")).alias("qb"),
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+
+
+def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail: top-k per query, deterministic ties."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
+
+
 def ann_probe(
     spark: SparkSession, store_dir: str, queries: DataFrame, k: int = 3
 ) -> DataFrame:
     """Top-k cosine neighbours for each query vector, scanning ONLY
     the store partitions matching the queries' buckets (partition
     pruning on the bucket join — `.inputFiles()` shows one directory
-    per probed bucket). `queries` needs (q_id, embedding)."""
-    from pyspark.sql import Window as W
+    per probed bucket). `queries` needs (q_id, embedding).
 
-    qdf = queries.select(
-        F.col("q_id"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-        bucket_expr(F.col("embedding")).alias("qb"),
-    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    INTERACTIVE-batch path: the probed bucket set resolves via a
+    driver-side collect of the (small) query set, buying a STATIC
+    `bucket=` partition filter. For large query batches use
+    `ann_probe_df`, which never collects."""
+    qdf = _queries_with_buckets(queries)
     # Resolve the probed buckets driver-side (the query set is
     # broadcast-sized by definition) and prune STATICALLY: the scan
     # plans over only the matching bucket=<id> partition directories —
@@ -92,10 +114,32 @@ def ann_probe(
     pairs = store.join(
         q, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id"))
     ).select("q_id", "vec_id", cos.alias("cos"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(pairs, k)
+
+
+def ann_probe_df(
+    spark: SparkSession, store_dir: str, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k cosine neighbours per query — the LARGE-batch probe path
+    (the `ivf_probe_df` pattern, closing the r4 asymmetry note).
+
+    Nothing is collected: each query's bucket is derived IN-ROW by the
+    same `bucket_expr` the ingest uses, and the bucket equi-join prunes
+    candidates. A large batch probes essentially every bucket (the
+    probed set is data-dependent, so a static partition filter is
+    impossible without collecting the queries — exactly the trade
+    between the two paths), which makes the full-store scan the
+    correct plan here. No broadcast hint: AQE broadcasts the query
+    side while it fits and falls back to a shuffle hash join on the
+    bucket key for a truly huge batch — a forced broadcast would
+    reintroduce the driver bottleneck this path exists to avoid.
+    Ranking contract identical to `ann_probe`."""
+    q = _queries_with_buckets(queries)
+    store = spark.read.parquet(store_dir)
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(_dot(e, e))
+    cos = _dot(F.col("qe"), e) / (F.col("qn") * nrm)
+    pairs = store.join(
+        q, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id"))
+    ).select("q_id", "vec_id", cos.alias("cos"))
+    return _rank_topk(pairs, k)
