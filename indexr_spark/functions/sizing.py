@@ -1,0 +1,96 @@
+"""Auto-sizing for the LSH/ANN dials — the scale formulas as code.
+
+The oracle operators pin their constants for driver comparability
+(ANN_PLANES=4, MINHASH_BANDS=2, JACCARD_BANDS=4 — similarity.py /
+text.py), but a deployment at another corpus size must re-derive them.
+Until round 5 the derivations lived in comments at the definition
+sites ("planes ≈ log2(n / target_bucket)"; "the S-curve for b bands x
+r rows crosses at (1/b)^(1/r)"); these helpers make them executable
+and property-tested, and the scale spot-run scripts consume them so
+the numbers printed next to a corpus are the numbers the formulas
+give for that corpus.
+
+Two cost models, one per dial:
+
+* Hyperplane-LSH bucket count (`suggest_planes`) — every added plane
+  halves the expected bucket, and the within-bucket pair work is
+  quadratic in bucket size, so planes is THE dial that keeps the
+  bucket self-join bounded as n grows. The r4 50x spot-run measured
+  the fixed-plane worst case this formula exists to prevent.
+* MinHash banding (`suggest_bands`) — detection probability for a
+  pair at Jaccard j under b bands x r rows is 1-(1-j^r)^b, an
+  S-curve crossing ~50% at j ≈ (1/b)^(1/r). Pick the banding whose
+  crossover sits at the lowest Jaccard you must catch; more bands
+  push the crossover down (recall up) at linearly more candidates.
+  (The pinned 4x4 in d09 was additionally MEASURED: 0.933 recall at
+  3x d07's candidates — use the formula to shortlist, then measure,
+  as text.py:44-49 documents.)
+"""
+
+from __future__ import annotations
+
+import math
+
+_MAX_PLANES = 62  # bucket ids fold into a signed 64-bit long
+
+
+def suggest_planes(n: int, target_bucket: int) -> int:
+    """Fewest hyperplanes such that the EXPECTED bucket size n/2^p is
+    at most `target_bucket` (uniform-bucket model; real buckets skew,
+    which the chunked self-join and the logged max_bucket valve
+    absorb). Minimality matters: each extra plane costs recall (a
+    near-dup pair must agree on every sign bit), so this returns the
+    recall-cheapest p that still bounds the quadratic bucket work.
+
+    >>> suggest_planes(100_000, 6_250)
+    4
+    """
+    if n <= 0:
+        raise ValueError(f"corpus size must be positive, got {n}")
+    if target_bucket <= 0:
+        raise ValueError(f"target bucket must be positive, got {target_bucket}")
+    p = max(1, math.ceil(math.log2(n / target_bucket))) if n > target_bucket else 1
+    return min(p, _MAX_PLANES)
+
+
+def detect_probability(j: float, bands: int, rows: int) -> float:
+    """P(candidate) for a pair at Jaccard `j` under bands x rows
+    MinHash banding: 1 - (1 - j^rows)^bands."""
+    if not 0.0 <= j <= 1.0:
+        raise ValueError(f"jaccard must be in [0,1], got {j}")
+    return 1.0 - (1.0 - j**rows) ** bands
+
+
+def band_crossover(bands: int, rows: int) -> float:
+    """The Jaccard where the banding S-curve crosses ~50% detection:
+    (1/bands)^(1/rows)."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def suggest_bands(threshold: float, k: int = 16) -> tuple[int, int]:
+    """(bands, rows) over `k` total minhashes whose S-curve crossover
+    is nearest the target Jaccard `threshold` — the comment formula at
+    text.py:44-49 as code. Only exact factorizations bands*rows == k
+    are considered (every minhash is used; the operators' band
+    expression assumes it). Ties break toward FEWER bands (fewer
+    candidates at equal crossover distance).
+
+    >>> suggest_bands(0.7, 16)   # crossover (1/4)^(1/4) = 0.707
+    (4, 4)
+    >>> suggest_bands(0.9, 16)   # crossover (1/2)^(1/8) = 0.917
+    (2, 8)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if k < 2:
+        raise ValueError(f"need at least 2 minhashes, got {k}")
+    best = None
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        dist = abs(band_crossover(b, r) - threshold)
+        if best is None or dist < best[0] - 1e-12:
+            best = (dist, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -85,6 +85,19 @@ def vecs50x(spark) -> None:
     from indexr_spark.sources import vector_store as VS
 
     sf = "/tmp/sfvec50"
+    # sizing check: what the formula would deploy at THIS corpus size
+    # vs the oracle-pinned constant (the measured fixed-bucket worst
+    # case below is exactly the gap the formula closes)
+    from indexr_spark.functions.sizing import suggest_planes
+    from indexr_spark.operators.similarity import ANN_PLANES
+
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    print(
+        f"sizing: n={n}, suggest_planes(n, target_bucket=4000)="
+        f"{suggest_planes(n, 4000)} vs pinned ANN_PLANES={ANN_PLANES} "
+        "(pinned for oracle comparability; deploy the suggestion)",
+        flush=True,
+    )
     for q in ("s01_cosine_topk", "s04_ann_lsh_topk", "s06_ivf_topk"):
         _run(spark, q, lambda q=q: operators.QUERIES[q](spark, sf))
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
