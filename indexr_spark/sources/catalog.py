@@ -198,9 +198,9 @@ class Catalog:
         if files is not None and not files:
             return spark.createDataFrame([], spec.schema())
         if files is None and predicate is not None:
-            # the sidecar describes exactly the LIVE file set (snapshot
-            # commits refresh it), so the prune result is already
-            # version-consistent for snapshot-managed tables too
+            # prune() reconciles the sidecar against the live manifest
+            # set (delta appends may leave it lagging), so the result
+            # is version-consistent for snapshot-managed tables too
             result = self.prune(name, predicate)
             if result is not None:
                 if not result.scan:
@@ -252,9 +252,24 @@ class Catalog:
         default after `apply_defaults`, so a defaulted column's bounds
         are widened by its default wherever the file holds nulls —
         without this, `WHERE c = <default>` could skip files whose
-        null rows would have matched."""
-        from indexr_spark.plans.rough_check import ColStats, prune as rc_prune
+        null rows would have matched.
+
+        Snapshot reconciliation (round 5): delta appends defer the
+        O(files) sidecar rewrite to the periodic full-manifest
+        materialization, so the sidecar may legitimately LAG the
+        manifest. The prune result is therefore reconciled against the
+        live file set: live files the sidecar doesn't cover are added
+        to the scan list unpruned (safe SOME — the rough-check
+        contract for missing stats), and entries for files no longer
+        live are dropped. Freshness is a pruning-quality knob, never a
+        correctness input."""
+        from indexr_spark.plans.rough_check import (
+            ColStats,
+            PruneResult,
+            prune as rc_prune,
+        )
         from indexr_spark.sources.segments import SIDECAR_NAME, load_sidecar
+        from indexr_spark.sources.snapshots import files_of, latest_version
 
         path = self.table_dir(name)
         sidecar_path = os.path.join(path, SIDECAR_NAME)
@@ -292,7 +307,17 @@ class Catalog:
                         )
                     except TypeError:
                         fstats.pop(c.name)  # incomparable default → no stats
-        return rc_prune(stats, predicate)
+        result = rc_prune(stats, predicate)
+        v = latest_version(path)
+        if v:
+            live = {os.path.join(path, f) for f in files_of(path, v)}
+            covered = set(result.scan) | set(result.skipped)
+            result = PruneResult(
+                scan=sorted((set(result.scan) & live) | (live - covered)),
+                skipped=sorted(set(result.skipped) & live),
+                all_match=sorted(set(result.all_match) & live),
+            )
+        return result
 
     def build_indexes(self, spark: SparkSession, name: str) -> list[str]:
         """Build the optional string-column indexes for every

@@ -53,6 +53,39 @@ Delta/Iceberg use; the reference serialized the same transition
 through ZooKeeper). Concurrent full `write_snapshot` replacements
 keep last-committed-wins semantics, with every version time-travel
 readable.
+
+Delta manifests (round 5 — the O(files)-per-commit fix)
+-------------------------------------------------------
+A full-file-list manifest per commit is O(live files) driver work per
+APPEND — at 100 TB (10^5-10^6 files) that's megabytes of JSON written
+per streaming epoch, and the retry-rebase loop re-read it per attempt.
+Appends therefore commit a DELTA manifest instead:
+
+    {"version": N, "base": N-1, "depth": d, "add": [...]}
+
+The live set of a version resolves by walking base links down to the
+nearest FULL manifest ("files" key) and unioning the adds — Iceberg's
+manifest-list indirection, one level deep. Commit cost for an append
+is O(new files) regardless of table size, and a retry after a lost
+version race just re-targets the new parent (the delta itself IS the
+rebase — the union happens at read time, so no file list is re-read
+inside the loop). Every FULL_REWRITE_EVERY-th append materializes a
+full manifest, bounding chain length (read cost) and amortizing the
+O(files) write to 1/32 per commit. Replace-style commits
+(write_snapshot / upsert) stay full — their semantics ARE the file
+list. vacuum() materializes the oldest KEPT version as full before
+retiring expired manifests, so no live chain dangles past the
+horizon; time travel below the horizon still fails loudly.
+
+The pruning sidecar (the OTHER O(files)-per-commit term — measured
+3.3 s/commit at 100k files vs 0.09 s for the manifest) refreshes only
+on FULL-manifest commits, i.e. 1/FULL_REWRITE_EVERY of appends.
+Correctness never depends on its freshness: Catalog.prune reconciles
+the sidecar against the live manifest set — live files it doesn't
+cover yet are scanned unpruned (SOME), dead entries it still carries
+are dropped — so a lagging sidecar only costs pruning coverage of the
+newest files. scripts/bench_snapshots.py measures both layers at 100k
+files.
 """
 
 from __future__ import annotations
@@ -139,9 +172,39 @@ def latest_version(path: str) -> int:
     return max(cached, scanned)
 
 
+FULL_REWRITE_EVERY = 32  # max delta-chain depth before materializing
+
+
 def _load_manifest(path: str, version: int) -> dict:
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
         return json.load(f)
+
+
+def _depth(manifest: dict) -> int:
+    """Delta-chain depth: 0 for a full manifest ("files" present —
+    includes every pre-round-5 manifest), else the stored depth."""
+    return 0 if "files" in manifest else manifest["depth"]
+
+
+def files_of(path: str, version: int) -> list[str]:
+    """Resolve a version's live file set: walk base links down to the
+    nearest full manifest, union the adds on the way back up. Chain
+    length is bounded by FULL_REWRITE_EVERY; a chain crossing the
+    vacuum horizon raises FileNotFoundError (fails loudly — vacuum
+    materializes the oldest kept version precisely so live versions
+    never do)."""
+    adds: list[list[str]] = []
+    v = version
+    while True:
+        m = _load_manifest(path, v)
+        if "files" in m:
+            live = set(m["files"])
+            break
+        adds.append(m["add"])
+        v = m["base"]
+    for a in adds:
+        live.update(a)
+    return sorted(live)
 
 
 class ConcurrentSnapshotConflict(RuntimeError):
@@ -158,6 +221,7 @@ def _commit(
     meta: dict | None = None,
     rebase=None,
     expect_parent: int | None = None,
+    delta: bool = False,
 ) -> int:
     """Write manifest v(N+1) then bump LATEST — the only mutation a
     reader can observe, and it's a single tiny file. The table-root
@@ -184,7 +248,17 @@ def _commit(
     CONTENTS were derived from a specific base version (copy-on-write
     MERGE): if the table's parent at commit time differs, raise
     ConcurrentSnapshotConflict instead of silently replacing away an
-    interleaved writer's commit."""
+    interleaved writer's commit.
+
+    `delta`: `files` are NEW files to ADD to the parent's live set;
+    the manifest written is a base+add delta (O(new files) per commit,
+    any table size) unless the chain depth would reach
+    FULL_REWRITE_EVERY — then this commit materializes a full
+    manifest. A delta needs no `rebase`: a retried attempt re-targets
+    the advanced parent and the union happens at resolve time, so the
+    loser of a version race never re-reads any file list (same
+    soundness argument as rebase — creating parent+1 proves parent was
+    latest, hence base links never skip a committed version)."""
     from indexr_spark.sources.segments import write_sidecar
 
     os.makedirs(_manifest_dir(path), exist_ok=True)
@@ -199,11 +273,30 @@ def _commit(
             if rebase is not None:
                 files = rebase(parent)
             version = parent + 1
-            manifest = {
-                "version": version,
-                "files": sorted(files),
-                **(meta or {}),
-            }
+            if delta and parent:
+                pdepth = _depth(_load_manifest(path, parent))
+                if pdepth + 1 >= FULL_REWRITE_EVERY:
+                    # periodic materialization: the amortized O(files)
+                    # write that keeps every chain short
+                    manifest = {
+                        "version": version,
+                        "files": sorted(set(files_of(path, parent)) | set(files)),
+                        **(meta or {}),
+                    }
+                else:
+                    manifest = {
+                        "version": version,
+                        "base": parent,
+                        "depth": pdepth + 1,
+                        "add": sorted(files),
+                        **(meta or {}),
+                    }
+            else:
+                manifest = {
+                    "version": version,
+                    "files": sorted(files),
+                    **(meta or {}),
+                }
             mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
             # Atomic conditional create: the manifest content is fully
             # written to a private temp file, then hard-LINKED to the
@@ -230,7 +323,16 @@ def _commit(
                 with contextlib.suppress(OSError):
                     os.remove(tmp)
             break
-        write_sidecar(path, files_rel=manifest["files"])
+        # Sidecar refresh is amortized to FULL-manifest commits (the
+        # measured remaining O(files) term: 3.3 s/commit at 100k files
+        # vs 0.09 s for the delta manifest itself — bench_snapshots).
+        # Safe to lag: Catalog.prune reconciles the sidecar against
+        # the live manifest set, so not-yet-covered files are scanned
+        # unpruned (SOME) and dead entries are dropped — a stale
+        # sidecar costs pruning coverage of the newest files, never
+        # correctness.
+        if "files" in manifest:
+            write_sidecar(path, files_rel=manifest["files"])
         tmp = os.path.join(
             _manifest_dir(path), f".LATEST.{uuid.uuid4().hex[:8]}"
         )
@@ -343,21 +445,19 @@ def append_snapshot(
     old ∪ new. `meta` keys land in the manifest (e.g. the streaming
     epoch id for exactly-once).
 
-    Concurrent-append safe via retry-rebase: the file set is
-    recomputed from the CURRENT latest manifest on every commit
-    attempt, so a loser re-reads the winner's manifest, re-unions its
-    own (already written, immutable) files and re-attempts at the next
-    version — both appends land, neither's files are dropped. This is
-    the optimistic-concurrency loop Delta/Iceberg appends use; the
+    Commits a DELTA manifest — O(new files) driver work however large
+    the table (the module docstring's round-5 scaling fix; every
+    FULL_REWRITE_EVERY-th append materializes full to bound chains).
+
+    Concurrent-append safe: a loser of the version race re-attempts
+    against the advanced parent and the union happens at RESOLVE time
+    (base links + adds), so neither writer's files are dropped and no
+    file list is re-read in the retry loop. This is the
+    optimistic-concurrency loop Delta/Iceberg appends use; the
     reference serialized the same transition through ZooKeeper
     (HybridTable.java:64-82)."""
     new = _write_data_files(df, path, sort_by)
-
-    def rebase(parent: int) -> list[str]:
-        prev = _load_manifest(path, parent)["files"] if parent else []
-        return sorted(set(prev) | set(new))
-
-    return _commit(path, new, meta, rebase=rebase)
+    return _commit(path, new, meta, delta=True)
 
 
 _WATERMARK_NAME = "META_WATERMARKS"
@@ -455,7 +555,7 @@ def read_snapshot(
     v = version if version is not None else latest_version(path)
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot under {path}")
-    files = _load_manifest(path, v)["files"]
+    files = files_of(path, v)
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
@@ -463,11 +563,24 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per live version: (version, n_files, is_latest) — the
     audit surface for time travel."""
     latest = latest_version(path)
+    versions = sorted(
+        int(n[1:-5])
+        for n in os.listdir(_manifest_dir(path))
+        if n.startswith("v") and n.endswith(".json")
+    )
+    # resolve in NUMERIC order with a memo: version v's live set is
+    # its base's set + adds, so the walk is linear in versions
+    resolved: dict[int, set[str]] = {}
     rows = []
-    for mname in sorted(os.listdir(_manifest_dir(path))):
-        if mname.startswith("v") and mname.endswith(".json"):
-            m = _load_manifest(path, int(mname[1:-5]))
-            rows.append((m["version"], len(m["files"]), m["version"] == latest))
+    for v in versions:
+        m = _load_manifest(path, v)
+        if "files" in m:
+            resolved[v] = set(m["files"])
+        elif m["base"] in resolved:
+            resolved[v] = resolved[m["base"]] | set(m["add"])
+        else:  # pragma: no cover — base gap (shouldn't happen live)
+            resolved[v] = set(files_of(path, v))
+        rows.append((v, len(resolved[v]), v == latest))
     return spark.createDataFrame(rows, "version int, n_files int, is_latest boolean")
 
 
@@ -482,7 +595,27 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
     live: set[str] = set()
     for v in keep:
-        live.update(_load_manifest(path, v)["files"])
+        live.update(files_of(path, v))
+    # Materialize the oldest KEPT version as a full manifest BEFORE
+    # retiring anything below it: kept delta chains may pass through
+    # expired versions, and deleting those would leave every kept
+    # version unreadable. All later kept versions' chains stop at (or
+    # above) this full manifest, so one materialization suffices. The
+    # rewrite is a semantic no-op (same resolved file set, custom meta
+    # preserved) and atomic, so a concurrent reader sees either form.
+    oldest = min(keep)
+    om = _load_manifest(path, oldest)
+    if "files" not in om:
+        om_full = {
+            k: v for k, v in om.items() if k not in ("base", "depth", "add")
+        }
+        om_full["files"] = files_of(path, oldest)
+        tmp = os.path.join(
+            _manifest_dir(path), f".v{oldest}.mat.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as f:
+            json.dump(om_full, f, indent=1)
+        os.replace(tmp, os.path.join(_manifest_dir(path), f"v{oldest}.json"))
     deleted = []
     # walk the whole table (not just data/): a bootstrapped v1 lists
     # files at the table root, which must also age out. Metadata dirs

@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""Snapshot-layer scale spot-runs (COVERAGE.md "Snapshot manifest
+scale" section) — puts measured numbers behind the round-5 delta
+manifest design and the retry-rebase protocol at realistic file and
+epoch counts.
+
+    python scripts/bench_snapshots.py manifest   # 100k-file table
+    python scripts/bench_snapshots.py epochs     # 1k-epoch compact + racing append
+
+manifest — builds a table to 100k live files via 100 x 1000-file
+delta appends (file payloads are hardlinks of one tiny parquet: the
+benchmark measures METADATA cost, which is the layer under test),
+printing per-commit time (manifest vs sidecar share) as the table
+grows; then at 100k files: a 10-file delta append (the headline — it
+must be flat), what a FULL manifest commit would cost at that size
+(the pre-round-5 per-append cost), resolve/latest_version reads, an
+8-way contended append, and read_table planning+count over all 100k
+files.
+
+epochs — 1000 committed rt micro-batch dirs (the streaming sink's
+layout), then times compact() merging them into a snapshot-adopted
+historical table WHILE a concurrent append_snapshot races it, and
+asserts both commits landed with snapshot history intact.
+
+Numbers are only comparable at similar single-thread spins (this box
+throttles in phases; see bench.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import threading
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+FILES_PER_COMMIT = 1000
+N_COMMITS = 100
+
+
+def _spin() -> float:
+    t0 = time.time()
+    x = 0
+    while x < 20_000_000:
+        x += 1
+    return round(time.time() - t0, 2)
+
+
+def _seed_parquet(dest: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [1], "v": [1.0]}), dest)
+
+
+def manifest_bench(work: str) -> None:
+    from indexr_spark.sources import segments, snapshots as S
+
+    path = os.path.join(work, "t")
+    os.makedirs(os.path.join(path, "data"))
+    # one seed per 1000 links: filesystems cap hardlinks per inode (~65k)
+    seeds: dict[int, str] = {}
+
+    def seed_for(file_id: int) -> str:
+        s = seeds.get(file_id // 1000)
+        if s is None:
+            s = os.path.join(work, f"seed{file_id // 1000}.parquet")
+            _seed_parquet(s)
+            seeds[file_id // 1000] = s
+        return s
+
+    # instrument the sidecar share of each commit
+    sidecar_t = {"s": 0.0}
+    real_write_sidecar = segments.write_sidecar
+
+    def timed_sidecar(*a, **k):
+        t0 = time.time()
+        try:
+            return real_write_sidecar(*a, **k)
+        finally:
+            sidecar_t["s"] += time.time() - t0
+
+    # _commit imports write_sidecar from segments at call time, so the
+    # segments module attribute is the patch point
+    segments.write_sidecar = timed_sidecar  # type: ignore[assignment]
+
+    print(f"building {N_COMMITS * FILES_PER_COMMIT} files via "
+          f"{N_COMMITS} x {FILES_PER_COMMIT}-file delta appends", flush=True)
+    next_id = 0
+    # 33/65/97 are the FULL_REWRITE_EVERY=32 materialization commits —
+    # the amortized O(files) sidecar+full-manifest writes
+    report_at = {1, 10, 33, 50, 65, 97, N_COMMITS}
+    for c in range(1, N_COMMITS + 1):
+        rels = []
+        for _ in range(FILES_PER_COMMIT):
+            rel = os.path.join("data", f"f{next_id:06d}.parquet")
+            os.link(seed_for(next_id), os.path.join(path, rel))
+            rels.append(rel)
+            next_id += 1
+        sidecar_t["s"] = 0.0
+        t0 = time.time()
+        S._commit(path, rels, delta=True)
+        dt = time.time() - t0
+        if c in report_at:
+            print(
+                f"commit#{c:3d}  live={next_id:6d}  {dt:.2f}s total "
+                f"(sidecar {sidecar_t['s']:.2f}s, manifest {dt - sidecar_t['s']:.2f}s)",
+                flush=True,
+            )
+    top = S.latest_version(path)
+    live = S.files_of(path, top)
+    assert len(live) == N_COMMITS * FILES_PER_COMMIT, len(live)
+
+    # headline: a small append at 100k live files must be flat
+    rels = []
+    for _ in range(10):
+        rel = os.path.join("data", f"f{next_id:06d}.parquet")
+        os.link(seed_for(next_id), os.path.join(path, rel))
+        rels.append(rel)
+        next_id += 1
+    sidecar_t["s"] = 0.0
+    t0 = time.time()
+    S._commit(path, rels, delta=True)
+    dt = time.time() - t0
+    print(f"10-file DELTA append at 100k files: {dt:.2f}s "
+          f"(sidecar {sidecar_t['s']:.2f}s, manifest {dt - sidecar_t['s']:.2f}s)  "
+          f"spin={_spin()}", flush=True)
+
+    # the pre-round-5 cost: a FULL manifest commit at the same size
+    sidecar_t["s"] = 0.0
+    t0 = time.time()
+    S._commit(path, S.files_of(path, S.latest_version(path)))
+    dt = time.time() - t0
+    print(f"FULL-manifest commit at 100k files (pre-r5 append cost): "
+          f"{dt:.2f}s (sidecar {sidecar_t['s']:.2f}s)", flush=True)
+
+    for label, fn in (
+        ("latest_version", lambda: S.latest_version(path)),
+        ("files_of(latest)", lambda: S.files_of(path, S.latest_version(path))),
+    ):
+        t0 = time.time()
+        fn()
+        print(f"{label}: {time.time() - t0:.3f}s", flush=True)
+
+    # contended appends: 8 threads race 10-file deltas through the
+    # retry-rebase protocol (local lock ON — the deployment posture)
+    rel_sets = []
+    for _ in range(8):
+        rels = []
+        for _ in range(10):
+            rel = os.path.join("data", f"f{next_id:06d}.parquet")
+            os.link(seed_for(next_id), os.path.join(path, rel))
+            rels.append(rel)
+            next_id += 1
+        rel_sets.append(rels)
+    before = S.latest_version(path)
+    errors: list[Exception] = []
+    barrier = threading.Barrier(8)
+
+    def commit_one(rels):
+        try:
+            barrier.wait()
+            S._commit(path, rels, delta=True)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=commit_one, args=(r,)) for r in rel_sets]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.time() - t0
+    assert not errors, errors
+    final = set(S.files_of(path, S.latest_version(path)))
+    assert all(r in final for rels in rel_sets for r in rels)
+    assert S.latest_version(path) == before + 8
+    print(f"8-way contended 10-file appends at 100k files: {dt:.2f}s "
+          f"wall, all landed, no conflicts  spin={_spin()}", flush=True)
+
+    # read planning + count over the 100k-file snapshot
+    from indexr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-snapshots",
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    t0 = time.time()
+    df = S.read_snapshot(spark, path)
+    plan_dt = time.time() - t0
+    t0 = time.time()
+    n = df.count()
+    print(f"read_snapshot at 100k files: plan {plan_dt:.1f}s, "
+          f"count()={n} in {time.time() - t0:.1f}s  spin={_spin()}", flush=True)
+    spark.stop()
+
+
+def epochs_bench(work: str) -> None:
+    from indexr_spark.session import get_spark
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.catalog import Catalog, ColumnSpec, TableSpec
+    from indexr_spark.streaming.ingest import compact
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cat = Catalog(os.path.join(work, "cat"))
+    spec = TableSpec(
+        name="metrics",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    cat.save(spec)
+
+    # 1000 committed rt micro-batch dirs (the streaming sink layout)
+    rt = cat.rt_dir("metrics")
+    print("writing 1000 rt epoch dirs...", flush=True)
+    for e in range(1000):
+        d = os.path.join(rt, f"batch={e}")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({"k": [e, e + 1], "v": [float(e), float(e) + 0.5]}),
+            os.path.join(d, "part-0.parquet"),
+        )
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    # snapshot-adopted historical table (compact must APPEND through
+    # the manifest)
+    tdir = cat.table_dir("metrics")
+    os.makedirs(tdir, exist_ok=True)
+    pq.write_table(pa.table({"k": [-1], "v": [-1.0]}), os.path.join(tdir, "h0.parquet"))
+    S.ensure_snapshot(tdir)
+
+    spark = get_spark(app_name="bench-epochs",
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    spark.range(100).count()
+
+    # racing append_snapshot while compact() runs — both must land
+    result: dict = {}
+    errors: list[Exception] = []
+
+    def racer():
+        try:
+            df = spark.createDataFrame([(10**6, 6.0)], "k int, v double")
+            time.sleep(0.5)  # land mid-compaction
+            result["append_v"] = S.append_snapshot(df, tdir)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    th = threading.Thread(target=racer)
+    t0 = time.time()
+    th.start()
+    moved = compact(spark, cat, "metrics")
+    dt = time.time() - t0
+    th.join()
+    assert not errors, errors
+    print(f"compact() of 1000 epochs: {moved} rows in {dt:.1f}s "
+          f"with a racing append (landed as v{result['append_v']})  "
+          f"spin={_spin()}", flush=True)
+
+    hist = S.snapshot_history(spark, tdir).collect()
+    versions = sorted(r.version for r in hist)
+    assert versions == list(range(1, len(versions) + 1)), versions
+    total = S.read_snapshot(spark, tdir).count()
+    # 1000 epochs x 2 rows + historical seed + the racer's row
+    assert total == 2000 + 1 + 1, total
+    print(f"history intact: versions {versions}, rows={total}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "manifest"
+    work = f"/tmp/bench_snapshots_{which}"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+    print(f"workdir {work}  spin={_spin()}", flush=True)
+    {"manifest": manifest_bench, "epochs": epochs_bench}[which](work)

@@ -339,3 +339,56 @@ def test_catalog_sql_prunes_both_join_sides(spark, tmp_path):
     assert all(r.bv == 3 * r.k for r in rows)
     # both sides pruned: the filter k>=900 AND k<950 lands on each
     assert cat.last_prune["a"].skipped and cat.last_prune["b"].skipped
+
+
+def test_catalog_prune_safe_with_lagging_sidecar(spark, tmp_path):
+    """Delta appends defer the O(files) sidecar rewrite to the
+    periodic full-manifest materialization (round 5), so a pruned read
+    can run against a sidecar that does NOT cover the newest files.
+    Those files must be scanned unpruned (safe SOME) — never silently
+    dropped — while pruning still applies to the covered files."""
+    import json as _json
+    import os
+
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.segments import SIDECAR_NAME
+
+    cat = Catalog(str(tmp_path))
+    spec = TableSpec(
+        name="t", columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    cat.save(spec)
+    tdir = cat.table_dir("t")
+    write_segments(
+        spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], spec.schema()),
+        tdir, sort_by=["k"], num_segments=2,
+    )
+    S.ensure_snapshot(tdir)  # v1 full: sidecar current
+    S.append_snapshot(
+        spark.createDataFrame([(100, 100.0)], spec.schema()), tdir, sort_by=["k"]
+    )  # v2 delta: sidecar now LAGS
+
+    # precondition — the sidecar really doesn't cover the new file
+    with open(os.path.join(tdir, SIDECAR_NAME)) as f:
+        covered = {e["path"] for e in _json.load(f)["files"]}
+    assert covered == set(S.files_of(tdir, 1))
+
+    # appended rows survive a pruned read
+    out = cat.sql(spark, "SELECT k, v FROM t WHERE k >= 2 ORDER BY k")
+    assert [tuple(r) for r in out.collect()] == [(2, 2.0), (3, 3.0), (100, 100.0)]
+
+    # pruning still bites on the covered files AND the uncovered file
+    # stays in the scan list (reconciliation, not a full-scan
+    # fallback). The direct predicate-read path is the one that prunes
+    # snapshot tables (sql()'s plan walker skips multi-path scans).
+    from indexr_spark.plans.rough_check import Equal
+
+    res = cat.prune("t", Equal("k", 1))
+    assert res.skipped, "covered non-matching file should still prune"
+    new_file = (set(S.files_of(tdir, 2)) - set(S.files_of(tdir, 1))).pop()
+    assert os.path.join(tdir, new_file) in res.scan
+    got = {tuple(r) for r in cat.read(spark, "t", predicate=Equal("k", 1)).collect()}
+    # the exact filter is the CALLER's job on read(); the pruned scan
+    # must contain k=1 and may not have dropped the appended row's file
+    assert (1, 1.0) in got and (100, 100.0) in got

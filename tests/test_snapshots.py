@@ -435,3 +435,84 @@ def test_epoch_guard_scoped_by_app_id(spark, tmp_path):
     assert got == {(1, 1.0), (2, 2.0)}  # run2's epoch 0 NOT suppressed
     run1(spark.createDataFrame([(9, 9.0)], "k int, v double"), 500)  # replay
     assert S.read_snapshot(spark, sdir).count() == 2
+
+
+def test_append_commits_delta_manifest(spark, tmp_path):
+    """Appends write base+add DELTA manifests (O(new files) driver
+    work — the round-5 scaling fix), resolution unions the chain, and
+    the pruning sidecar still mirrors the full live set."""
+    import json
+
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.segments import SIDECAR_NAME
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 5).toDF("k"), path)
+    append_snapshot(spark.range(10, 15).toDF("k"), path)
+    append_snapshot(spark.range(20, 25).toDF("k"), path)
+
+    m2 = S._load_manifest(path, 2)
+    m3 = S._load_manifest(path, 3)
+    assert "files" not in m2 and m2["base"] == 1 and m2["depth"] == 1
+    assert "files" not in m3 and m3["base"] == 2 and m3["depth"] == 2
+    # the delta lists ONLY the new files
+    assert set(m3["add"]).isdisjoint(m2["add"])
+    # resolution: v3 = v1 ∪ adds; reads see everything
+    assert set(S.files_of(path, 3)) == (
+        set(S.files_of(path, 1)) | set(m2["add"]) | set(m3["add"])
+    )
+    got = sorted(r.k for r in read_snapshot(spark, path).collect())
+    assert got == list(range(0, 5)) + list(range(10, 15)) + list(range(20, 25))
+    # time travel to the middle version still works
+    assert read_snapshot(spark, path, version=2).count() == 10
+    # the sidecar legitimately LAGS on delta commits (refresh is
+    # amortized to full-manifest materializations — the measured
+    # O(files) term); it still describes v1 here
+    with open(os.path.join(path, SIDECAR_NAME)) as f:
+        sidecar_files = sorted(e["path"] for e in json.load(f)["files"])
+    assert sidecar_files == S.files_of(path, 1)
+
+
+def test_delta_chain_materializes_at_cap(spark, tmp_path, monkeypatch):
+    """Every FULL_REWRITE_EVERY-th append writes a FULL manifest,
+    bounding chain length (and amortizing the O(files) write)."""
+    from indexr_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "FULL_REWRITE_EVERY", 3)
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 2).toDF("k"), path)  # v1 full
+    for i in range(1, 6):
+        append_snapshot(spark.range(10 * i, 10 * i + 2).toDF("k"), path)
+    # v2 delta(d1), v3 FULL (depth would hit 3-1+1... cap), v4 delta,
+    # v5 delta... pattern: depth resets to 0 at each materialization
+    depths = [S._depth(S._load_manifest(path, v)) for v in range(1, 7)]
+    assert depths[0] == 0
+    assert max(depths) < 3
+    assert 0 in depths[1:], f"no materialization happened: {depths}"
+    # a materialized full manifest resolves identically to its chain
+    got = sorted(r.k for r in read_snapshot(spark, path).collect())
+    assert got == [0, 1] + [x for i in range(1, 6) for x in (10 * i, 10 * i + 1)]
+
+
+def test_vacuum_materializes_oldest_kept_delta(spark, tmp_path):
+    """vacuum must not leave a kept delta chain dangling past the
+    horizon: the oldest kept version materializes full before expired
+    manifests (its former bases) are retired."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 3).toDF("k"), path)  # v1 full
+    for i in range(1, 5):  # v2..v5 deltas
+        append_snapshot(spark.range(10 * i, 10 * i + 3).toDF("k"), path)
+    assert "files" not in S._load_manifest(path, 4)
+    vacuum(path, keep_versions=2)  # keep v4, v5; retire v1..v3
+    m4 = S._load_manifest(path, 4)
+    assert "files" in m4, "oldest kept version must be materialized full"
+    # both kept versions fully readable; appends-only table: all rows live
+    assert read_snapshot(spark, path, version=4).count() == 12
+    assert read_snapshot(spark, path, version=5).count() == 15
+    # below the horizon: loud failure, not a half-read
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=2)
