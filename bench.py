@@ -154,6 +154,7 @@ HEADLINE = [
     "d08_simhash",
     "d09_ngram_jaccard",
     "d10_embedding_neardup",
+    "s11_neardup_numpy",
     "d11_bpe_tokens",
     "d13_stratified_sample",
     "s01_cosine_topk",

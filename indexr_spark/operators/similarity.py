@@ -386,7 +386,9 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["d10_embedding_neardup"] = f"""
+# Shared by d10 and s11: the exact LSH-bucketed candidate-pair set
+# with left-to-right list_dot_product cosines.
+_NEARDUP_PAIRS_CTE = f"""
 WITH planes AS (
   SELECT p, dim,
          (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT
@@ -416,6 +418,9 @@ WITH planes AS (
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {NEARDUP_THRESHOLD}
 )
+"""
+
+ORACLE["d10_embedding_neardup"] = _NEARDUP_PAIRS_CTE + """
 SELECT b_id AS dup_id,
        min(a_id)                  AS keep_id,
        round(arg_min(cos, a_id), 6) AS rep_cosine,
@@ -951,3 +956,60 @@ def neardup_pairs_numpy(
     return bucketed.groupBy("bucket").applyInPandas(
         block, "a_id long, b_id long, cosine double"
     )
+
+
+# Verdict tolerance for s11: the numpy cosine is ROUNDED to 6dp, so
+# the honest bound vs the unrounded Catalyst fold is the 6dp rounding
+# half-width plus association-order noise (~1e-15 relative).
+NUMPY_COS_TOL = 6e-7
+
+
+def s11_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certification row for `neardup_pairs_numpy`, the BLAS
+    throughput path (r4 verdict task 6: it was pytest-gated only).
+
+    The s05/s08 tolerance-verdict contract: the engine-portable
+    outputs are the exact PAIR SET (margins on these corpora are far
+    beyond float noise — the pytest parity test already pins numpy ==
+    d10 pair-for-pair) plus a boolean verdict that each numpy cosine
+    sits within NUMPY_COS_TOL of the Catalyst left-to-right fold
+    recomputed for that pair. The oracle derives the same pair set
+    (shared CTE with d10) and asserts the verdicts TRUE — the 10x
+    path earns a CORRECTNESS row without pretending bit-exact
+    summation order.
+
+    Plan shape: the recomputation joins the pair list back to the
+    corpus on each side id — equi-joins AQE sizes (broadcast while
+    the pair side fits, shuffle-hash beyond), never a cross product.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs_numpy(emb)
+    prep = _with_norm(emb)
+    a = prep.select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("nrm").alias("an")
+    )
+    b = prep.select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("be"), F.col("nrm").alias("bn")
+    )
+    exact = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.abs(F.col("cosine") - exact) <= NUMPY_COS_TOL).alias(
+                "cos_within_tol"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE["s11_neardup_numpy"] = _NEARDUP_PAIRS_CTE + """
+SELECT a_id, b_id, TRUE AS cos_within_tol
+FROM pairs
+ORDER BY a_id, b_id
+"""
+
+QUERIES["s11_neardup_numpy"] = s11_neardup_numpy
