@@ -21,6 +21,18 @@ vecs50x — 100k vectors (50x sf0.1): replicas shift vec_id by
 r*100000 and add deterministic per-(replica, dim) jitter of at most
 ±0.005 derived from md5, so vectors are distinct but cluster
 structure persists.
+
+rel10x — 10x the RELATIONAL/EVENTS side (round-5 verdict task: dedup
+and vectors had measured scale points, the SQL surface didn't):
+orders and lineitem replicate with o_orderkey/l_orderkey shifted by
+r*10M (join keys stay consistent within a replica; o_custkey and
+l_partkey/l_suppkey unchanged, so each customer carries 10x orders —
+the natural growth shape); events replicate with event_id AND user_id
+shifted (10x users, per-user funnel shape identical — sessionize and
+funnel costs scale with users, not rows-per-user). Dimension tables
+(region/nation/customer/supplier/part) plus documents/embeddings are
+symlinked verbatim: at 10x the fact tables they are exactly the
+broadcast-sized sides the plan assertions check.
 """
 
 from __future__ import annotations
@@ -91,6 +103,39 @@ def build_vecs50x(out: str = "/tmp/sfvec50") -> None:
     print(f"wrote {out}/embeddings.parquet")
 
 
+def build_rel10x(out: str = "/tmp/sfrel10") -> None:
+    import os
+
+    spark = get_spark(app_name="build-rel10x")
+    shifted = {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for tbl, cols in shifted.items():
+        d = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        reps = [d]
+        for r in range(1, 10):
+            dr = d
+            for c in cols:
+                dr = dr.withColumn(c, F.col(c) + F.lit(r * 10_000_000))
+            reps.append(dr)
+        alld = reps[0]
+        for x in reps[1:]:
+            alld = alld.union(x)
+        alld.repartition(16).write.mode("overwrite").parquet(
+            f"{out}/{tbl}.parquet"
+        )
+        print(f"wrote {out}/{tbl}.parquet")
+    for tbl in ("region", "nation", "customer", "supplier", "part",
+                "documents", "embeddings"):
+        dst = f"{out}/{tbl}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{SRC}/{tbl}.parquet", dst)
+    print(f"symlinked dimension tables from {SRC}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
-    {"docs10x": build_docs10x, "vecs50x": build_vecs50x}[which]()
+    {"docs10x": build_docs10x, "vecs50x": build_vecs50x,
+     "rel10x": build_rel10x}[which]()

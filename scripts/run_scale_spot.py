@@ -114,8 +114,47 @@ def vecs50x(spark) -> None:
          lambda: operators.QUERIES["d10_embedding_neardup"](spark, sf))
 
 
+def rel10x(spark) -> None:
+    """10x relational/events spot-run (q33 composite top-k, q07
+    multi-join, q37 funnel, q41 grouping sets) with PLAN-SHAPE
+    assertions. The contract at 10x: every DIMENSION join stays
+    broadcast (those sides didn't grow — losing one would mean
+    stats/AQE misjudged a still-tiny side); at most the ONE fact-fact
+    join (orders⋈lineitem) may go sort-merge — at sf0.1 the filtered
+    orders side slipped under the broadcast threshold, at 10x it
+    correctly doesn't (and AQE may still convert at runtime once true
+    sizes are known: the static plan here is the pre-AQE shape); and
+    nothing may go cartesian."""
+    from indexr_spark import operators
+
+    sf = "/tmp/sfrel10"
+    expect_broadcast = {"q33_shipping_priority", "q07_multi_join"}
+    for q in ("q33_shipping_priority", "q07_multi_join",
+              "q37_funnel", "q41_grouping_sets"):
+        df = operators.QUERIES[q](spark, sf)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan, f"{q} went cartesian"
+        if q in expect_broadcast:
+            assert "BroadcastHashJoin" in plan, (
+                f"{q}: dimension join lost its broadcast at 10x\n{plan}"
+            )
+            import re as _re
+
+            n_smj = len(_re.findall(r"^\(\d+\) SortMergeJoin", plan, _re.M))
+            assert n_smj <= 1, (
+                f"{q}: {n_smj} sort-merge joins at 10x — only the one "
+                f"fact-fact (orders⋈lineitem) pair may shuffle\n{plan}"
+            )
+        _run(spark, q, lambda df=df: df)
+    print("plan shapes held: dimension joins broadcast, <=1 fact-fact "
+          "sort-merge, no cartesian products", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
-           "vecs50x": "/tmp/sfvec50/embeddings.parquet"}
+           "vecs50x": "/tmp/sfvec50/embeddings.parquet",
+           "rel10x": "/tmp/sfrel10/lineitem.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -144,7 +183,8 @@ if __name__ == "__main__":
     if os.path.exists(warm_sf):
         from indexr_spark import operators
 
-        warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk"}[which]
+        warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk",
+                "rel10x": "q33_shipping_priority"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -156,5 +196,5 @@ if __name__ == "__main__":
         print(f"note: {warm_sf} missing — skipping the JIT warm-up; "
               "the first measured row will overstate steady cost",
               flush=True)
-    {"docs10x": docs10x, "vecs50x": vecs50x}[which](spark)
+    {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x}[which](spark)
     spark.stop()
