@@ -91,9 +91,20 @@ def test_compact_appends_through_manifest_on_adopted_table(spark, tmp_path):
     # pruned-predicate read: no double counting of pre-rewrite files
     out = cat.sql(spark, "SELECT count(*) AS n FROM t WHERE k >= 1")
     assert out.collect()[0].n == 3
-    # sidecar lists exactly the live set
+    # the sidecar may LAG on delta appends (round 5: its O(files)
+    # refresh is amortized to full-manifest materializations, and
+    # Catalog.prune reconciles) — it must describe a SUBSET of the
+    # live set (never a superseded file), and the pruned read above
+    # already proved no row is lost to the lag
     live = {f.removeprefix("file://") for f in cat.read(spark, "t").inputFiles()}
-    assert set(load_sidecar(cat.table_dir("t"))) == live
+    covered = set(load_sidecar(cat.table_dir("t")))
+    assert covered <= live
+    # specifically: it still describes v2 (the last full commit)
+    from indexr_spark.sources.snapshots import files_of
+
+    assert covered == {
+        os.path.join(cat.table_dir("t"), f) for f in files_of(cat.table_dir("t"), 2)
+    }
 
 
 def test_no_false_prune_through_computed_projection(spark, tmp_path):
