@@ -556,7 +556,50 @@ def read_snapshot(
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot under {path}")
     files = files_of(path, v)
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return spark.read.parquet(*_scan_paths(path, files))
+
+
+def _scan_paths(path: str, files: list[str]) -> list[str]:
+    """Collapse the live file list to directory roots where safe.
+
+    Handing Spark 100k explicit leaf paths costs one per-file status
+    call at planning (measured 36.6 s at 100k files — bench_snapshots);
+    handing it a DIRECTORY costs one LIST. A directory may stand in
+    for its files only when its on-disk contents are EXACTLY the live
+    files under it (append-only batch dirs, the common case): any
+    extra entry — an uncommitted writer's temp, a replaced version's
+    file awaiting vacuum, a subdirectory — disqualifies the dir, and
+    its files are passed explicitly. Entries are plain files with no
+    '=' in the name, so directory-handoff cannot trigger hive
+    partition-column inference and the scan schema is identical
+    either way. The local listdir check is one LIST per candidate
+    dir — the same call Spark would make, paid once driver-side."""
+    by_dir: dict[str, list[str]] = {}
+    for f in files:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    out: list[str] = []
+    for d, members in by_dir.items():
+        absdir = os.path.join(path, d)
+        names = {os.path.basename(f) for f in members}
+        try:
+            # underscore/dot entries (_SUCCESS, .crc) are invisible to
+            # Spark's file listing, so they don't disqualify the dir
+            visible = [
+                n for n in os.listdir(absdir) if not n.startswith(("_", "."))
+            ]
+        except OSError:
+            visible = None
+        safe = (
+            d != ""  # never hand over the table root (metadata dirs)
+            and visible is not None
+            and set(visible) == names
+            and all("=" not in n for n in names)
+        )
+        if safe:
+            out.append(absdir)
+        else:
+            out.extend(os.path.join(path, f) for f in members)
+    return sorted(out)
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:

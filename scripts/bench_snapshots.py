@@ -188,12 +188,15 @@ def manifest_bench(work: str) -> None:
 
     spark = get_spark(app_name="bench-snapshots",
                       extra_confs={"spark.ui.showConsoleProgress": "false"})
+    live = S.files_of(path, S.latest_version(path))
+    spaths = S._scan_paths(path, live)
     t0 = time.time()
     df = S.read_snapshot(spark, path)
     plan_dt = time.time() - t0
     t0 = time.time()
     n = df.count()
-    print(f"read_snapshot at 100k files: plan {plan_dt:.1f}s, "
+    print(f"read_snapshot at 100k files: plan {plan_dt:.1f}s "
+          f"({len(live)} files collapsed to {len(spaths)} scan paths), "
           f"count()={n} in {time.time() - t0:.1f}s  spin={_spin()}", flush=True)
     spark.stop()
 

@@ -516,3 +516,44 @@ def test_vacuum_materializes_oldest_kept_delta(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, version=2)
+
+
+def test_scan_paths_collapse_dirs_safely(spark, tmp_path):
+    """read_snapshot hands Spark whole batch DIRECTORIES when their
+    on-disk contents exactly match the live set (one LIST beats
+    per-file status calls at 100k files), and falls back to explicit
+    leaf paths the moment a dir holds anything extra — an uncommitted
+    writer's file must never leak into a snapshot read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 5).toDF("k"), path)
+    append_snapshot(spark.range(10, 15).toDF("k"), path)
+
+    files = S.files_of(path, S.latest_version(path))
+    paths = S._scan_paths(path, files)
+    # clean append-only batch dirs: handed over as directories
+    assert all(os.path.isdir(p) for p in paths), paths
+    assert len(paths) < len(files)
+    got = sorted(r.k for r in read_snapshot(spark, path).collect())
+    assert got == list(range(0, 5)) + list(range(10, 15))
+
+    # an uncommitted intruder lands in one batch dir -> that dir is
+    # disqualified (leaf paths), the OTHER dirs stay collapsed, and
+    # the intruder's rows never appear in the read
+    victim = os.path.dirname(os.path.join(path, files[0]))
+    pq.write_table(pa.table({"k": [999]}), os.path.join(victim, "intruder.parquet"))
+    paths2 = S._scan_paths(path, files)
+    assert any(not os.path.isdir(p) for p in paths2), paths2
+    got2 = sorted(r.k for r in read_snapshot(spark, path).collect())
+    assert got2 == got, "uncommitted file leaked into the snapshot read"
+
+    # _SUCCESS / dotfiles are invisible to Spark's listing and must
+    # not disqualify a dir
+    other = {os.path.dirname(os.path.join(path, f)) for f in files} - {victim}
+    d = other.pop()
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert d in S._scan_paths(path, files)
