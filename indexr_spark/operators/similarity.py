@@ -984,7 +984,12 @@ def s11_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = neardup_pairs_numpy(emb)
-    prep = _with_norm(emb)
+    # NOT _with_norm: its CPU-spreading repartition is wasted work
+    # under the BroadcastExchange these sides land in (a repartition
+    # feeding a broadcast just shuffles bytes that get collected
+    # anyway — EXPLAIN.md showed the redundant Exchange).
+    e = _as_double(F.col("embedding"))
+    prep = emb.select("vec_id", e.alias("e"), F.sqrt(_dot(e, e)).alias("nrm"))
     a = prep.select(
         F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("nrm").alias("an")
     )
