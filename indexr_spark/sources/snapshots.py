@@ -148,6 +148,21 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, MANIFEST_DIR)
 
 
+def _manifest_versions(path: str) -> list[int]:
+    """Version numbers of every manifest file present, tolerating stray
+    non-numeric v*.json names (the one place this parse lives — every
+    enumerator shares the same ValueError posture)."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            with contextlib.suppress(ValueError):
+                out.append(int(name[1:-5]))
+    return sorted(out)
+
+
 def latest_version(path: str) -> int:
     """Current committed version, or 0 if the table has none.
 
@@ -156,20 +171,14 @@ def latest_version(path: str) -> int:
     pointer bump must not hide its (fully valid) commit, so the scan
     takes the max of both. The scan is one metadata listing of a tiny
     directory — on an object store, one LIST call."""
-    mdir = _manifest_dir(path)
     cached = 0
-    ptr = os.path.join(mdir, "LATEST")
+    ptr = os.path.join(_manifest_dir(path), "LATEST")
     if os.path.exists(ptr):
         # the pointer is advisory: damage falls through to the scan
         with contextlib.suppress(ValueError, OSError), open(ptr) as f:
             cached = int(f.read().strip())
-    scanned = 0
-    if os.path.isdir(mdir):
-        for name in os.listdir(mdir):
-            if name.startswith("v") and name.endswith(".json"):
-                with contextlib.suppress(ValueError):
-                    scanned = max(scanned, int(name[1:-5]))
-    return max(cached, scanned)
+    versions = _manifest_versions(path)
+    return max(cached, versions[-1] if versions else 0)
 
 
 FULL_REWRITE_EVERY = 32  # max delta-chain depth before materializing
@@ -192,19 +201,37 @@ def files_of(path: str, version: int) -> list[str]:
     length is bounded by FULL_REWRITE_EVERY; a chain crossing the
     vacuum horizon raises FileNotFoundError (fails loudly — vacuum
     materializes the oldest kept version precisely so live versions
-    never do)."""
-    adds: list[list[str]] = []
-    v = version
-    while True:
-        m = _load_manifest(path, v)
-        if "files" in m:
-            live = set(m["files"])
-            break
-        adds.append(m["add"])
-        v = m["base"]
-    for a in adds:
-        live.update(a)
-    return sorted(live)
+    never do).
+
+    Vacuum-race tolerant: a concurrent vacuum can load this walk's
+    next base manifest out from under it — the reader picks up a kept
+    version in its DELTA form just before vacuum's atomic
+    materialization, then hits the expired base manifests vacuum
+    retires a moment later. The walk therefore retries from the top on
+    FileNotFoundError: the re-walk finds the just-materialized full
+    manifest at (or above) the kept horizon and terminates there. Only
+    a version genuinely below the horizon still raises after the
+    retries (the fail-loudly contract). Two retries cover a vacuum
+    landing during the first re-walk; vacuums themselves are
+    serialized by the commit lock."""
+    last_exc: FileNotFoundError | None = None
+    for _attempt in range(3):
+        try:
+            adds: list[list[str]] = []
+            v = version
+            while True:
+                m = _load_manifest(path, v)
+                if "files" in m:
+                    live = set(m["files"])
+                    break
+                adds.append(m["add"])
+                v = m["base"]
+            for a in adds:
+                live.update(a)
+            return sorted(live)
+        except FileNotFoundError as exc:
+            last_exc = exc
+    raise last_exc
 
 
 class ConcurrentSnapshotConflict(RuntimeError):
@@ -462,6 +489,14 @@ def append_snapshot(
 
 _WATERMARK_NAME = "META_WATERMARKS"
 
+# Manifest keys that are snapshot STRUCTURE, not user meta. The
+# watermark fold must never absorb them (folding a retired DELTA's
+# "add" file list into the watermark would embed it there forever and
+# make max_committed_meta(path, "add") report a file list as
+# "committed meta"), and asking max_committed_meta for one is a
+# category error, not a question with an answer.
+_STRUCTURAL_KEYS = ("version", "files", "base", "depth", "add")
+
 
 def _meta_watermarks(path: str) -> dict:
     """The {meta_key: max_value} carried forward by vacuum when it
@@ -479,7 +514,7 @@ def _fold_meta_watermarks(path: str, metas: list[dict]) -> None:
     wm = _meta_watermarks(path)
     for m in metas:
         for k, v in m.items():
-            if k in ("version", "files") or v is None:
+            if k in _STRUCTURAL_KEYS or v is None:
                 continue
             if k not in wm or v > wm[k]:
                 wm[k] = v
@@ -504,17 +539,69 @@ def max_committed_meta(path: str, key: str):
     watermark file BEFORE deleting (the exactly-once guard survives
     arbitrary vacuums). Scanning the live manifests is one LIST + a
     few tiny JSON reads; vacuum bounds their count."""
+    if key in _STRUCTURAL_KEYS:
+        raise ValueError(
+            f"{key!r} is snapshot structure, not committed meta; "
+            "query manifests/files_of directly"
+        )
     best = _meta_watermarks(path).get(key)
-    mdir = _manifest_dir(path)
-    if not os.path.isdir(mdir):
-        return best
-    for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            with contextlib.suppress(ValueError, OSError, json.JSONDecodeError):
-                val = _load_manifest(path, int(name[1:-5])).get(key)
-                if val is not None and (best is None or val > best):
-                    best = val
+    for v in _manifest_versions(path):
+        with contextlib.suppress(OSError, json.JSONDecodeError):
+            val = _load_manifest(path, v).get(key)
+            if val is not None and (best is None or val > best):
+                best = val
     return best
+
+
+def _update_key_ranges(updates: DataFrame, key_cols: list[str]) -> dict:
+    """{key col: (min, max)} over the updates — one tiny agg job whose
+    result is a single driver row however large the update set."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for k in key_cols:
+        aggs += [F.min(k).alias(f"__mn_{k}"), F.max(k).alias(f"__mx_{k}")]
+    row = updates.agg(*aggs).collect()[0]
+    return {k: (row[f"__mn_{k}"], row[f"__mx_{k}"]) for k in key_cols}
+
+
+def _overlapping_files(path: str, live: list[str], ranges: dict) -> list[str]:
+    """The live files whose sidecar key-column stats MAY contain a key
+    in `ranges` — the copy-on-write rewrite set. Sound, not tight: a
+    file escapes the rewrite only when some key column's [min,max] is
+    provably disjoint from the updates' [min,max]; a file the
+    (possibly delta-lagging) sidecar doesn't cover, a column it has no
+    stats for, an unknown update range, or an uncomparable type pair
+    all mean "may match" and the file is rewritten. Null keys never
+    join-match, so a disjoint-range file holding nulls is still safely
+    skipped — as is a zero-row file (no stats to compare, but nothing
+    to match either)."""
+    from indexr_spark.sources.segments import SIDECAR_NAME, load_sidecar
+
+    try:
+        stats = load_sidecar(path)
+        with open(os.path.join(path, SIDECAR_NAME)) as f:
+            num_rows = {e["path"]: e.get("num_rows") for e in json.load(f)["files"]}
+    except (OSError, ValueError, KeyError):
+        return list(live)  # no usable sidecar: rewrite everything
+    touched = []
+    for rel in live:
+        if num_rows.get(rel) == 0:
+            continue  # empty file: provably no matching row
+        st = stats.get(os.path.join(path, rel))
+        disjoint = False
+        if st is not None:
+            for k, (mn, mx) in ranges.items():
+                cs = st.get(k)
+                if cs is None or mn is None:
+                    continue  # unknown stats/range: can't prove disjoint
+                with contextlib.suppress(TypeError):
+                    if cs.max < mn or cs.min > mx:
+                        disjoint = True
+                        break
+        if not disjoint:
+            touched.append(rel)
+    return touched
 
 
 def upsert_snapshot(
@@ -524,12 +611,16 @@ def upsert_snapshot(
     key_cols: list[str],
     sort_by: list[str] | None = None,
 ) -> int:
-    """Copy-on-write MERGE as a snapshot commit: survivors + updates
-    become new files, the manifest flips, old files remain for
-    time-travel readers. (File-level write amplification — the same
-    trade Delta/Iceberg copy-on-write makes; at 100 TB restrict the
-    rewrite to the files whose key ranges overlap the updates, which
-    the stats sidecar identifies.)
+    """Copy-on-write MERGE as a snapshot commit, scoped by the stats
+    sidecar: only files whose key-column ranges may overlap the
+    updates are read and rewritten; every other live file carries into
+    the new manifest untouched (the Delta/Iceberg copy-on-write shape
+    — rewrite cost is proportional to files TOUCHED, not table size,
+    which is the difference between a merge and a table rewrite at
+    100 TB). Old files remain on disk for time-travel readers; vacuum
+    retires the replaced ones once their versions expire, which also
+    restores those batch dirs to directory-collapse eligibility in
+    _scan_paths.
 
     Conflict-checked: the merge's contents derive from the base
     version it read, so a concurrent commit landing in between makes
@@ -539,11 +630,41 @@ def upsert_snapshot(
     base, not just the file list). Raises ConcurrentSnapshotConflict;
     callers re-run the merge against the new version."""
     base = latest_version(path)
-    target = read_snapshot(spark, path, version=base)
-    cond = [target[k] == updates[k] for k in key_cols]
-    survivors = target.join(updates, cond, "left_anti")
-    merged = survivors.unionByName(updates.select(*target.columns))
-    return write_snapshot(merged, path, sort_by, expect_parent=base)
+    if base == 0:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    target, merged, untouched = scoped_merge_plan(spark, path, updates, key_cols, base)
+    new_files = _write_data_files(merged, path, sort_by)
+    return _commit(path, untouched + new_files, expect_parent=base)
+
+
+def scoped_merge_plan(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    base: int,
+) -> tuple[DataFrame | None, DataFrame, list[str]]:
+    """The sidecar-scoped MERGE plan against version `base`:
+    (touched-files DataFrame or None, merged rewrite DataFrame,
+    untouched live files to carry into the new manifest). Shared by
+    upsert_snapshot and tools.upsert_segments (which also needs the
+    touched subset for its updated/inserted counts)."""
+    live = files_of(path, base)
+    touched = _overlapping_files(path, live, _update_key_ranges(updates, key_cols))
+    untouched = sorted(set(live) - set(touched))
+    if touched:
+        target = spark.read.parquet(*_scan_paths(path, touched))
+        cond = [target[k] == updates[k] for k in key_cols]
+        survivors = target.join(updates, cond, "left_anti")
+        return target, survivors.unionByName(updates.select(*target.columns)), untouched
+    # no live file can hold a matching key: pure insert, in the
+    # table's column order
+    cols = (
+        spark.read.parquet(*_scan_paths(path, live)).columns
+        if live
+        else updates.columns
+    )
+    return None, updates.select(*cols), untouched
 
 
 def read_snapshot(
@@ -573,11 +694,23 @@ def _scan_paths(path: str, files: list[str]) -> list[str]:
     '=' in the name, so directory-handoff cannot trigger hive
     partition-column inference and the scan schema is identical
     either way. The local listdir check is one LIST per candidate
-    dir — the same call Spark would make, paid once driver-side."""
+    dir — the same call Spark would make, paid once driver-side.
+
+    The listdir check is check-then-use: Spark re-lists the directory
+    at scan planning, so a file landing between the two listings would
+    silently enter a pinned-version read. That cannot happen for dirs
+    under the managed `data/` namespace — this module is the only
+    writer there and every data file it creates is committed-or-temp-
+    named — so collapse is RESTRICTED to `data/` and its batch
+    subdirs. Dirs of ensure_snapshot-adopted external layouts (whose
+    original writers may still exist) always go as explicit leaf
+    paths: a post-adoption external write can then never leak into a
+    snapshot read, only sit ignored on disk."""
     by_dir: dict[str, list[str]] = {}
     for f in files:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
     out: list[str] = []
+    managed = "data" + os.sep
     for d, members in by_dir.items():
         absdir = os.path.join(path, d)
         names = {os.path.basename(f) for f in members}
@@ -590,7 +723,7 @@ def _scan_paths(path: str, files: list[str]) -> list[str]:
         except OSError:
             visible = None
         safe = (
-            d != ""  # never hand over the table root (metadata dirs)
+            (d == "data" or d.startswith(managed))  # managed namespace only
             and visible is not None
             and set(visible) == names
             and all("=" not in n for n in names)
@@ -606,11 +739,7 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per live version: (version, n_files, is_latest) — the
     audit surface for time travel."""
     latest = latest_version(path)
-    versions = sorted(
-        int(n[1:-5])
-        for n in os.listdir(_manifest_dir(path))
-        if n.startswith("v") and n.endswith(".json")
-    )
+    versions = _manifest_versions(path)
     # resolve in NUMERIC order with a memo: version v's live set is
     # its base's set + adds, so the walk is linear in versions
     resolved: dict[int, set[str]] = {}
@@ -631,10 +760,27 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     """Drop data files referenced only by expired versions (older than
     the newest `keep_versions`). Returns the deleted files. Metadata
     of expired versions is removed too, so time travel past the
-    horizon fails loudly rather than reading half a version."""
+    horizon fails loudly rather than reading half a version.
+
+    Runs under the commit lock: the keep-set is computed from
+    latest_version, so a commit landing mid-vacuum would otherwise be
+    newer than `latest`, outside `keep`, and retired+deleted as
+    "expired" — destroying a just-committed version. The lock also
+    serializes vacuums with each other, which bounds the files_of
+    retry loop (at most one materialize-then-retire window can move
+    under a reader's walk at a time). Readers never take the lock;
+    their protection is the materialize-before-retire order plus the
+    files_of retry."""
+    if not os.path.isdir(_manifest_dir(path)):
+        return []  # not a snapshot table: no-op
+    with _commit_lock(path):
+        return _vacuum_locked(path, keep_versions)
+
+
+def _vacuum_locked(path: str, keep_versions: int) -> list[str]:
     latest = latest_version(path)
-    if latest == 0 or not os.path.isdir(_manifest_dir(path)):
-        return []  # not a snapshot table (or nothing committed): no-op
+    if latest == 0:
+        return []  # nothing committed: no-op
     keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
     live: set[str] = set()
     for v in keep:
@@ -684,12 +830,11 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     # otherwise double-append)
     expired_metas = []
     expired_names = []
-    for mname in os.listdir(_manifest_dir(path)):
-        if mname.startswith("v") and mname.endswith(".json"):
-            if int(mname[1:-5]) not in keep:
-                with contextlib.suppress(OSError, json.JSONDecodeError):
-                    expired_metas.append(_load_manifest(path, int(mname[1:-5])))
-                expired_names.append(mname)
+    for v in _manifest_versions(path):
+        if v not in keep:
+            with contextlib.suppress(OSError, json.JSONDecodeError):
+                expired_metas.append(_load_manifest(path, v))
+            expired_names.append(f"v{v}.json")
     if expired_metas:
         _fold_meta_watermarks(path, expired_metas)
     for mname in expired_names:

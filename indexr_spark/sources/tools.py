@@ -98,28 +98,40 @@ def upsert_segments(
     the survivors, a union brings in the updates, and the rewrite
     commits as a new snapshot version. Returns (updated, inserted).
 
-    Scale: at 100 TB run per partition directory touched by the
-    updates (classic copy-on-write merge); the anti join shuffles on
-    the key unless the updates are broadcast-sized (they usually are).
-    """
-    from indexr_spark.sources.snapshots import ensure_snapshot, read_table, write_snapshot
+    Scale: sidecar-scoped copy-on-write — only files whose key-column
+    ranges may overlap the updates are read and rewritten, so both the
+    merge read and the counts below touch the overlap set, not the
+    table (rewrite cost proportional to files touched at 100 TB); the
+    anti join shuffles on the key unless the updates are
+    broadcast-sized (they usually are)."""
+    from indexr_spark.sources.snapshots import (
+        _commit,
+        _write_data_files,
+        ensure_snapshot,
+        scoped_merge_plan,
+    )
 
     # ensure_snapshot returns the CURRENT version (existing or the
     # freshly bootstrapped v1) — no second manifest scan needed
     base = ensure_snapshot(table_path)
-    target = read_table(spark, table_path)
-    cond = [target[k] == updates[k] for k in key_cols]
-    survivors = target.join(updates, cond, "left_anti")
-    n_updated = target.count() - survivors.count()
+    target, merged, untouched = scoped_merge_plan(
+        spark, table_path, updates, key_cols, base
+    )
+    if target is not None:
+        cond = [target[k] == updates[k] for k in key_cols]
+        n_updated = target.join(updates, cond, "left_semi").count()
+    else:
+        n_updated = 0  # no file overlaps the update keys: pure insert
     n_inserted = updates.count() - n_updated
-    out = survivors.unionByName(updates.select(*target.columns))
-    # snapshot commit: new files + manifest bump — a reader pinned to
-    # the prior version keeps its files (no rename/delete underneath
-    # an in-flight scan); vacuum() retires them later. expect_parent:
-    # this rewrite's contents derive from `base`, so a concurrent
-    # commit in between makes it stale — refuse (Concurrent-
-    # SnapshotConflict) rather than silently replace it away.
-    write_snapshot(out, table_path, sort_by, expect_parent=base)
+    # snapshot commit: new files + manifest carrying the untouched
+    # live files forward — a reader pinned to the prior version keeps
+    # its files (no rename/delete underneath an in-flight scan);
+    # vacuum() retires replaced files later. expect_parent: this
+    # rewrite's contents derive from `base`, so a concurrent commit in
+    # between makes it stale — refuse (ConcurrentSnapshotConflict)
+    # rather than silently replace it away.
+    new_files = _write_data_files(merged, table_path, sort_by)
+    _commit(table_path, untouched + new_files, expect_parent=base)
     return n_updated, n_inserted
 
 

@@ -557,3 +557,188 @@ def test_scan_paths_collapse_dirs_safely(spark, tmp_path):
     d = other.pop()
     open(os.path.join(d, "_SUCCESS"), "w").close()
     assert d in S._scan_paths(path, files)
+
+
+def test_upsert_scoped_rewrite(spark, tmp_path):
+    """Copy-on-write MERGE rewrites ONLY the files whose sidecar key
+    ranges may overlap the updates (the 100 TB form: rewrite cost
+    proportional to files touched, not table size). Files with
+    provably-disjoint key ranges carry into the new manifest by
+    reference — the same relative paths, no new bytes written."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    # three appends with disjoint key ranges -> disjoint per-file stats
+    # (sort_by keeps each batch's files range-tight); a full commit at
+    # the end refreshes the sidecar over all live files
+    write_snapshot(spark.range(0, 100).toDF("k"), path, sort_by=["k"])
+    append_snapshot(spark.range(1000, 1100).toDF("k"), path, sort_by=["k"])
+    v3 = S.write_snapshot(
+        read_snapshot(spark, path).unionByName(
+            spark.range(2000, 2100).toDF("k")
+        ),
+        path,
+        sort_by=["k"],
+        num_segments=3,
+    )
+    live_before = S.files_of(path, v3)
+    assert len(live_before) >= 3
+
+    # updates hit only the middle range
+    updates = spark.createDataFrame([(1000,), (1001,)], "k long")
+    v4 = upsert_snapshot(spark, path, updates, ["k"])
+    live_after = set(S.files_of(path, v4))
+
+    carried = set(live_before) & live_after
+    replaced = set(live_before) - live_after
+    assert carried, "disjoint-range files must carry by reference"
+    assert replaced, "the overlapping file must be rewritten"
+    # only the file(s) covering the 1000-range were rewritten
+    from indexr_spark.sources.segments import load_sidecar
+
+    stats = load_sidecar(path)
+    for rel in replaced:
+        st = stats.get(os.path.join(path, rel))
+        if st is not None and "k" in st:
+            assert st["k"].min <= 1001 and st["k"].max >= 1000
+    # semantics identical to a full MERGE
+    got = sorted(r.k for r in read_snapshot(spark, path).collect())
+    assert got == sorted(
+        list(range(0, 100)) + list(range(1000, 1100)) + list(range(2000, 2100))
+    )
+    # time travel to the pre-merge version still works
+    assert read_snapshot(spark, path, version=v3).count() == 300
+
+
+def test_upsert_scoped_insert_only(spark, tmp_path):
+    """Updates whose keys overlap NO live file are a pure insert: all
+    live files carry by reference, zero files are read back."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    live = set(S.files_of(path, v1))
+    v2 = upsert_snapshot(
+        spark, path, spark.createDataFrame([(99, "z")], "k int, v string"), ["k"]
+    )
+    after = set(S.files_of(path, v2))
+    assert live <= after, "no live file may be rewritten on a pure insert"
+    got = {tuple(r) for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (99, "z")}
+
+
+def test_files_of_retries_across_vacuum(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): a reader's files_of walk can pick up a kept
+    version in its DELTA form just before vacuum materializes it, then
+    hit the expired base manifests vacuum retires. The walk must retry
+    and land on the just-materialized full manifest — not surface
+    FileNotFoundError for a LIVE version."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 3).toDF("k"), path)  # v1 full
+    for i in range(1, 5):  # v2..v5 deltas
+        append_snapshot(spark.range(10 * i, 10 * i + 3).toDF("k"), path)
+    assert "files" not in S._load_manifest(path, 4)
+
+    real_load = S._load_manifest
+    fired = {"done": False}
+
+    def racing_load(p, v):
+        m = real_load(p, v)
+        # the reader holds v4's DELTA dict; vacuum lands right now,
+        # materializing v4 and retiring v1..v3 under the walk
+        if v == 4 and "files" not in m and not fired["done"]:
+            fired["done"] = True
+            vacuum(path, keep_versions=2)
+        return m
+
+    monkeypatch.setattr(S, "_load_manifest", racing_load)
+    files = S.files_of(path, 4)
+    assert fired["done"], "race did not fire"
+    monkeypatch.setattr(S, "_load_manifest", real_load)
+    assert files == S.files_of(path, 4)  # same set as a clean resolve
+    assert read_snapshot(spark, path, version=4).count() == 12
+    # below the horizon stays loudly dead even with retries
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        S.files_of(path, 2)
+
+
+def test_watermark_skips_structural_keys(spark, tmp_path):
+    """ADVICE r5: vacuum's watermark fold must not absorb a retired
+    DELTA's base/depth/add structure (embedding a file list in the
+    watermark forever); asking max_committed_meta for a structural key
+    is a loud error, not a bogus answer."""
+    import pytest as _pytest
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 2).toDF("k"), path)
+    for i in range(3):  # deltas carrying custom meta
+        append_snapshot(
+            spark.range(10 * i, 10 * i + 2).toDF("k"), path, meta={"epoch": i}
+        )
+    vacuum(path, keep_versions=1)  # retires the delta manifests
+    wm = S._meta_watermarks(path)
+    assert set(wm) == {"epoch"}, wm  # no base/depth/add leaked in
+    assert S.max_committed_meta(path, "epoch") == 2
+    for k in ("base", "depth", "add", "files", "version"):
+        with _pytest.raises(ValueError):
+            S.max_committed_meta(path, k)
+
+
+def test_scan_paths_managed_namespace_only(spark, tmp_path):
+    """ADVICE r5: directory collapse is check-then-use (Spark re-lists
+    at planning), so it is restricted to the managed data/ namespace
+    where this module is the only writer. Adopted external layouts
+    always go as explicit leaf paths — a post-adoption external write
+    can then never leak into a pinned-version read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "ext")
+    os.makedirs(os.path.join(path, "seg0"))
+    pq.write_table(pa.table({"k": [1, 2]}), os.path.join(path, "seg0", "a.parquet"))
+    S.ensure_snapshot(path)
+    files = S.files_of(path, 1)
+    paths = S._scan_paths(path, files)
+    assert all(not os.path.isdir(p) for p in paths), (
+        "adopted external dirs must not collapse: %s" % paths
+    )
+    # an external writer drops a file in AFTER adoption: the pinned
+    # read is unaffected because we never handed the dir to Spark
+    pq.write_table(pa.table({"k": [999]}), os.path.join(path, "seg0", "b.parquet"))
+    assert sorted(r.k for r in read_snapshot(spark, path).collect()) == [1, 2]
+
+    # managed batch dirs still collapse
+    mpath = str(tmp_path / "managed")
+    write_snapshot(spark.range(0, 5).toDF("k"), mpath)
+    mfiles = S.files_of(mpath, 1)
+    assert any(os.path.isdir(p) for p in S._scan_paths(mpath, mfiles))
+
+
+def test_manifest_enumeration_tolerates_stray_names(spark, tmp_path):
+    """A stray non-numeric v*.json in _manifests must not crash any
+    enumerator (snapshot_history previously parsed int() bare while
+    latest_version suppressed — ADVICE r5)."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.range(0, 2).toDF("k"), path)
+    append_snapshot(spark.range(5, 7).toDF("k"), path)
+    stray = os.path.join(path, "_manifests", "vNOTANUMBER.json")
+    with open(stray, "w") as f:
+        f.write("{}")
+    assert S.latest_version(path) == 2
+    hist = S.snapshot_history(spark, path).collect()
+    assert sorted(r.version for r in hist) == [1, 2]
+    assert S.max_committed_meta(path, "epoch") is None
+    vacuum(path, keep_versions=1)
+    assert S.latest_version(path) == 2
