@@ -6,6 +6,7 @@ epoch counts.
 
     python scripts/bench_snapshots.py manifest   # 100k-file table
     python scripts/bench_snapshots.py epochs     # 1k-epoch compact + racing append
+    python scripts/bench_snapshots.py replace    # scoped upsert + post-replace planning
 
 manifest — builds a table to 100k live files via 100 x 1000-file
 delta appends (file payloads are hardlinks of one tiny parquet: the
@@ -21,6 +22,17 @@ epochs — 1000 committed rt micro-batch dirs (the streaming sink's
 layout), then times compact() merging them into a snapshot-adopted
 historical table WHILE a concurrent append_snapshot races it, and
 asserts both commits landed with snapshot history intact.
+
+replace — the round-6 seam measurements: a 100k-file table spread
+over 100 batch dirs (the _write_data_files layout), sidecar key
+ranges distinct per file, then (a) a sidecar-scoped upsert touching
+1 file and one touching 100 files — wall time must track files
+TOUCHED, not table size; (b) read planning immediately AFTER the
+replace, when the touched batch dir holds not-yet-vacuumed replaced
+files and falls back to explicit leaf paths while every clean dir
+still collapses; (c) read planning after vacuum retires the replaced
+files and the dir collapses again (vacuum IS the post-replace
+planning cleanup).
 
 Numbers are only comparable at similar single-thread spins (this box
 throttles in phases; see bench.py).
@@ -201,6 +213,113 @@ def manifest_bench(work: str) -> None:
     spark.stop()
 
 
+def replace_bench(work: str) -> None:
+    import json
+
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.segments import SIDECAR_NAME
+
+    path = os.path.join(work, "t")
+    os.makedirs(os.path.join(path, "data"))
+    seeds: dict[int, str] = {}
+
+    def seed_for(file_id: int) -> str:
+        s = seeds.get(file_id // 1000)
+        if s is None:
+            s = os.path.join(work, f"seed{file_id // 1000}.parquet")
+            _seed_parquet(s)
+            seeds[file_id // 1000] = s
+        return s
+
+    print("building 100k files across 100 batch dirs "
+          "(100 x 1000-file delta appends)", flush=True)
+    next_id = 0
+    t0 = time.time()
+    for c in range(N_COMMITS):
+        d = f"b{c:04d}"
+        os.makedirs(os.path.join(path, "data", d))
+        rels = []
+        for _ in range(FILES_PER_COMMIT):
+            rel = os.path.join("data", d, f"f{next_id:06d}.parquet")
+            os.link(seed_for(next_id), os.path.join(path, rel))
+            rels.append(rel)
+            next_id += 1
+        S._commit(path, rels, delta=True)
+    # a full commit refreshes the sidecar over all live files
+    S._commit(path, S.files_of(path, S.latest_version(path)))
+    print(f"built in {time.time() - t0:.1f}s  spin={_spin()}", flush=True)
+
+    # The build hardlinks ONE payload (this is a metadata bench), so
+    # every real footer says k=1. The scoped upsert's input is the
+    # SIDECAR, so give it the ranges a real table would have: file i
+    # holds k=i. The one file each update targets is then provable
+    # from stats alone, exactly as on a production table.
+    scpath = os.path.join(path, SIDECAR_NAME)
+    with open(scpath) as f:
+        sc = json.load(f)
+    for e in sc["files"]:
+        i = int(e["path"].rsplit("f", 1)[1][:6])
+        e["columns"]["k"] = {"min": i, "max": i, "null_count": 0, "type": "int"}
+    with open(scpath, "w") as f:
+        json.dump(sc, f)
+
+    from indexr_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-replace",
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    spark.range(100).count()
+
+    live0 = S.files_of(path, S.latest_version(path))
+
+    # (a) scoped upsert cost vs files touched — 1 file, then ~100
+    # (file i holds k=i per the sidecar, so keys pick files directly)
+    for n_touch, lo in ((1, 42), (100, 10_000)):
+        keys = list(range(lo, lo + n_touch))
+        upd = spark.createDataFrame([(k, float(k)) for k in keys],
+                                    "k long, v double")
+        t0 = time.time()
+        v = S.upsert_snapshot(spark, path, upd, ["k"])
+        dt = time.time() - t0
+        after = set(S.files_of(path, v))
+        touched = sum(1 for f in live0 if f not in after)
+        print(f"scoped upsert touching {n_touch} keys at 100k files: "
+              f"{dt:.2f}s (rewrote {touched} files)  spin={_spin()}",
+              flush=True)
+        live0 = S.files_of(path, v)
+
+    # (b) read planning immediately after the replace: the touched
+    # dirs hold replaced files awaiting vacuum -> explicit leaf paths
+    # for THOSE dirs only; clean dirs still collapse
+    live = S.files_of(path, S.latest_version(path))
+    spaths = S._scan_paths(path, live)
+    n_dirs = sum(1 for p in spaths if os.path.isdir(p))
+    t0 = time.time()
+    df = S.read_snapshot(spark, path)
+    plan_dt = time.time() - t0
+    t0 = time.time()
+    n = df.count()
+    print(f"post-replace read at 100k files: plan {plan_dt:.1f}s "
+          f"({len(live)} files -> {len(spaths)} scan paths, {n_dirs} dirs + "
+          f"{len(spaths) - n_dirs} leaves), count()={n} in "
+          f"{time.time() - t0:.1f}s  spin={_spin()}", flush=True)
+
+    # (c) vacuum retires the replaced files; dirty dirs collapse again
+    t0 = time.time()
+    deleted = S.vacuum(path, keep_versions=1)
+    vac_dt = time.time() - t0
+    live = S.files_of(path, S.latest_version(path))
+    spaths = S._scan_paths(path, live)
+    n_dirs = sum(1 for p in spaths if os.path.isdir(p))
+    t0 = time.time()
+    df = S.read_snapshot(spark, path)
+    plan_dt = time.time() - t0
+    print(f"after vacuum ({len(deleted)} files retired in {vac_dt:.1f}s): "
+          f"plan {plan_dt:.1f}s ({len(live)} files -> {len(spaths)} scan "
+          f"paths, {n_dirs} dirs + {len(spaths) - n_dirs} leaves)  "
+          f"spin={_spin()}", flush=True)
+    spark.stop()
+
+
 def epochs_bench(work: str) -> None:
     from indexr_spark.session import get_spark
     from indexr_spark.sources import snapshots as S
@@ -281,4 +400,5 @@ if __name__ == "__main__":
         shutil.rmtree(work)
     os.makedirs(work)
     print(f"workdir {work}  spin={_spin()}", flush=True)
-    {"manifest": manifest_bench, "epochs": epochs_bench}[which](work)
+    {"manifest": manifest_bench, "epochs": epochs_bench,
+     "replace": replace_bench}[which](work)

@@ -122,34 +122,56 @@ def rel10x(spark) -> None:
     stats/AQE misjudged a still-tiny side); at most the ONE fact-fact
     join (orders⋈lineitem) may go sort-merge — at sf0.1 the filtered
     orders side slipped under the broadcast threshold, at 10x it
-    correctly doesn't (and AQE may still convert at runtime once true
-    sizes are known: the static plan here is the pre-AQE shape); and
-    nothing may go cartesian."""
+    correctly doesn't; and nothing may go cartesian.
+
+    The broadcast/SMJ assertions run on the FINAL ADAPTIVE plan,
+    captured AFTER execution (isFinalPlan=true is asserted, so a
+    refactor that silently reverts to the static plan fails loudly):
+    a broadcast AQE demotes at runtime once true sizes are known must
+    fail this gate, not just the static shape (r5 VERDICT task 8 —
+    the pre-r6 gate read the pre-AQE plan). Only the cartesian check
+    stays pre-execution: a query that DID plan cartesian should fail
+    before we execute it at 10x."""
+    import re as _re
+
     from indexr_spark import operators
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
 
     sf = "/tmp/sfrel10"
     expect_broadcast = {"q33_shipping_priority", "q07_multi_join"}
     for q in ("q33_shipping_priority", "q07_multi_join",
               "q37_funnel", "q41_grouping_sets"):
         df = operators.QUERIES[q](spark, sf)
-        plan = spark._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
+        assert "CartesianProduct" not in _explain(df), f"{q} went cartesian"
+        # collect(), not count(): count() executes a DERIVED plan and
+        # leaves this df's queryExecution un-finalized (its adaptive
+        # frames never run) — the gate would then read a pre-AQE shape.
+        # All four queries return small top-k/agg results.
+        t0 = time.time()
+        n = len(df.collect())
+        print(f"{q}  {time.time() - t0:.1f}s  rows={n}  spin={_spin()}",
+              flush=True)
+        plan = _explain(df)  # post-execution: the final adaptive plan
+        assert "isFinalPlan=true" in plan, (
+            f"{q}: expected a finalized adaptive plan after execution\n{plan}"
         )
-        assert "CartesianProduct" not in plan, f"{q} went cartesian"
+        assert "CartesianProduct" not in plan, f"{q} went cartesian under AQE"
         if q in expect_broadcast:
             assert "BroadcastHashJoin" in plan, (
-                f"{q}: dimension join lost its broadcast at 10x\n{plan}"
+                f"{q}: dimension join lost its broadcast at 10x "
+                f"(final adaptive plan)\n{plan}"
             )
-            import re as _re
-
             n_smj = len(_re.findall(r"^\(\d+\) SortMergeJoin", plan, _re.M))
             assert n_smj <= 1, (
                 f"{q}: {n_smj} sort-merge joins at 10x — only the one "
                 f"fact-fact (orders⋈lineitem) pair may shuffle\n{plan}"
             )
-        _run(spark, q, lambda df=df: df)
-    print("plan shapes held: dimension joins broadcast, <=1 fact-fact "
-          "sort-merge, no cartesian products", flush=True)
+    print("final adaptive plan shapes held: dimension joins broadcast, "
+          "<=1 fact-fact sort-merge, no cartesian products", flush=True)
 
 
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",

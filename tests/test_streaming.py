@@ -171,3 +171,74 @@ def test_prepare_events_batch_semantics(spark):
     # carrying no metrics at all is dropped even though m_first has a
     # declared default.
     assert prepare_events(df, spec2).count() == 0
+
+
+def test_crash_recovery_snapshot_sink(spark, tmp_path):
+    """VERDICT r5 task 4 — chaos test: kill a RUNNING stream mid-epoch,
+    in the worst window (snapshot append committed, checkpoint not),
+    restart from the same checkpoint, and assert exact row counts and
+    gap-free history. This drives the exactly-once guard through a
+    real StreamExecution crash/replay rather than a synthetic replayed
+    epoch id."""
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.sources.catalog import ColumnSpec, TableSpec
+    from indexr_spark.streaming.ingest import snapshot_sink
+
+    spec = TableSpec(
+        name="chaos",
+        columns=[ColumnSpec("k", "int"), ColumnSpec("v", "double")],
+        sort_by=["k"],
+    )
+    src = str(tmp_path / "src")
+    sdir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for i in range(3):  # one file per epoch under maxFilesPerTrigger=1
+        _write_events(
+            src, f"f{i}.jsonl", [{"k": i * 10 + j, "v": float(i)} for j in range(5)]
+        )
+
+    inner = snapshot_sink(spec, sdir, app_id="chaos")
+    crashed = {"done": False}
+
+    def sink(batch, epoch_id):
+        inner(batch, epoch_id)  # the append COMMITS...
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            # ...then the process "dies" before the checkpoint commit —
+            # exactly the window where naive sinks double-append
+            raise RuntimeError("chaos: dying after commit, before checkpoint")
+
+    def start():
+        events = (
+            spark.readStream.schema("k int, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return (
+            events.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="chaos"):
+        q.awaitTermination(120)
+    assert crashed["done"], "the crash never fired"
+    # the crashed epoch's rows ARE committed (crash hit post-append)
+    assert S.read_snapshot(spark, sdir).count() == 10
+
+    # restart from the same checkpoint: Spark replays epoch 1 (the
+    # guard must skip it), then processes epoch 2
+    q2 = start()
+    q2.awaitTermination(120)
+    got = sorted(r.k for r in S.read_snapshot(spark, sdir).collect())
+    assert got == sorted(i * 10 + j for i in range(3) for j in range(5)), (
+        "crash/replay must neither drop nor double-append an epoch"
+    )
+    hist = S.snapshot_history(spark, sdir).collect()
+    assert sorted(r.version for r in hist) == list(
+        range(1, len(hist) + 1)
+    ), "gap in snapshot history after crash recovery"
+    assert S.max_committed_meta(sdir, "epoch_chaos") == 2
