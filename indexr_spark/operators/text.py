@@ -703,6 +703,29 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     string join keys cost more than long doc_ids. It wins only when
     exact duplication is heavy; the dedup-first LSH already captures
     that win at the candidate stage.)"""
+    return jaccard_pairs(
+        spark,
+        sf_dir,
+        bands=JACCARD_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        max_bucket=_lsh_max_bucket(),
+    )
+
+
+def jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = JACCARD_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The d09 LSH-then-verify pipeline with the two deployment dials
+    exposed: `bands` (candidate recall/volume — pick with
+    functions.sizing.suggest_bands for the target `threshold`, then
+    measure) and `threshold` (the exact-Jaccard verify cut). d09
+    itself pins (JACCARD_BANDS, JACCARD_THRESHOLD) for oracle
+    comparability; scripts/run_scale_spot.py measures an alternative
+    banding through this entry point."""
     # spread_scan: per-doc shingling + hashing is per-row CPU, and the
     # small corpus file scans as one task (see tables.spread_scan).
     d = spread_scan(load_table(spark, sf_dir, "documents"))
@@ -732,7 +755,7 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-based coalescing sees "small" shuffle partitions and would
     # run the array-heavy verify on a fraction of the cores.
     cand = _lsh_doc_pairs(
-        spark, sf_dir, JACCARD_BANDS, max_bucket=_lsh_max_bucket()
+        spark, sf_dir, bands, max_bucket=max_bucket
     ).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -752,7 +775,7 @@ def d09_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "a_id")
         .join(b, "b_id")
         .withColumn("jaccard", F.round(j, 6))
-        .filter(j >= JACCARD_THRESHOLD)
+        .filter(j >= threshold)
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
     )

@@ -70,6 +70,54 @@ def docs10x(spark) -> None:
             "d09_ngram_jaccard[max_bucket=500]",
             lambda: operators.QUERIES["d09_ngram_jaccard"](spark, sf),
         )
+        # sizing deployment check (r5 VERDICT task 7): DEPLOY the
+        # banding suggest_bands derives for a lower Jaccard threshold
+        # through the parametrized jaccard_pairs entry point, against
+        # the pinned 4x4, and record what the measurement says. The
+        # measured finding (round 6, this corpus): the S-curve alone
+        # misranks bandings under the capped posture — 8x2's coarser
+        # 2-row buckets lose ~3.8x more candidates to the max_bucket
+        # valve (48 dropped buckets / ~653M pairs vs 4x4's 19 / ~170M),
+        # so the "higher-recall" banding verifies FEWER pairs
+        # (153,518 vs 184,362). Uncapped at sf0.1 both bandings find
+        # the IDENTICAL 256 J>=0.5 pairs (near-dup corpora are
+        # bimodal: pairs sit far above either crossover) while 8x2
+        # pays 1.4x the wall for its extra candidates. Conclusion the
+        # sizing docstring already carries: the formula SHORTLISTS,
+        # the measurement DECIDES — here it keeps the pinned 4x4.
+        from indexr_spark.functions.sizing import (
+            band_crossover,
+            detect_probability,
+            suggest_bands,
+        )
+        from indexr_spark.operators.text import JACCARD_BANDS, jaccard_pairs
+
+        thr = 0.5
+        b, r = suggest_bands(thr, 16)
+        print(
+            f"sizing: suggest_bands({thr}, 16)=({b},{r}) — crossover "
+            f"{band_crossover(b, r):.3f}, P(candidate | J={thr}) = "
+            f"{detect_probability(thr, b, r):.2f} vs pinned 4x4's "
+            f"{detect_probability(thr, 4, 4):.2f}",
+            flush=True,
+        )
+        found = {}
+        for bands, tag in ((JACCARD_BANDS, "pinned-4x4"), (b, f"suggested-{b}x{r}")):
+            t0 = time.time()
+            found[tag] = jaccard_pairs(
+                spark, sf, bands=bands, threshold=thr, max_bucket=500
+            ).count()
+            print(
+                f"d09 verify J>={thr} at {tag}: {found[tag]} pairs in "
+                f"{time.time() - t0:.1f}s  spin={_spin()}",
+                flush=True,
+            )
+        print(
+            "banding decision: measured under the capped posture — see "
+            "COVERAGE.md round-6 sizing row for the interpretation "
+            "(cap-valve loss dominates the S-curve gap on this corpus)",
+            flush=True,
+        )
     finally:
         if saved is None:
             os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
