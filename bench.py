@@ -157,6 +157,11 @@ HEADLINE = [
     "s11_neardup_numpy",
     "d11_bpe_tokens",
     "d13_stratified_sample",
+    "d27_unigram_logprob",
+    "d28_incremental_dedup",
+    "d29_entropy_profile",
+    "d30_pipeline_funnel",
+    "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",
     "s04_ann_lsh_topk",

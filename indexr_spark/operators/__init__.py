@@ -57,8 +57,9 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 #   restriction).
 #   rule (b): all 41 rows last scored in r4 (everything r5's window
 #   did not cover — the stalest, at 2 rounds if unscored in r6).
-#   5 spare slots: flagship r5-green heavies whose plans the bench
-#   gate watches (LSH/cluster/IVF/neardup + the TPC-H Q1 headline).
+#   last 5 slots: the round-6 additions (d27-d30, s12) — never
+#   driver-scored, so they outrank spare refreshes of r5-green
+#   flagships (those stay within the ≤1-round invariant unscored).
 # After this round every registry query is green in r5∪r6 with
 # <=1-round staleness.
 _PRIORITY = [
@@ -109,12 +110,14 @@ _PRIORITY = [
     "s07_exact_percentiles",
     "s09_quantize_int8",
     "s10_ann_recall",
-    # spare slots: flagship refreshes (green r5)
-    "d07_minhash_lsh",
-    "d10_embedding_neardup",
-    "d12_dup_clusters",
-    "s06_ivf_topk",
-    "q01_pricing_summary",
+    # new in r6 — never driver-scored, so they outrank spare
+    # refreshes for the last 5 slots (the displaced flagships were
+    # scored green in r5 and stay within the ≤1-round invariant)
+    "d27_unigram_logprob",
+    "d28_incremental_dedup",
+    "d29_entropy_profile",
+    "d30_pipeline_funnel",
+    "s12_kmeans_step",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

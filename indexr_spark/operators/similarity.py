@@ -1018,3 +1018,126 @@ ORDER BY a_id, b_id
 """
 
 QUERIES["s11_neardup_numpy"] = s11_neardup_numpy
+
+
+KMEANS_K = 8  # s12 seeds: the first k vectors by vec_id
+
+
+def s12_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of cosine k-means over the embedding
+    corpus — the training-loop counterpart of s06's assignment-only
+    coarse quantizer. Seeds are the first KMEANS_K vectors by vec_id
+    (deterministic k-means++ stand-in); the step assigns every vector
+    to its nearest seed, recomputes per-cell mean centroids, and
+    reports per cell: size, mean cosine distance to the seed
+    (inertia), and how far the centroid moved (the convergence
+    signal a driver loop would threshold on).
+
+    Scale shape, identical to s06's argument: the model is k·dim
+    doubles — it rides to executors as ONE 2-D literal inside a
+    single in-row argmax expression (_argmax_cell's _dots_2d form,
+    constant-size in k), so assignment costs zero joins and zero
+    shuffles; the update is one map-combined aggregation producing
+    k×dim partial sums. A full k-means run is this step iterated
+    driver-side, each round broadcasting the k-row model — the
+    corpus is never shuffled on anything but the final k-row rollup.
+    Seeds collect() is k rows by contract (driver-sized, like s06's
+    10-row centroid pull).
+
+    Determinism: seeds are rounded to 6dp BEFORE unit-scaling so both
+    engines rank identical inputs; assignment ties break toward the
+    smaller cell; outputs rounded to 6dp (sum-order noise ~1e-13).
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    seed_rows = sorted(
+        (r["vec_id"], [round(float(x), 6) for x in r["e"]])
+        for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
+    )
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "cell long, n_members long, inertia double, centroid_shift double"
+        )
+    seeds = [v for _, v in seed_rows]
+    dim = len(seeds[0])
+    # cell + the cosine to the chosen seed, from one argmax pass:
+    # _dots_2d against unit-scaled seeds gives dot(e, s/|s|); divide
+    # by the row norm for the true cosine.
+    dots = _dots_2d(F.col("e"), _unit_scaled(seeds))
+    neg = F.lit([-c for c in range(len(seeds))])
+    best = F.array_max(
+        F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
+    )
+    assigned = emb.select(
+        "e",
+        "nrm",
+        (-best["nc"]).cast("long").alias("cell"),
+        (best["c"] / F.col("nrm")).alias("ccos"),
+    )
+    new_cent = F.array(*[F.round(F.avg(F.col("e")[i]), 6) for i in range(dim)])
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("centroid"),
+                F.element_at(F.lit(seeds), (F.col("cell") + 1).cast("int")),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg(F.lit(1.0) - F.col("ccos")), 6).alias("inertia"),
+            new_cent.alias("centroid"),
+        )
+        .select(
+            "cell", "n_members", "inertia", F.round(shift, 6).alias("centroid_shift")
+        )
+        .orderBy("cell")
+    )
+
+
+ORACLE["s12_kmeans_step"] = f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cell,
+         list_transform(v, x -> round(x, 6)) AS sv
+  FROM n WHERE vec_id < {KMEANS_K}
+), s2 AS (
+  SELECT cell, sv, sqrt(list_dot_product(sv, sv)) AS sn FROM seeds
+), scored AS (
+  SELECT n.vec_id, n.v, s2.cell,
+         list_dot_product(n.v, s2.sv) / (n.nrm * s2.sn) AS ccos
+  FROM n CROSS JOIN s2
+), assigned AS (
+  SELECT vec_id, v, cell, ccos
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+        FROM scored)
+  WHERE rn = 1
+), pos AS (
+  SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+  FROM assigned
+), cent_dims AS (
+  SELECT cell, dim, round(avg(x), 6) AS c FROM pos GROUP BY cell, dim
+), cent AS (
+  SELECT cell, list(c ORDER BY dim) AS cv FROM cent_dims GROUP BY cell
+), stats AS (
+  SELECT cell, count(*) AS n_members, round(avg(1.0 - ccos), 6) AS inertia
+  FROM assigned GROUP BY cell
+)
+SELECT s.cell, s.n_members, s.inertia,
+       round(sqrt(list_sum(list_transform(
+         list_zip(cent.cv, s2.sv),
+         p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS centroid_shift
+FROM stats s
+JOIN cent USING (cell)
+JOIN s2 USING (cell)
+ORDER BY s.cell
+"""
+
+QUERIES["s12_kmeans_step"] = s12_kmeans_step

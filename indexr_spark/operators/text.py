@@ -1953,6 +1953,292 @@ ORDER BY source
 """
 
 
+def d27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: a corpus unigram LM
+    (p(t) = count(t)/total) scores every document by its mean
+    negative log-probability; the exp of that is the document's
+    unigram perplexity. The standard cheap stand-in for model-based
+    quality filtering (CCNet-style) when no LM checkpoint is in the
+    loop.
+
+    Shape: one map-combined aggregation builds the LM (|vocab| rows —
+    tiny relative to any corpus), which is explicitly BROADCAST back
+    onto the exploded token stream, so scoring is a map-side join plus
+    one aggregation keyed by doc_id. At 100 TB the LM for a trained
+    tokenizer's vocab is a few MB — the broadcast is the whole point;
+    the corpus itself is never shuffled on a token key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("c").cast("double") / F.col("total")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.col("logp")), 6).alias("nll"),
+            F.round(F.exp(F.avg(-F.col("logp"))), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["d27_unigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), lm AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), scored AS (
+  SELECT t.doc_id,
+         ln(CAST(lm.c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM lm)) AS logp
+  FROM toks t JOIN lm USING (tok)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(-logp), 6) AS nll,
+       round(exp(avg(-logp)), 6) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# d28's batch split: sources srcN with N >= this are the "incoming
+# batch"; lower N are the already-ingested corpus whose fingerprint
+# store the batch dedupes against.
+INCREMENTAL_BATCH_MIN_SRC = 10
+
+
+def d28_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup — THE production ingestion
+    pattern at 100 TB: you never re-dedupe the whole corpus, you
+    dedupe each incoming batch against a persisted fingerprint store
+    and within itself. Here sources src10+ play the incoming batch
+    and src0–src9's text hashes play the store; every batch doc is
+    classified kept / dup-vs-store / dup-within-batch.
+
+    Shape: the store side is projected to ONE hash column, and the
+    batch↔store join keys on that hash — at 100 TB the store is far
+    too big to broadcast, so this is a shuffle hash join where a
+    hash-bucketed store table makes the store side shuffle-free.
+    The within-batch first-wins pass is a window over the SAME hash
+    key, so it reuses the join's partitioning — one shuffle total on
+    the batch side, then a per-source rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.substring("source", 4, 8).cast("int").alias("src_no"),
+    )
+    store = (
+        d.filter(F.col("src_no") < INCREMENTAL_BATCH_MIN_SRC)
+        .select("h")
+        .distinct()
+        .withColumn("in_store", F.lit(True))
+    )
+    batch = d.filter(F.col("src_no") >= INCREMENTAL_BATCH_MIN_SRC)
+    joined = batch.join(store, "h", "left")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("h")
+    first_id = F.min("doc_id").over(w)
+    is_store_dup = F.coalesce(F.col("in_store"), F.lit(False))
+    is_kept = ~is_store_dup & (F.col("doc_id") == first_id)
+    flagged = joined.select(
+        "source", is_store_dup.alias("is_store_dup"), is_kept.alias("is_kept")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+            F.sum(F.col("is_store_dup").cast("int")).alias("n_dup_store"),
+            F.sum(
+                (~F.col("is_store_dup") & ~F.col("is_kept")).cast("int")
+            ).alias("n_dup_batch"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["d28_incremental_dedup"] = f"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h, CAST(source[4:] AS INT) AS src_no
+  FROM documents
+), store AS (
+  SELECT DISTINCT h FROM d WHERE src_no < {INCREMENTAL_BATCH_MIN_SRC}
+), batch AS (
+  SELECT d.*, h IN (SELECT h FROM store) AS in_store
+  FROM d WHERE src_no >= {INCREMENTAL_BATCH_MIN_SRC}
+), flagged AS (
+  SELECT source, in_store,
+         NOT in_store AND doc_id = min(doc_id) OVER (PARTITION BY h) AS is_kept
+  FROM batch
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN in_store THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_store,
+       CAST(sum(CASE WHEN NOT in_store AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+def d29_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: per-document unigram Shannon
+    entropy, type-token ratio, and hapax fraction (share of distinct
+    tokens occurring exactly once). Low entropy / low TTR flags
+    keyword-stuffed and template text that length rules miss.
+
+    Entirely in-row over the token array (nested higher-order
+    functions — no explode, no shuffle, scan-parallel at any corpus
+    size), the same 100 TB posture as d16's repetition gates. Token
+    and distinct arrays are materialized as columns first: Catalyst
+    does not CSE subexpressions into lambda bodies (the d22 lesson),
+    so the per-distinct-token count lambda must reference a bound
+    column, not re-tokenize."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", tokens("text").alias("toks"), distinct_tokens("text").alias("dts")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.size("dts").alias("nd"),
+        F.transform(
+            "dts", lambda t: F.size(F.filter("toks", lambda x: x == t))
+        ).alias("cnts"),
+    )
+    p = lambda c: c.cast("double") / F.col("n")  # noqa: E731
+    entropy = -F.aggregate(
+        F.col("cnts"), F.lit(0.0), lambda acc, c: acc + p(c) * F.log(p(c))
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("nd").alias("n_distinct"),
+        F.round(entropy, 6).alias("entropy"),
+        F.round(F.col("nd").cast("double") / F.col("n"), 6).alias("ttr"),
+        F.round(
+            F.size(F.filter("cnts", lambda c: c == 1)).cast("double") / F.col("nd"), 6
+        ).alias("hapax_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d29_entropy_profile"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), t2 AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_transform(list_distinct(toks),
+                        x -> len(list_filter(toks, y -> y = x))) AS cnts
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       CAST(nd AS INTEGER) AS n_distinct,
+       round(-list_sum(list_transform(cnts,
+             c -> (CAST(c AS DOUBLE)/n) * ln(CAST(c AS DOUBLE)/n))), 6) AS entropy,
+       round(CAST(nd AS DOUBLE)/n, 6) AS ttr,
+       round(CAST(len(list_filter(cnts, c -> c = 1)) AS DOUBLE)/nd, 6) AS hapax_ratio
+FROM t2 ORDER BY doc_id
+"""
+
+
+# d30 funnel quality gate (stage 2): token-count band + minimum
+# type-token ratio. Chosen to discriminate on this corpus (n spans
+# 10–99, TTR 0.28–1.0) — a deployment tunes them per-source.
+FUNNEL_MIN_TOKENS = 15
+FUNNEL_MAX_TOKENS = 90
+FUNNEL_MIN_TTR = 0.35
+
+
+def d30_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning funnel — the whole training-data pipeline
+    as ONE query with per-source survival counts at every stage:
+    quality gate (token band + TTR) → canonical dedup (first doc_id
+    wins per sorted-distinct-token-set hash, d06's key) → cross-source
+    decontamination (drop any doc whose canonical text appears under
+    more than one source) → surviving token budget.
+
+    Shape: all four stages resolve in ONE shuffle on the canonical
+    hash — the dedup winner and the distinct-source census are both
+    window functions over the same `h` partitioning — followed by the
+    per-source rollup. At 100 TB that is the minimum possible
+    topology for this funnel (each stage alone costs a hash shuffle;
+    fusing them shares it), and the stage counters mean a skewed or
+    over-aggressive gate shows up in the output, not in a silent
+    corpus shrink."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        tokens("text").alias("toks"),
+        distinct_tokens("text").alias("dts"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n"),
+        _canon_key(F.col("dts")).alias("h"),
+        (
+            F.size("toks").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+            & (
+                F.size("dts").cast("double") / F.size("toks")
+                >= F.lit(FUNNEL_MIN_TTR)
+            )
+        ).alias("quality"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("h")
+    min_q_doc = F.min(F.when(F.col("quality"), F.col("doc_id"))).over(w)
+    n_src = F.size(F.collect_set("source").over(w))
+    dedup = F.col("quality") & (F.col("doc_id") == min_q_doc)
+    final = dedup & (n_src == 1)
+    return (
+        base.select("source", "n", "quality", dedup.alias("dedup"), final.alias("final"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("quality").cast("int")).alias("n_quality"),
+            F.sum(F.col("dedup").cast("int")).alias("n_dedup"),
+            F.sum(F.col("final").cast("int")).alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("final"), F.col("n"))), F.lit(0)
+            ).alias("tokens_final"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["d30_pipeline_funnel"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len({_DUCK_TOKS}) AS n,
+         md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS h,
+         len({_DUCK_TOKS}) BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}
+           AND CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+               / len({_DUCK_TOKS}) >= {FUNNEL_MIN_TTR} AS quality
+  FROM documents
+), cross_h AS (
+  SELECT h FROM base GROUP BY h HAVING count(DISTINCT source) > 1
+), flagged AS (
+  SELECT source, n, quality,
+         quality AND doc_id = min(CASE WHEN quality THEN doc_id END)
+                       OVER (PARTITION BY h) AS dedup,
+         h IN (SELECT h FROM cross_h) AS multi_src
+  FROM base
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN dedup AND NOT multi_src THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(coalesce(sum(CASE WHEN dedup AND NOT multi_src THEN n END), 0) AS BIGINT) AS tokens_final
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -1981,4 +2267,8 @@ QUERIES = {
     "d24_quality_filter": d24_quality_filter,
     "d25_token_budget_sample": d25_token_budget_sample,
     "d26_source_regression": d26_source_regression,
+    "d27_unigram_logprob": d27_unigram_logprob,
+    "d28_incremental_dedup": d28_incremental_dedup,
+    "d29_entropy_profile": d29_entropy_profile,
+    "d30_pipeline_funnel": d30_pipeline_funnel,
 }
