@@ -1023,6 +1023,101 @@ QUERIES["s11_neardup_numpy"] = s11_neardup_numpy
 KMEANS_K = 8  # s12 seeds: the first k vectors by vec_id
 
 
+def kmeans_assign(emb_norm: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment + the cosine achieved, for a
+    driver-side centroid list: (vec_id, e, nrm, cell, ccos).
+
+    The model rides to executors as ONE 2-D literal inside a single
+    in-row argmax expression (_dots_2d — constant expression size in
+    k, the r3 s06 lesson), so assignment costs zero joins and zero
+    shuffles at any corpus size. Ties break toward the smaller cell."""
+    dots = _dots_2d(F.col("e"), _unit_scaled(centroids))
+    neg = F.lit([-c for c in range(len(centroids))])
+    best = F.array_max(
+        F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
+    )
+    return emb_norm.select(
+        "vec_id",
+        "e",
+        "nrm",
+        (-best["nc"]).cast("long").alias("cell"),
+        (best["c"] / F.col("nrm")).alias("ccos"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+) -> tuple[list[list[float]], list[dict]]:
+    """Full Lloyd loop (spherical k-means): iterate assignment +
+    mean-centroid update until the largest centroid moves less than
+    `tol` (L2) or `max_iters` rounds. Returns the final centroids and
+    a per-iteration history of {iter, inertia, max_shift} — the
+    trained coarse quantizer for an IVF index (sources/vector_store).
+
+    Scale: each iteration is ONE distributed pass — an in-row argmax
+    (no shuffle) followed by a map-combined k×dim aggregation whose
+    output is k rows; only those k rows ever reach the driver. The
+    normed corpus frame is persisted across iterations so the scan +
+    norm cost is paid once, and unpersisted before returning. Seeding
+    is the first k vectors by vec_id (deterministic); empty cells
+    keep their previous centroid. Assignment by cosine is invariant
+    to centroid scale, so mean centroids need no re-normalization.
+
+    Accepts any (vec_id, embedding, ...) frame — no label column
+    required (unlike _with_norm), so IVF-store builds can train on
+    arbitrary vector corpora.
+    """
+    e = _as_double(F.col("embedding"))
+    base = (
+        emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", e.alias("e"), F.sqrt(_dot(e, e)).alias("nrm"))
+        .persist()
+    )
+    try:
+        seed_rows = sorted(
+            (r["vec_id"], [round(float(x), 6) for x in r["e"]])
+            for r in base.filter(F.col("vec_id") < k).collect()
+        )
+        cents = [v for _, v in seed_rows]
+        if not cents:
+            return [], []
+        dim = len(cents[0])
+        history: list[dict] = []
+        for it in range(max_iters):
+            a = kmeans_assign(base, cents)
+            rows = {
+                r["cell"]: r
+                for r in a.groupBy("cell")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.lit(1.0) - F.col("ccos")).alias("inertia"),
+                    *[F.avg(F.col("e")[i]).alias(f"c{i}") for i in range(dim)],
+                )
+                .collect()
+            }
+            new_cents, max_shift, inertia = [], 0.0, 0.0
+            for cell, old in enumerate(cents):
+                r = rows.get(cell)
+                if r is None:  # empty cell: centroid stays put
+                    new_cents.append(old)
+                    continue
+                nc = [float(r[f"c{i}"]) for i in range(dim)]
+                new_cents.append(nc)
+                shift = sum((x - y) ** 2 for x, y in zip(nc, old)) ** 0.5
+                max_shift = max(max_shift, shift)
+                inertia += float(r["inertia"])
+            history.append({"iter": it, "inertia": inertia, "max_shift": max_shift})
+            cents = new_cents
+            if max_shift < tol:
+                break
+        return cents, history
+    finally:
+        base.unpersist()
+
+
 def s12_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of cosine k-means over the embedding
     corpus — the training-loop counterpart of s06's assignment-only
@@ -1059,20 +1154,10 @@ def s12_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     seeds = [v for _, v in seed_rows]
     dim = len(seeds[0])
-    # cell + the cosine to the chosen seed, from one argmax pass:
-    # _dots_2d against unit-scaled seeds gives dot(e, s/|s|); divide
-    # by the row norm for the true cosine.
-    dots = _dots_2d(F.col("e"), _unit_scaled(seeds))
-    neg = F.lit([-c for c in range(len(seeds))])
-    best = F.array_max(
-        F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
-    )
-    assigned = emb.select(
-        "e",
-        "nrm",
-        (-best["nc"]).cast("long").alias("cell"),
-        (best["c"] / F.col("nrm")).alias("ccos"),
-    )
+    # cell + the cosine to the chosen seed from one argmax pass
+    # (kmeans_assign: _dots_2d against unit-scaled seeds gives
+    # dot(e, s/|s|); dividing by the row norm gives the true cosine).
+    assigned = kmeans_assign(emb, seeds)
     new_cent = F.array(*[F.round(F.avg(F.col("e")[i]), 6) for i in range(dim)])
     shift = F.sqrt(
         F.aggregate(

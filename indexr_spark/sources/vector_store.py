@@ -52,35 +52,48 @@ def _prepared(vectors: DataFrame) -> DataFrame:
 
 
 def build_ivf_store(
-    spark: SparkSession, vectors: DataFrame, store_dir: str, n_cells: int = 8
+    spark: SparkSession,
+    vectors: DataFrame,
+    store_dir: str,
+    n_cells: int = 8,
+    train_iters: int = 1,
 ) -> list[list[float]]:
     """Build the store from (vec_id, embedding, ...) rows; returns the
-    final centroids. One seed collect (k rows), one Lloyd aggregation,
-    one partitioned write."""
+    final centroids. One seed collect (k rows), `train_iters` Lloyd
+    aggregations (operators/similarity.kmeans_fit when > 1 — extra
+    iterations tighten cell balance, which is what bounds worst-case
+    probe cost at a fixed nprobe), one partitioned write."""
     prep = _prepared(vectors)
-    seeds = [
-        [float(x) for x in r["e"]]
-        for r in prep.orderBy("vec_id").limit(n_cells).select("e").collect()
-    ]
-    if not seeds:
-        raise ValueError("cannot build an IVF store over an empty corpus")
-    n_cells = min(n_cells, len(seeds))  # fewer vectors than cells: clamp
-    # one Lloyd step: assign to seeds, recompute per-cell means
-    assigned = prep.withColumn("cell", _assign_cell(seeds))
-    means = (
-        assigned.select("cell", F.posexplode("e").alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-        .collect()
-    )
-    by_cell: dict[int, dict[int, float]] = {}
-    for r in means:
-        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
-    dim = len(seeds[0])
-    centroids = [
-        [by_cell.get(c, {}).get(d, seeds[c][d]) for d in range(dim)]
-        for c in range(n_cells)
-    ]
+    if train_iters > 1:
+        from indexr_spark.operators.similarity import kmeans_fit
+
+        centroids, _ = kmeans_fit(vectors, k=n_cells, max_iters=train_iters)
+        if not centroids:
+            raise ValueError("cannot build an IVF store over an empty corpus")
+    else:
+        seeds = [
+            [float(x) for x in r["e"]]
+            for r in prep.orderBy("vec_id").limit(n_cells).select("e").collect()
+        ]
+        if not seeds:
+            raise ValueError("cannot build an IVF store over an empty corpus")
+        n_cells = min(n_cells, len(seeds))  # fewer vectors than cells: clamp
+        # one Lloyd step: assign to seeds, recompute per-cell means
+        assigned = prep.withColumn("cell", _assign_cell(seeds))
+        means = (
+            assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+        dim = len(seeds[0])
+        centroids = [
+            [by_cell.get(c, {}).get(d, seeds[c][d]) for d in range(dim)]
+            for c in range(n_cells)
+        ]
     final = prep.withColumn("cell", _assign_cell(centroids)).drop("e", "nrm")
     final.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
     with open(os.path.join(store_dir, CENTROIDS_NAME), "w") as f:

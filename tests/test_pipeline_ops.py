@@ -1,0 +1,107 @@
+"""Semantic invariants for the round-6 pipeline operators (d27–d30,
+s12, kmeans_fit) — properties the DuckDB parity test can't express:
+funnel monotonicity, partition completeness, information-theoretic
+bounds, and Lloyd-loop convergence."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from indexr_spark import operators
+from indexr_spark.operators import similarity as S
+from indexr_spark.operators.text import INCREMENTAL_BATCH_MIN_SRC
+from indexr_spark.tables import load_table
+from tests.conftest import SMOKE_SF
+
+
+def test_funnel_stage_counts_are_monotone_and_complete(spark):
+    rows = operators.QUERIES["d30_pipeline_funnel"](spark, SMOKE_SF).collect()
+    assert rows, "funnel produced no sources"
+    n_docs = load_table(spark, SMOKE_SF, "documents").count()
+    assert sum(r["n_total"] for r in rows) == n_docs
+    for r in rows:
+        # each stage can only shrink its input
+        assert r["n_total"] >= r["n_quality"] >= r["n_dedup"] >= r["n_final"] >= 0
+        # a source with zero final docs contributes zero tokens
+        if r["n_final"] == 0:
+            assert r["tokens_final"] == 0
+    # the gates must actually discriminate on this corpus — a funnel
+    # where every stage is a no-op certifies nothing
+    assert sum(r["n_quality"] for r in rows) < n_docs
+    assert sum(r["n_dedup"] for r in rows) < sum(r["n_quality"] for r in rows)
+
+
+def test_incremental_dedup_statuses_partition_the_batch(spark):
+    rows = operators.QUERIES["d28_incremental_dedup"](spark, SMOKE_SF).collect()
+    d = load_table(spark, SMOKE_SF, "documents").withColumn(
+        "src_no", F.substring("source", 4, 8).cast("int")
+    )
+    batch_n = d.filter(F.col("src_no") >= INCREMENTAL_BATCH_MIN_SRC).count()
+    assert sum(r["n_docs"] for r in rows) == batch_n
+    for r in rows:
+        # kept / dup-vs-store / dup-within-batch partition every source
+        assert r["n_kept"] + r["n_dup_store"] + r["n_dup_batch"] == r["n_docs"]
+    # only batch sources appear
+    assert all(int(r["source"][3:]) >= INCREMENTAL_BATCH_MIN_SRC for r in rows)
+
+
+def test_unigram_logprob_is_consistent_and_positive(spark):
+    rows = operators.QUERIES["d27_unigram_logprob"](spark, SMOKE_SF).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    corpus_tokens = (
+        load_table(spark, SMOKE_SF, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    # every corpus token is scored exactly once (LM covers the corpus
+    # it was built from; split-on-space may add empties, so >=)
+    assert total <= corpus_tokens
+    for r in rows:
+        assert r["nll"] > 0  # p(t) < 1 for every token in a >1-token corpus
+        # ppl is exp(nll) by construction (both rounded to 6dp)
+        assert abs(r["ppl"] - math.exp(r["nll"])) <= 1e-4 * r["ppl"]
+
+
+def test_entropy_profile_respects_information_bounds(spark):
+    rows = operators.QUERIES["d29_entropy_profile"](spark, SMOKE_SF).collect()
+    for r in rows:
+        # Shannon entropy of n_distinct outcomes is bounded by ln(n_distinct)
+        assert -1e-6 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6
+        assert 0 < r["ttr"] <= 1.0
+        assert 0 <= r["hapax_ratio"] <= 1.0
+        # all-distinct docs achieve the maximum entropy exactly
+        if r["n_tokens"] == r["n_distinct"]:
+            assert abs(r["entropy"] - math.log(r["n_tokens"])) < 1e-5
+
+
+def test_kmeans_fit_converges_with_nonincreasing_inertia(spark):
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    cents, history = S.kmeans_fit(emb, k=8, max_iters=8, tol=1e-4)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assert history, "no iterations ran"
+    # Lloyd on the spherical objective: sum(1 - cos) never increases
+    # (tiny tolerance for float noise in the distributed sums)
+    for a, b in zip(history, history[1:]):
+        assert b["inertia"] <= a["inertia"] + 1e-6
+    # converged within budget, or used every iteration trying
+    assert history[-1]["max_shift"] < 1e-4 or len(history) == 8
+    # the trained model must still assign every vector to some cell
+    n = S.kmeans_assign(S._with_norm(emb), cents).count()
+    assert n == emb.count()
+
+
+def test_kmeans_step_matches_first_fit_iteration(spark):
+    """s12's reported shift equals the fit loop's first-round shift
+    (same seeds, same update rule) — pins the two code paths to one
+    definition of the step."""
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    step = operators.QUERIES["s12_kmeans_step"](spark, SMOKE_SF).collect()
+    _, history = S.kmeans_fit(emb, k=8, max_iters=1)
+    max_step_shift = max(r["centroid_shift"] for r in step)
+    # s12 rounds centroids to 6dp before the shift; allow that width
+    assert abs(max_step_shift - history[0]["max_shift"]) < 1e-3
+    total_inertia = sum(r["inertia"] * r["n_members"] for r in step)
+    assert abs(total_inertia - history[0]["inertia"]) < 1e-3

@@ -85,6 +85,36 @@ def test_build_and_probe(spark, tmp_path):
     assert res_all.count() == res.count()
 
 
+def test_build_with_trained_quantizer(spark, tmp_path):
+    """train_iters > 1 routes the quantizer build through kmeans_fit:
+    the store must stay complete and probe-able, and the extra Lloyd
+    rounds must actually move the model (a trained quantizer that
+    equals the 1-step one would mean the wiring is dead)."""
+    import json
+
+    from indexr_spark.sources.vector_store import CENTROIDS_NAME
+
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    store1 = str(tmp_path / "ivf1")
+    store4 = str(tmp_path / "ivf4")
+    c1 = build_ivf_store(spark, emb, store1, n_cells=8)
+    c4 = build_ivf_store(spark, emb, store4, n_cells=8, train_iters=4)
+    assert len(c4) == 8 and len(c4[0]) == 64
+    assert c4 != c1
+    assert json.load(open(os.path.join(store4, CENTROIDS_NAME))) == c4
+
+    out = spark.read.parquet(store4)
+    assert out.count() == emb.count()
+    assert {d for d in os.listdir(store4) if d.startswith("cell=")}
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    rows = ivf_probe(spark, store4, queries, k=3, nprobe=2).collect()
+    assert {r.q_id for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
 def test_probe_df_matches_collect_path_and_scales(spark, tmp_path):
     """ivf_probe_df (no driver collect of queries) must return exactly
     what ivf_probe returns on the same probe set, and must execute a
