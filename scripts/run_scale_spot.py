@@ -222,9 +222,86 @@ def rel10x(spark) -> None:
           "<=1 fact-fact sort-merge, no cartesian products", flush=True)
 
 
+def pipeline10x(spark) -> None:
+    """10x spot-run for the round-6 pipeline family (d27-d30 on the
+    docs10x corpus; kmeans_fit on vecs50x when present) with
+    plan-shape assertions on the FINAL adaptive plan (rel10x's
+    contract): d27's LM join must stay broadcast (the LM is |vocab|
+    rows — if it ever shuffles the corpus on a token key the design
+    is broken), d29 must stay shuffle-free before its ordering, and
+    nothing may go cartesian."""
+    import re as _re
+
+    from indexr_spark import operators
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    sf = "/tmp/sf1x10"
+    for q in ("d27_unigram_logprob", "d28_incremental_dedup",
+              "d29_entropy_profile", "d30_pipeline_funnel"):
+        df = operators.QUERIES[q](spark, sf)
+        assert "CartesianProduct" not in _explain(df), f"{q} went cartesian"
+        t0 = time.time()
+        n = df.count()
+        print(f"{q}  {time.time() - t0:.1f}s  rows={n}  spin={_spin()}",
+              flush=True)
+        # count() finalizes a derived plan; re-execute via collect()
+        # only for the two whose shape we assert (small outputs: d28
+        # is 10 rows, d27 is 50k narrow rows — fine for a spot run)
+        if q == "d28_incremental_dedup":
+            df.collect()
+            plan = _explain(df)
+            assert "isFinalPlan=true" in plan
+            # the store side may broadcast at this scale (AQE sizes
+            # it); what must NEVER appear is a cartesian product
+            assert "CartesianProduct" not in plan
+    # d27 plan: the LM join must be broadcast in the final plan
+    d27 = operators.QUERIES["d27_unigram_logprob"](spark, sf)
+    d27.collect()
+    plan = _explain(d27)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, (
+        f"d27: the unigram-LM join lost its broadcast at 10x\n{plan}"
+    )
+    smj = len(_re.findall(r"^\(\d+\) SortMergeJoin", plan, _re.M))
+    assert smj == 0, f"d27: corpus shuffled on a token key ({smj} SMJ)\n{plan}"
+    # d29 static shape: in-row ops only — no Exchange before the sort
+    # (count the formatted plan's operator headers, not the tree
+    # rendering — each operator appears in both)
+    d29 = operators.QUERIES["d29_entropy_profile"](spark, sf)
+    static = _explain(d29)
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", static, _re.M))
+    assert n_ex <= 1, f"d29: expected only the ordering exchange\n{static}"
+    print("pipeline plan shapes held: LM join broadcast, no token-key "
+          "shuffle, d29 scan-parallel, no cartesian products", flush=True)
+
+    if os.path.exists("/tmp/sfvec50/embeddings.parquet"):
+        from indexr_spark.operators.similarity import kmeans_fit
+
+        emb = spark.read.parquet("/tmp/sfvec50/embeddings.parquet")
+        t0 = time.time()
+        cents, hist = kmeans_fit(emb, k=16, max_iters=5, tol=1e-4)
+        print(
+            f"kmeans_fit[k=16,100k vecs]  {time.time() - t0:.1f}s  "
+            f"iters={len(hist)}  inertia={hist[0]['inertia']:.1f}->"
+            f"{hist[-1]['inertia']:.1f}  spin={_spin()}",
+            flush=True,
+        )
+        assert all(
+            b["inertia"] <= a["inertia"] + 1e-6 for a, b in zip(hist, hist[1:])
+        ), "Lloyd inertia increased at 50x"
+    else:
+        print("note: /tmp/sfvec50 missing — kmeans_fit 50x row skipped "
+              "(build with build_scale_corpus.py vecs50x)", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
-           "rel10x": "/tmp/sfrel10/lineitem.parquet"}
+           "rel10x": "/tmp/sfrel10/lineitem.parquet",
+           "pipeline10x": "/tmp/sf1x10/documents.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -254,7 +331,8 @@ if __name__ == "__main__":
         from indexr_spark import operators
 
         warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk",
-                "rel10x": "q33_shipping_priority"}[which]
+                "rel10x": "q33_shipping_priority",
+                "pipeline10x": "d30_pipeline_funnel"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -266,5 +344,6 @@ if __name__ == "__main__":
         print(f"note: {warm_sf} missing — skipping the JIT warm-up; "
               "the first measured row will overstate steady cost",
               flush=True)
-    {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x}[which](spark)
+    {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
+     "pipeline10x": pipeline10x}[which](spark)
     spark.stop()
