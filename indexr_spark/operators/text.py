@@ -1970,9 +1970,18 @@ def d27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = counts.agg(F.sum("c").alias("total"))
-    lm = counts.crossJoin(F.broadcast(total)).select(
-        "tok", F.log(F.col("c").cast("double") / F.col("total")).alias("logp")
+    # total corpus tokens as a whole-frame window over the LM itself:
+    # a separate counts.agg() subtree would RE-SCAN and re-explode the
+    # corpus just to sum |vocab| numbers (no CSE across DataFrame
+    # reuse — the first EXPLAIN.md snapshot showed the third corpus
+    # pass). The unpartitioned window funnels only the |vocab|-row LM
+    # through one partition, which is exactly the driver-side-small
+    # contract the broadcast below already assumes.
+    from pyspark.sql import Window as W
+
+    total = F.sum("c").over(W.partitionBy())
+    lm = counts.select(
+        "tok", F.log(F.col("c").cast("double") / total).alias("logp")
     )
     return (
         toks.join(F.broadcast(lm), "tok")
