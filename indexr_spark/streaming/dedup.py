@@ -1,0 +1,91 @@
+"""Streaming incremental deduplication — d28's batch pattern as a
+stream, in two strengths:
+
+`dedup_stream` is the stateless-store form: drop stream rows whose
+key already exists in a FIXED store frame (stream-static left-anti
+join), then first-wins within the stream via keyed state. The store
+side is resolved once at query start (Spark caches the static file
+listing), so growth of the store during the stream's lifetime is
+invisible — the honest contract for a store that is rebuilt between
+stream incarnations.
+
+`dedup_store_sink` is the self-maintaining form — THE production
+ingestion shape at 100 TB: every micro-batch (1) first-wins-dedupes
+within itself, (2) anti-joins against the CURRENT store snapshot
+(re-read per batch through the manifest layer, so each batch sees
+every previously committed batch and any external append), and
+(3) appends only the novel rows back to the store — which IS the
+output table. Exactly-once rides snapshot_sink's epoch-meta guard:
+a replayed epoch is detected BEFORE the anti-join, so a crash
+between append-commit and checkpoint-commit cannot double-append
+(the replay is skipped) and cannot drop rows (the append already
+committed).
+
+Scale: the per-batch anti-join keys on the dedup hash; the store
+side at 100 TB is a hash-bucketed snapshot table (shuffle-free on
+its side), the batch side is micro-batch-sized. Nothing here holds
+unbounded executor state — the "state" is the store table itself,
+which is exactly what survives restarts, compactions and vacuums.
+
+Reference: the realtime ingest state machine this extends is
+streaming/ingest.py (RTSMerge parity); the reference engine has no
+streaming dedup (dedup there is an offline tool concern).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+
+
+def dedup_stream(
+    stream: DataFrame, store: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Anti-join a stream against a fixed store frame, then keyed
+    first-wins within the stream. `store` must be a static DataFrame
+    (its snapshot is fixed at query start); pair with a watermark on
+    the stream before this call to bound the dropDuplicates state."""
+    out = stream.join(store.select(*key_cols), key_cols, "left_anti")
+    return out.dropDuplicates(key_cols)
+
+
+def dedup_store_sink(
+    snapshot_dir: str, key_cols: list[str], app_id: str | None = None
+):
+    """foreachBatch sink for a self-maintaining dedup store: novel
+    rows (by `key_cols`) append to the snapshot table at
+    `snapshot_dir`; duplicate rows — vs the store OR earlier in the
+    same batch — are dropped. The epoch guard follows snapshot_sink's
+    contract exactly (epochs monotone per stream incarnation; `app_id`
+    scopes the counter so a fresh checkpoint cannot silently suppress
+    epochs — see streaming/ingest.snapshot_sink)."""
+    from indexr_spark.sources.snapshots import (
+        append_snapshot,
+        latest_version,
+        max_committed_meta,
+        read_snapshot,
+    )
+
+    epoch_key = f"epoch_{app_id}" if app_id else "epoch"
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        committed = max_committed_meta(snapshot_dir, epoch_key)
+        if committed is not None and epoch_id <= committed:
+            logging.getLogger(__name__).warning(
+                "dedup_store_sink %s: skipping epoch %d (<= committed "
+                "max %d for %r) — replay, or a restart on a fresh "
+                "checkpoint without a new app_id",
+                snapshot_dir,
+                epoch_id,
+                committed,
+                epoch_key,
+            )
+            return
+        novel = batch.dropDuplicates(key_cols)
+        if latest_version(snapshot_dir) > 0:
+            store = read_snapshot(batch.sparkSession, snapshot_dir)
+            novel = novel.join(store.select(*key_cols), key_cols, "left_anti")
+        append_snapshot(novel, snapshot_dir, meta={epoch_key: epoch_id})
+
+    return sink
