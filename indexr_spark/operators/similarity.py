@@ -1143,11 +1143,19 @@ def s12_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identical inputs; assignment ties break toward the
     smaller cell; outputs rounded to 6dp (sum-order noise ~1e-13).
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # Seeds come from the RAW table so the vec_id filter pushes down
+    # to the parquet scan — collecting through _with_norm would pay
+    # its corpus-wide repartition + norm just to fetch k rows (the
+    # same seam as s06's dimension probe). float32 → python float →
+    # round(6) equals the double-cast-then-round both engines use.
+    raw = load_table(spark, sf_dir, "embeddings")
     seed_rows = sorted(
-        (r["vec_id"], [round(float(x), 6) for x in r["e"]])
-        for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
+        (r["vec_id"], [round(float(x), 6) for x in r["embedding"]])
+        for r in raw.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
     )
+    emb = _with_norm(raw)
     if not seed_rows:
         return spark.createDataFrame(
             [], "cell long, n_members long, inertia double, centroid_shift double"
