@@ -77,6 +77,56 @@ def test_entropy_profile_respects_information_bounds(spark):
             assert abs(r["entropy"] - math.log(r["n_tokens"])) < 1e-5
 
 
+def test_incremental_dedup_bucketed_store_joins_without_store_shuffle(spark):
+    """d28's 100 TB posture, plan-pinned: a fingerprint store written
+    hash-bucketed on the dedup key anti-joins an incoming batch with
+    NO exchange on the store side (the bucket layout satisfies the
+    join's distribution requirement) — the claim in d28's docstring.
+
+    AQE would broadcast the tiny test store and hide the property, so
+    the broadcast threshold is disabled for the assertion — at real
+    scale the store is never broadcast-able, which is the regime the
+    plan must survive."""
+    import contextlib
+    import io
+
+    from indexr_spark.sources.segments import write_bucketed
+
+    d = load_table(spark, SMOKE_SF, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    store = d.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    write_bucketed(store, "dedup_store_bucketed", ["h"], n_buckets=8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            batch = d.filter(F.col("doc_id") % 2 == 1).repartition(8, "h")
+            novel = batch.join(
+                spark.table("dedup_store_bucketed"), "h", "left_anti"
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                novel.explain("formatted")
+            plan = buf.getvalue()
+            # store side: scan feeds the join with no Exchange above it
+            assert "SelectedBucketsCount" in plan, plan
+            store_section = plan.split("Scan parquet spark_catalog.default.dedup_store_bucketed")
+            assert len(store_section) >= 2, plan
+            # count exchanges: only the batch side may shuffle
+            import re
+
+            n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            assert n_ex <= 1, f"store side shuffled:\n{plan}"
+            # semantics unchanged by the layout
+            expect = batch.join(store, "h", "left_anti").count()
+            assert novel.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_store_bucketed")
+
+
 def test_kmeans_fit_converges_with_nonincreasing_inertia(spark):
     emb = load_table(spark, SMOKE_SF, "embeddings")
     cents, history = S.kmeans_fit(emb, k=8, max_iters=8, tol=1e-4)
