@@ -63,14 +63,50 @@ def start_ann_ingest(
     return writer.start()
 
 
-def _queries_with_buckets(queries: DataFrame) -> DataFrame:
-    """(q_id, qe, qb, qn) — the probe side both paths share; the
-    bucket is a row-local expression, so deriving it never shuffles."""
-    return queries.select(
-        F.col("q_id"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-        bucket_expr(F.col("embedding")).alias("qb"),
-    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+def _probe_buckets_expr(embedding: Column, flips: int) -> Column:
+    """Array of probe buckets for multiprobe LSH: the exact
+    sign-bucket first, then its Hamming-1 neighbors for the `flips`
+    planes with the smallest |dot| margin — the planes most likely to
+    have separated a true neighbor from the query. The classic
+    multiprobe recall dial: probing F extra buckets recovers most of
+    what a single-bucket probe misses at the cost of scanning
+    (1+F)/2^planes of the store instead of 1/2^planes, with NO
+    rebuild of the store. All in-row (one _dots_2d fold + an
+    array_sort over ANN_PLANES structs), so deriving the probe set
+    never shuffles and never collects."""
+    from indexr_spark.operators.similarity import ANN_PLANES, _dots_2d
+
+    e = embedding.cast("array<double>")
+    exact = bucket_expr(embedding)
+    if flips <= 0:
+        return F.array(exact)
+    dots = _dots_2d(e, _plane_weights())
+    bits = F.lit([1 << p for p in range(ANN_PLANES)])
+    margins = F.zip_with(
+        dots,
+        bits,
+        lambda d, b: F.struct(F.abs(d).alias("m"), b.cast("long").alias("b")),
+    )
+    nearest = F.slice(F.array_sort(margins), 1, min(flips, ANN_PLANES))
+    alts = F.transform(nearest, lambda s: exact.bitwiseXOR(s["b"]))
+    return F.concat(F.array(exact), alts)
+
+
+def _queries_with_buckets(queries: DataFrame, flips: int = 0) -> DataFrame:
+    """(q_id, qe, qb, qn) — the probe side both paths share; buckets
+    are row-local expressions, so deriving them never shuffles. With
+    `flips` > 0 each query contributes one row PER PROBED BUCKET
+    (exploded), which the bucket equi-join then prunes exactly like
+    the single-bucket case; a store vector lives in exactly one
+    bucket, so a (q_id, vec_id) pair can never appear twice."""
+    return (
+        queries.select(
+            F.col("q_id"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+            F.explode(_probe_buckets_expr(F.col("embedding"), flips)).alias("qb"),
+        )
+        .withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    )
 
 
 def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -87,18 +123,25 @@ def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
 
 
 def ann_probe(
-    spark: SparkSession, store_dir: str, queries: DataFrame, k: int = 3
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    flips: int = 0,
 ) -> DataFrame:
     """Top-k cosine neighbours for each query vector, scanning ONLY
     the store partitions matching the queries' buckets (partition
     pruning on the bucket join — `.inputFiles()` shows one directory
-    per probed bucket). `queries` needs (q_id, embedding).
+    per probed bucket). `queries` needs (q_id, embedding). `flips`
+    enables multiprobe: each query also probes the Hamming-1 buckets
+    of its `flips` nearest planes (see _probe_buckets_expr) — the
+    recall dial that needs no store rebuild.
 
     INTERACTIVE-batch path: the probed bucket set resolves via a
     driver-side collect of the (small) query set, buying a STATIC
     `bucket=` partition filter. For large query batches use
     `ann_probe_df`, which never collects."""
-    qdf = _queries_with_buckets(queries)
+    qdf = _queries_with_buckets(queries, flips)
     # Resolve the probed buckets driver-side (the query set is
     # broadcast-sized by definition) and prune STATICALLY: the scan
     # plans over only the matching bucket=<id> partition directories —
@@ -118,7 +161,11 @@ def ann_probe(
 
 
 def ann_probe_df(
-    spark: SparkSession, store_dir: str, queries: DataFrame, k: int = 3
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    flips: int = 0,
 ) -> DataFrame:
     """Top-k cosine neighbours per query — the LARGE-batch probe path
     (the `ivf_probe_df` pattern, closing the r4 asymmetry note).
@@ -133,8 +180,10 @@ def ann_probe_df(
     side while it fits and falls back to a shuffle hash join on the
     bucket key for a truly huge batch — a forced broadcast would
     reintroduce the driver bottleneck this path exists to avoid.
-    Ranking contract identical to `ann_probe`."""
-    q = _queries_with_buckets(queries)
+    Ranking contract identical to `ann_probe` (including the
+    multiprobe `flips` dial — exploded probe rows join the same
+    way)."""
+    q = _queries_with_buckets(queries, flips)
     store = spark.read.parquet(store_dir)
     e = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(_dot(e, e))

@@ -144,3 +144,78 @@ def test_ann_probe_df_matches_collect_path(spark, tmp_path):
         "ann_probe_df must not carry a collected static bucket list:\n" + plan
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_multiprobe_widens_recall_without_rebuild(spark, tmp_path):
+    """flips=F probes F extra Hamming-1 buckets per query: results for
+    flips=0 must be unchanged vs the default; recall vs the
+    brute-force global top-k must be monotone non-decreasing in flips
+    (full recall is NOT guaranteed — a neighbor can sit at Hamming
+    distance 2 — so monotonicity is the honest claim); the interactive
+    path's static partition filter must list at most (1+F)·|queries|
+    buckets; and both probe paths must agree at every flips level."""
+    import contextlib
+    import io
+
+    from indexr_spark.operators.similarity import ANN_PLANES
+
+    store = str(tmp_path / "store")
+    emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+    emb.withColumn("bucket", bucket_expr(F.col("embedding"))).write.partitionBy(
+        "bucket"
+    ).parquet(store)
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # brute-force global top-3 (the recall reference)
+    e = F.col("embedding").cast("array<double>")
+    full = emb.select("vec_id", e.alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    qn = queries.select(
+        F.col("q_id"), e.alias("qe")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in full.crossJoin(F.broadcast(qn))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+
+    base = ann_probe(spark, store, queries, k=3).collect()
+    assert [tuple(r) for r in ann_probe(spark, store, queries, k=3, flips=0).collect()] == [
+        tuple(r) for r in base
+    ]
+
+    prev_recall = -1.0
+    for flips in (0, 1, 2, ANN_PLANES):
+        res = ann_probe(spark, store, queries, k=3, flips=flips)
+        rows = res.collect()
+        got = {(r.q_id, r.vec_id) for r in rows}
+        recall = len(got & truth) / len(truth)
+        assert recall >= prev_recall - 1e-9, (flips, recall, prev_recall)
+        prev_recall = recall
+        # widening the probe set can only improve each query's top-k
+        # cosine floor; previous result pairs need not survive (better
+        # candidates displace them), which is why the monotone claim
+        # is on recall, not on set containment.
+        # static filter bounded by the probed bucket count
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            res.explain("formatted")
+        pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+        assert pf, "interactive multiprobe lost its static filter"
+        if " IN (" in pf[0]:
+            n_buckets = len(pf[0].split(" IN (")[1].split(")")[0].split(","))
+            assert n_buckets <= (1 + flips) * 8
+        # both paths agree at every flips level
+        df_rows = ann_probe_df(spark, store, queries, k=3, flips=flips).collect()
+        assert [tuple(r) for r in df_rows] == [tuple(r) for r in rows]
