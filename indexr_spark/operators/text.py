@@ -781,6 +781,112 @@ def jaccard_pairs(
     )
 
 
+def doc_band_sigs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """Per-DOCUMENT MinHash band signatures — the persistable near-dup
+    fingerprint store schema: (doc_id, band, sig, mhs), where `mhs`
+    is the full K=MINHASH_SEEDS minhash array the estimated-Jaccard
+    verify folds over. The in-row construction is _group_band_sigs'
+    (one md5 per token, K modular family members over that base, zero
+    shuffles); the grain is doc- not canon-group because an
+    incremental store must answer "is THIS incoming doc a near-dup",
+    not re-derive corpus-wide groups. `docs` needs (doc_id, text)."""
+    rows_per_band = MINHASH_SEEDS // bands
+    base_df = docs.select(
+        "doc_id",
+        F.transform(distinct_tokens("text"), lambda t: hash32(t)).alias("hs"),
+    )
+
+    def family_member(j: int):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (h * a + b) % MINHASH_P)
+        )
+
+    mh = F.array(*[family_member(j) for j in range(MINHASH_SEEDS)])
+    sig_cols = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col("mhs")[s].cast("string")
+                for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+    per_doc = base_df.select("doc_id", mh.alias("mhs")).select(
+        "doc_id", "mhs", F.array(*sig_cols).alias("sigs")
+    )
+    # posexplode_OUTER for the same constraint-inference reason as
+    # _group_band_sigs (the non-outer form lets Catalyst substitute
+    # the whole signature expression into a pre-join filter).
+    return per_doc.select(
+        "doc_id", "mhs", F.posexplode_outer("sigs").alias("band", "sig")
+    ).select("doc_id", "band", "sig", "mhs")
+
+
+def neardup_against_store(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    est_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup — d28's store pattern upgraded from exact
+    hashes to MinHash: candidate (batch, store) pairs form where any
+    band signature collides, then the MinHash-estimated Jaccard (the
+    share of agreeing seeds — unbiased estimator of J) gates them.
+    Returns (doc_id, store_id, est_jaccard). Both inputs are
+    doc_band_sigs frames (the store side persisted; at 100 TB it is a
+    snapshot table bucketed on (band, sig), making the store side of
+    the candidate join shuffle-free, and the batch side is
+    micro-batch-sized — the topology of streaming/dedup.dedup_store_sink
+    with a band-bucket join in place of the hash anti-join).
+
+    `max_bucket` is the d07 valve: store-side (band, sig) buckets
+    larger than the cap are EXCLUDED from candidate generation with a
+    warning (never silently) — one boilerplate signature colliding
+    with everything is the classic skew bomb in production near-dup.
+    """
+    store = store_sigs
+    if max_bucket is not None:
+        sizes = store.groupBy("band", "sig").agg(F.count("*").alias("bn"))
+        over = sizes.filter(F.col("bn") > max_bucket)
+        n_over = over.count()
+        if n_over:
+            logging.getLogger(__name__).warning(
+                "neardup_against_store: excluding %d store buckets larger "
+                "than max_bucket=%d from candidate generation",
+                n_over,
+                max_bucket,
+            )
+        store = store.join(over.select("band", "sig"), ["band", "sig"], "left_anti")
+    cand = (
+        batch_sigs.select("band", "sig", F.col("doc_id"), F.col("mhs"))
+        .join(
+            store.select(
+                "band",
+                "sig",
+                F.col("doc_id").alias("store_id"),
+                F.col("mhs").alias("store_mhs"),
+            ),
+            ["band", "sig"],
+        )
+        .select("doc_id", "store_id", "mhs", "store_mhs")
+        .dropDuplicates(["doc_id", "store_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("mhs"), F.col("store_mhs"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = agree.cast("double") / F.lit(MINHASH_SEEDS)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(est >= est_threshold)
+        .select("doc_id", "store_id", "est_jaccard")
+    )
+
+
 # The shared candidate CTE chain (at d09's 4x4 banding) + exact
 # verify over list_intersect.
 ORACLE["d09_ngram_jaccard"] = f"""
