@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p = sub.add_parser("vacuum")
     p.add_argument("table_path")
     p.add_argument("--keep", type=int, default=2)
+    # in-flight-writer grace: un-manifested files younger than this
+    # are left alone (they may be a commit in progress); 0 = offline
+    p.add_argument("--min-age", type=float, default=600.0)
 
     args = ap.parse_args(argv)
 
@@ -94,7 +97,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "vacuum":  # filesystem-only, no session needed
         from indexr_spark.sources.snapshots import vacuum
 
-        deleted = vacuum(args.table_path, keep_versions=args.keep)
+        deleted = vacuum(
+            args.table_path, keep_versions=args.keep, min_age_s=args.min_age
+        )
         print(f"vacuumed {len(deleted)} files")
         return 0
 

@@ -71,21 +71,33 @@ def _unit_scaled(vectors: list[list[float]]) -> list[list[float]]:
     ]
 
 
-def _argmax_cell(centroids: list[list[float]], labels: list[int] | None = None) -> Column:
-    """Nearest-centroid id by cosine, as ONE compact expression: a 2-D
-    literal of norm-scaled centroids + a single transform lambda for the
-    dot products (_dots_2d) + an array_max over (dot, -label) structs.
-    Ties break toward the smaller label.
-
-    Cosine argmax is scale-invariant in |e|, so dividing by the row norm
-    is skipped here; scaling each centroid by 1/|c| happens driver-side.
-    Expects column e (array<double>). Returns a long column `cell`."""
+def _argmax_best(
+    centroids: list[list[float]], labels: list[int] | None = None
+) -> Column:
+    """The shared nearest-centroid argmax struct: a 2-D literal of
+    norm-scaled centroids + ONE transform lambda for the dot products
+    (_dots_2d) + an array_max over (dot, -label) structs. Ties break
+    toward the smaller label. Expects column e (array<double>);
+    returns a struct with `c` (the dot against the unit-scaled
+    winner — divide by the row norm for the true cosine) and `nc`
+    (negated winning label). The ONE definition of assignment that
+    _argmax_cell (s06/IVF) and kmeans_assign (s12/kmeans_fit) both
+    consume — tie-break or expression-shape changes cannot diverge
+    between the paths."""
     labels = labels if labels is not None else list(range(len(centroids)))
     dots = _dots_2d(F.col("e"), _unit_scaled(centroids))
     neg = F.lit([-int(l) for l in labels])
-    best = F.array_max(
+    return F.array_max(
         F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
     )
+
+
+def _argmax_cell(centroids: list[list[float]], labels: list[int] | None = None) -> Column:
+    """Nearest-centroid id by cosine (see _argmax_best). Cosine argmax
+    is scale-invariant in |e|, so dividing by the row norm is skipped;
+    scaling each centroid by 1/|c| happens driver-side. Expects column
+    e (array<double>). Returns a long column `cell`."""
+    best = _argmax_best(centroids, labels)
     return (-best["nc"]).cast("long").alias("cell")
 
 
@@ -1030,12 +1042,9 @@ def kmeans_assign(emb_norm: DataFrame, centroids: list[list[float]]) -> DataFram
     The model rides to executors as ONE 2-D literal inside a single
     in-row argmax expression (_dots_2d — constant expression size in
     k, the r3 s06 lesson), so assignment costs zero joins and zero
-    shuffles at any corpus size. Ties break toward the smaller cell."""
-    dots = _dots_2d(F.col("e"), _unit_scaled(centroids))
-    neg = F.lit([-c for c in range(len(centroids))])
-    best = F.array_max(
-        F.zip_with(dots, neg, lambda d, nl: F.struct(d.alias("c"), nl.alias("nc")))
-    )
+    shuffles at any corpus size. Ties break toward the smaller cell
+    (the shared _argmax_best definition — same as s06/IVF)."""
+    best = _argmax_best(centroids)
     return emb_norm.select(
         "vec_id",
         "e",
@@ -1077,9 +1086,13 @@ def kmeans_fit(
         .persist()
     )
     try:
+        # first k by vec_id via TakeOrdered — NOT filter(vec_id < k),
+        # which silently under-seeds (or empties) on corpora whose ids
+        # don't densely start at 0 (review fix; build_ivf_store's
+        # 1-step path always seeded this way)
         seed_rows = sorted(
             (r["vec_id"], [round(float(x), 6) for x in r["e"]])
-            for r in base.filter(F.col("vec_id") < k).collect()
+            for r in base.orderBy("vec_id").limit(k).collect()
         )
         cents = [v for _, v in seed_rows]
         if not cents:

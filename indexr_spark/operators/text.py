@@ -848,8 +848,19 @@ def neardup_against_store(
     """
     store = store_sigs
     if max_bucket is not None:
-        sizes = store.groupBy("band", "sig").agg(F.count("*").alias("bn"))
-        over = sizes.filter(F.col("bn") > max_bucket)
+        # Census once, pin the result (localCheckpoint severs the
+        # lineage so the anti-join below can't re-run the store-wide
+        # aggregation — the _lsh_group_pairs capped-path pattern), and
+        # broadcast the oversized set: it is small by construction
+        # (buckets BIGGER than the cap), while the store side is the
+        # 100 TB frame that must not shuffle for this.
+        over = (
+            store.groupBy("band", "sig")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") > max_bucket)
+            .select("band", "sig")
+            .localCheckpoint()
+        )
         n_over = over.count()
         if n_over:
             logging.getLogger(__name__).warning(
@@ -858,7 +869,7 @@ def neardup_against_store(
                 n_over,
                 max_bucket,
             )
-        store = store.join(over.select("band", "sig"), ["band", "sig"], "left_anti")
+            store = store.join(F.broadcast(over), ["band", "sig"], "left_anti")
     cand = (
         batch_sigs.select("band", "sig", F.col("doc_id"), F.col("mhs"))
         .join(

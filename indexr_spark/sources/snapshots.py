@@ -658,9 +658,12 @@ def scoped_merge_plan(
         survivors = target.join(updates, cond, "left_anti")
         return target, survivors.unionByName(updates.select(*target.columns)), untouched
     # no live file can hold a matching key: pure insert, in the
-    # table's column order
+    # table's column order. ONE file's footer supplies the column
+    # list — planning over all live paths just to read .columns would
+    # pay the full 100k-leaf listing cost this scoped path exists to
+    # avoid (every live file shares the table schema by construction).
     cols = (
-        spark.read.parquet(*_scan_paths(path, live)).columns
+        spark.read.parquet(os.path.join(path, live[0])).columns
         if live
         else updates.columns
     )
@@ -710,7 +713,22 @@ def _scan_paths(path: str, files: list[str]) -> list[str]:
     for f in files:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
     out: list[str] = []
-    managed = "data" + os.sep
+
+    def _managed(d: str) -> bool:
+        # The managed convention is structural, not just the name
+        # prefix: _write_data_files creates data/<12-hex>/ batch dirs.
+        # An adopted EXTERNAL layout that merely KEEPS its files under
+        # a dir called data/ is not managed — its writer may still
+        # exist, and a name-prefix check would hand its directory to
+        # Spark and re-open the check-then-use race for it.
+        parts = d.split(os.sep)
+        if not parts or parts[0] != "data":
+            return False
+        if len(parts) == 1:
+            return True  # data/ root: only this module writes there
+        seg = parts[1]
+        return len(seg) == 12 and all(c in "0123456789abcdef" for c in seg)
+
     for d, members in by_dir.items():
         absdir = os.path.join(path, d)
         names = {os.path.basename(f) for f in members}
@@ -723,7 +741,7 @@ def _scan_paths(path: str, files: list[str]) -> list[str]:
         except OSError:
             visible = None
         safe = (
-            (d == "data" or d.startswith(managed))  # managed namespace only
+            _managed(d)
             and visible is not None
             and set(visible) == names
             and all("=" not in n for n in names)
@@ -756,7 +774,9 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "version int, n_files int, is_latest boolean")
 
 
-def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    path: str, keep_versions: int = 2, min_age_s: float = 600.0
+) -> list[str]:
     """Drop data files referenced only by expired versions (older than
     the newest `keep_versions`). Returns the deleted files. Metadata
     of expired versions is removed too, so time travel past the
@@ -770,14 +790,25 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     retry loop (at most one materialize-then-retire window can move
     under a reader's walk at a time). Readers never take the lock;
     their protection is the materialize-before-retire order plus the
-    files_of retry."""
+    files_of retry.
+
+    `min_age_s` is the in-flight-writer grace (Delta's file-retention
+    idea, scaled to this repo): a concurrent appender writes its data
+    files BEFORE it takes the commit lock, so an un-manifested file is
+    either an orphan from a dead writer or a commit that hasn't
+    happened YET — and mtime is the only signal separating them.
+    Files younger than the grace are left alone (they'll be someone's
+    commit, or the next vacuum's orphans); pass 0 only when no writer
+    can be concurrent (tests, offline maintenance)."""
     if not os.path.isdir(_manifest_dir(path)):
         return []  # not a snapshot table: no-op
     with _commit_lock(path):
-        return _vacuum_locked(path, keep_versions)
+        return _vacuum_locked(path, keep_versions, min_age_s)
 
 
-def _vacuum_locked(path: str, keep_versions: int) -> list[str]:
+def _vacuum_locked(
+    path: str, keep_versions: int, min_age_s: float = 0.0
+) -> list[str]:
     latest = latest_version(path)
     if latest == 0:
         return []  # nothing committed: no-op
@@ -810,10 +841,20 @@ def _vacuum_locked(path: str, keep_versions: int) -> list[str]:
     # files at the table root, which must also age out. Metadata dirs
     # (term index, manifests, _spark_metadata) are never table data —
     # their files appear in no manifest and must not be deleted.
+    # The walk can outlast _LOCK_STALE_S on a big table; refresh the
+    # lock's mtime as we go or a waiting committer reclaims it as
+    # stale mid-walk and commits a version this vacuum then destroys.
+    lock = os.path.join(_manifest_dir(path), ".commit.lock")
+    now = time.time()
+    examined = 0
     for root, dirs, names in os.walk(path):
         if _is_metadata_path(root, path):
             continue
         for name in names:
+            examined += 1
+            if examined % 1000 == 0:
+                with contextlib.suppress(OSError):
+                    os.utime(lock)
             fpath = os.path.join(root, name)
             rel = os.path.relpath(fpath, path)
             if (
@@ -821,6 +862,13 @@ def _vacuum_locked(path: str, keep_versions: int) -> list[str]:
                 and not name.startswith(("_", "."))
                 and rel not in live
             ):
+                if min_age_s > 0:
+                    try:
+                        age = now - os.path.getmtime(fpath)
+                    except OSError:
+                        continue  # vanished under us — nothing to delete
+                    if age < min_age_s:
+                        continue  # possibly a not-yet-committed write
                 os.remove(fpath)
                 deleted.append(rel)
     # fold custom meta keys (e.g. the streaming epoch) into the

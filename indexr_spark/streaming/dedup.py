@@ -40,13 +40,28 @@ from pyspark.sql import DataFrame
 
 
 def dedup_stream(
-    stream: DataFrame, store: DataFrame, key_cols: list[str]
+    stream: DataFrame,
+    store: DataFrame,
+    key_cols: list[str],
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Anti-join a stream against a fixed store frame, then keyed
     first-wins within the stream. `store` must be a static DataFrame
-    (its snapshot is fixed at query start); pair with a watermark on
-    the stream before this call to bound the dropDuplicates state."""
+    (its snapshot is fixed at query start).
+
+    State contract (the part that bites at 100 TB): plain
+    `dropDuplicates(keys)` keeps one state entry per distinct key
+    FOREVER — an upstream watermark does NOT evict that state unless
+    the event-time column is itself part of the keys. For exact
+    all-time dedup that unbounded state is the price (or use
+    dedup_store_sink, whose "state" is the store table). When dups
+    can only arrive within the watermark delay, pass
+    `within_watermark=True` (requires `stream` to carry a watermark):
+    `dropDuplicatesWithinWatermark` then evicts each key's state once
+    the watermark passes it, bounding state by the delay window."""
     out = stream.join(store.select(*key_cols), key_cols, "left_anti")
+    if within_watermark:
+        return out.dropDuplicatesWithinWatermark(key_cols)
     return out.dropDuplicates(key_cols)
 
 

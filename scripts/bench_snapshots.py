@@ -305,7 +305,7 @@ def replace_bench(work: str) -> None:
 
     # (c) vacuum retires the replaced files; dirty dirs collapse again
     t0 = time.time()
-    deleted = S.vacuum(path, keep_versions=1)
+    deleted = S.vacuum(path, keep_versions=1, min_age_s=0)
     vac_dt = time.time() - t0
     live = S.files_of(path, S.latest_version(path))
     spaths = S._scan_paths(path, live)

@@ -50,7 +50,7 @@ def test_vacuum_preserves_index_postings(spark, tmp_path):
     path = cat.table_dir("t")
     update_column(spark, path, "ALTCOL", "k", "k + 1", sort_by=["k"])
     update_column(spark, path, "ALTCOL", "k", "k + 1", sort_by=["k"])
-    deleted = vacuum(path, keep_versions=1)
+    deleted = vacuum(path, keep_versions=1, min_age_s=0)
     assert deleted  # old versions retired
     assert not any("_indexr_term_index" in d for d in deleted)
     from indexr_spark.sources.segments import TERM_INDEX_DIR, prune_by_term

@@ -43,7 +43,7 @@ def test_snapshot_lifecycle(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 5
 
     # vacuum keeps the newest two versions; v1's exclusive files go away
-    deleted = vacuum(path, keep_versions=2)
+    deleted = vacuum(path, keep_versions=2, min_age_s=0)
     assert deleted, "expected v1-only files to be deleted"
     got_v3 = {tuple(r) for r in read_snapshot(spark, path).collect()}
     assert (5, "e", 5.0) in got_v3 and len(got_v3) == 5
@@ -404,7 +404,7 @@ def test_epoch_guard_survives_vacuum(spark, tmp_path):
     # two later appends push the epoch manifest past the keep horizon
     S.append_snapshot(spark.createDataFrame([(2, 2.0)], "k int, v double"), sdir)
     S.append_snapshot(spark.createDataFrame([(3, 3.0)], "k int, v double"), sdir)
-    S.vacuum(sdir, keep_versions=2)
+    S.vacuum(sdir, keep_versions=2, min_age_s=0)
     assert S.max_committed_meta(sdir, "epoch") == 7  # via the watermark
     n = S.read_snapshot(spark, sdir).count()
     sink(spark.createDataFrame([(1, 1.0)], "k int, v double"), 7)  # replay
@@ -505,7 +505,7 @@ def test_vacuum_materializes_oldest_kept_delta(spark, tmp_path):
     for i in range(1, 5):  # v2..v5 deltas
         append_snapshot(spark.range(10 * i, 10 * i + 3).toDF("k"), path)
     assert "files" not in S._load_manifest(path, 4)
-    vacuum(path, keep_versions=2)  # keep v4, v5; retire v1..v3
+    vacuum(path, keep_versions=2, min_age_s=0)  # keep v4, v5; retire v1..v3
     m4 = S._load_manifest(path, 4)
     assert "files" in m4, "oldest kept version must be materialized full"
     # both kept versions fully readable; appends-only table: all rows live
@@ -652,7 +652,7 @@ def test_files_of_retries_across_vacuum(spark, tmp_path, monkeypatch):
         # materializing v4 and retiring v1..v3 under the walk
         if v == 4 and "files" not in m and not fired["done"]:
             fired["done"] = True
-            vacuum(path, keep_versions=2)
+            vacuum(path, keep_versions=2, min_age_s=0)
         return m
 
     monkeypatch.setattr(S, "_load_manifest", racing_load)
@@ -683,7 +683,7 @@ def test_watermark_skips_structural_keys(spark, tmp_path):
         append_snapshot(
             spark.range(10 * i, 10 * i + 2).toDF("k"), path, meta={"epoch": i}
         )
-    vacuum(path, keep_versions=1)  # retires the delta manifests
+    vacuum(path, keep_versions=1, min_age_s=0)  # retires the delta manifests
     wm = S._meta_watermarks(path)
     assert set(wm) == {"epoch"}, wm  # no base/depth/add leaked in
     assert S.max_committed_meta(path, "epoch") == 2
@@ -740,5 +740,70 @@ def test_manifest_enumeration_tolerates_stray_names(spark, tmp_path):
     hist = S.snapshot_history(spark, path).collect()
     assert sorted(r.version for r in hist) == [1, 2]
     assert S.max_committed_meta(path, "epoch") is None
-    vacuum(path, keep_versions=1)
+    vacuum(path, keep_versions=1, min_age_s=0)
     assert S.latest_version(path) == 2
+
+
+def test_vacuum_grace_spares_fresh_uncommitted_files(spark, tmp_path):
+    """The min_age_s grace (review fix): an appender writes its data
+    files BEFORE taking the commit lock, so vacuum must not sweep
+    fresh un-manifested files as orphans — they may be a commit in
+    flight. Old orphans (dead writers) still age out."""
+    import os
+    import time as _time
+
+    from indexr_spark.sources.snapshots import vacuum, write_snapshot
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, s string"), path
+    )
+    # simulate an in-flight appender: a data file present on disk,
+    # referenced by NO manifest yet
+    batch = os.path.join(path, "data", "aaaaaaaaaaaa")
+    os.makedirs(batch)
+    spark.createDataFrame([(9, "z")], "k int, s string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(batch)
+    orphans = [
+        os.path.join(r, n)
+        for r, _, ns in os.walk(batch)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    assert orphans
+
+    # fresh: the default grace spares it
+    deleted = vacuum(path, keep_versions=1)
+    assert all("aaaaaaaaaaaa" not in d for d in deleted)
+    assert all(os.path.exists(p) for p in orphans)
+
+    # aged out: backdate past the grace and it goes
+    old = _time.time() - 3600
+    for p in orphans:
+        os.utime(p, (old, old))
+    deleted = vacuum(path, keep_versions=1, min_age_s=600)
+    assert any("aaaaaaaaaaaa" in d for d in deleted)
+    assert not any(os.path.exists(p) for p in orphans)
+
+
+def test_scan_paths_require_batch_dir_convention(tmp_path):
+    """_scan_paths collapses only structurally-managed dirs: data/
+    itself and data/<12-hex> batch dirs. An adopted external layout
+    whose files merely SIT under a dir named data/something must go
+    as explicit leaf paths (its writer may still exist)."""
+    import os
+
+    from indexr_spark.sources.snapshots import _scan_paths
+
+    root = str(tmp_path / "t")
+    for d in ("data/abcdef012345", "data/external-dir"):
+        os.makedirs(os.path.join(root, d))
+    for f in ("data/abcdef012345/p1.parquet", "data/external-dir/p2.parquet"):
+        open(os.path.join(root, f), "w").write("x")
+    out = _scan_paths(
+        root, ["data/abcdef012345/p1.parquet", "data/external-dir/p2.parquet"]
+    )
+    assert os.path.join(root, "data", "abcdef012345") in out
+    assert os.path.join(root, "data", "external-dir", "p2.parquet") in out
+    assert os.path.join(root, "data", "external-dir") not in out

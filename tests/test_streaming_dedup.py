@@ -125,3 +125,43 @@ def test_dedup_store_sink_all_dup_batch_still_advances_epoch(spark, tmp_path):
     sink(b1, 1)  # all-dup batch
     assert max_committed_meta(store_dir, "epoch_t2") == 1
     assert read_snapshot(spark, store_dir).count() == 1
+
+
+def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path):
+    """within_watermark=True routes through
+    dropDuplicatesWithinWatermark — the state-bounded form (plain
+    dropDuplicates keeps a state entry per key forever; the docstring
+    now carries that contract). Drive it end to end: in-window dups
+    suppressed, the query runs with a watermark attached."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for ts, doc_id, text in [
+            ("2024-01-01 00:00:01", 1, "x"),
+            ("2024-01-01 00:00:02", 2, "x"),  # in-window dup
+            ("2024-01-01 00:00:03", 3, "y"),
+        ]:
+            f.write(json.dumps({"ts": ts, "doc_id": doc_id, "text": text}) + "\n")
+
+    store = spark.createDataFrame([("z",)], "text STRING").withColumn(
+        "h", F.md5("text")
+    )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, doc_id LONG, text STRING")
+        .json(src)
+        .withColumn("h", F.md5("text"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        dedup_stream(stream, store, ["h"], within_watermark=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT text FROM wm_dedup_out").collect()
+    finally:
+        q.stop()
+    assert sorted(r.text for r in rows) == ["x", "y"]

@@ -242,7 +242,7 @@ def test_rewrite_tools_preserve_pinned_readers(spark, tmp_path):
         (1, 100.0), (2, -1.0), (3, 300.0)
     }
     # retire everything but the latest version; the pinned file set dies
-    deleted = vacuum(path, keep_versions=1)
+    deleted = vacuum(path, keep_versions=1, min_age_s=0)
     assert deleted
     import os
 
