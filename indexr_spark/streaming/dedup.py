@@ -104,3 +104,77 @@ def dedup_store_sink(
         append_snapshot(novel, snapshot_dir, meta={epoch_key: epoch_id})
 
     return sink
+
+
+def neardup_store_sink(
+    sig_store_dir: str,
+    bands: int = 4,
+    est_threshold: float = 0.9,
+    app_id: str | None = None,
+    max_bucket: int | None = None,
+):
+    """dedup_store_sink's NEAR-dup sibling: the store holds per-doc
+    MinHash band signatures (operators/text.doc_band_sigs schema),
+    and each micro-batch drops docs whose estimated Jaccard against
+    any stored doc reaches `est_threshold` (text.neardup_against_store
+    — band-bucket candidates, agreeing-seed estimate, the max_bucket
+    skew valve). Novel docs' signatures append back, so the store IS
+    the accumulated near-dup index. Within a batch, docs with
+    IDENTICAL minhash arrays first-wins-collapse (near- but not
+    identical dups inside ONE micro-batch both land — each is novel
+    vs the store at its arrival instant; callers needing intra-batch
+    near-dup run the d07 self-join upstream).
+
+    Batches need (doc_id, text). Exactly-once: the same epoch-meta
+    guard as dedup_store_sink, checked before any join. At 100 TB the
+    signature store is ~K longs + band strings per doc — orders of
+    magnitude under the corpus — and a snapshot table bucketed on
+    (band, sig) keeps the candidate join store-side shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.text import doc_band_sigs, neardup_against_store
+    from indexr_spark.sources.snapshots import (
+        append_snapshot,
+        latest_version,
+        max_committed_meta,
+        read_snapshot,
+    )
+
+    epoch_key = f"epoch_{app_id}" if app_id else "epoch"
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        committed = max_committed_meta(sig_store_dir, epoch_key)
+        if committed is not None and epoch_id <= committed:
+            logging.getLogger(__name__).warning(
+                "neardup_store_sink %s: skipping epoch %d (<= committed "
+                "max %d for %r)",
+                sig_store_dir,
+                epoch_id,
+                committed,
+                epoch_key,
+            )
+            return
+        sigs = doc_band_sigs(batch.select("doc_id", "text"), bands=bands)
+        # within-batch exact collapse: identical minhash arrays ⇒
+        # identical token sets (same construction) ⇒ one survivor
+        winners = (
+            sigs.select("doc_id", "mhs")
+            .distinct()
+            .groupBy("mhs")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        sigs = sigs.join(winners, "doc_id", "left_semi")
+        if latest_version(sig_store_dir) > 0:
+            store = read_snapshot(batch.sparkSession, sig_store_dir)
+            dups = (
+                neardup_against_store(
+                    sigs, store, est_threshold=est_threshold, max_bucket=max_bucket
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            sigs = sigs.join(dups, "doc_id", "left_anti")
+        append_snapshot(sigs, sig_store_dir, meta={epoch_key: epoch_id})
+
+    return sink

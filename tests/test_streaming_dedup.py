@@ -165,3 +165,44 @@ def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(r.text for r in rows) == ["x", "y"]
+
+
+def test_neardup_store_sink_accumulates_novel_signatures(spark, tmp_path):
+    """Near-dup store sink end to end: batch 1 seeds the store
+    (in-batch exact dup collapsed); batch 2's near-dup of a stored
+    doc is dropped while its novel doc lands; a replayed epoch is a
+    no-op."""
+    from indexr_spark.streaming.dedup import neardup_store_sink
+
+    store_dir = str(tmp_path / "sigstore")
+    sink = neardup_store_sink(store_dir, bands=4, est_threshold=0.8, app_id="n1")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely here")],
+        SCHEMA,
+    )
+    sink(b1, 0)
+    docs_v1 = {
+        r.doc_id for r in read_snapshot(spark, store_dir).select("doc_id").distinct().collect()
+    }
+    assert docs_v1 == {1, 3}  # exact in-batch dup collapsed to min id
+
+    # batch 2: near-dup of doc 1 (J=0.875 catches at 4x4 banding,
+    # estimate 14/16=0.875 >= 0.8) + a novel doc
+    b2 = spark.createDataFrame(
+        [(10, base + " extra"), (11, "yet more unrelated text about benches")],
+        SCHEMA,
+    )
+    sink(b2, 1)
+    docs_v2 = {
+        r.doc_id for r in read_snapshot(spark, store_dir).select("doc_id").distinct().collect()
+    }
+    assert docs_v2 == {1, 3, 11}
+
+    # replayed epoch: no growth
+    sink(b2, 1)
+    docs_v3 = {
+        r.doc_id for r in read_snapshot(spark, store_dir).select("doc_id").distinct().collect()
+    }
+    assert docs_v3 == docs_v2
