@@ -2365,6 +2365,52 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    strata_col: str | None = "source",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): key_i = u_i^(1/w_i) with u_i a portable md5-derived
+    uniform in (0,1]; the top-k keys per stratum ARE a weighted sample
+    without replacement. Heavier docs (by `weight_col`) are
+    proportionally likelier — the standard "prefer long documents"
+    sampler a mixture builder uses when token-weighted representation
+    matters (complements d13's rate sampling, d25's budget fill).
+
+    Library function (not a registry query: its value is the sampling
+    CONTRACT, pinned by tests/test_pipeline_ops.py, not a row-hash).
+    Deterministic by construction — same corpus, same k ⇒ same sample
+    on every engine and every run. ln(u)/w is used instead of u^(1/w)
+    (same ordering, monotone transform) to keep the arithmetic inside
+    double range for tiny weights.
+
+    Scale: one window top-k per stratum — the same single-shuffle
+    shape as every per-group top-k here; strata fill in parallel.
+    With strata_col=None a single global TakeOrdered handles it."""
+    from pyspark.sql import Window as W
+
+    # u in (0,1]: (hash32 + 1) / 2^32; key = ln(u)/w, larger is better
+    # (ln(u) < 0, so dividing by a LARGER weight moves the key toward
+    # 0 from below — heavy docs float up)
+    u = (hash32(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(
+        float(2**32)
+    )
+    w_val = F.col(weight_col).cast("double")
+    key = F.log(u) / w_val
+    base = docs.withColumn("_aes_key", key)
+    if strata_col is None:
+        out = base.orderBy(F.desc("_aes_key"), "doc_id").limit(k)
+        return out.drop("_aes_key")
+    win = W.partitionBy(strata_col).orderBy(F.desc("_aes_key"), "doc_id")
+    return (
+        base.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_aes_key", "_rn")
+    )
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,

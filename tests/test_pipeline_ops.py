@@ -241,3 +241,62 @@ def test_neardup_store_matches_batch_jaccard_on_corpus_split(spark):
         a, b = toks[r.doc_id], toks[r.store_id]
         true_j = len(a & b) / len(a | b)
         assert true_j >= 0.5, (r.doc_id, r.store_id, r.est_jaccard, true_j)
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    """A-ES weighted sampling: exactly k per stratum, identical across
+    invocations, and the inclusion rate of heavy docs must exceed the
+    light docs' on a corpus where weights differ 100x (statistical,
+    but deterministic — the hash family is fixed, so this either
+    passes forever or never)."""
+    from pyspark.sql import Row
+
+    from indexr_spark.operators.text import weighted_sample
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 4}", n_chars=1000 if i % 10 == 0 else 10)
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(rows)
+    s1 = weighted_sample(d, k=10, weight_col="n_chars", strata_col="source")
+    s2 = weighted_sample(d, k=10, weight_col="n_chars", strata_col="source")
+    r1 = sorted((r.source, r.doc_id) for r in s1.collect())
+    assert r1 == sorted((r.source, r.doc_id) for r in s2.collect())
+    # exactly k per stratum
+    from collections import Counter
+
+    per = Counter(s for s, _ in r1)
+    assert set(per.values()) == {10}
+    # heavy docs are 10% of the corpus; at 100x weight they take far
+    # more than their population share (measured: exactly 50% with
+    # this hash family — A-ES keys u^(1/w) still let high-u light
+    # docs win, so 100% heavy would indicate a bug, not success)
+    heavy = sum(1 for _, i in r1 if i % 10 == 0)
+    assert 0.3 < heavy / len(r1) < 0.9
+
+    # global (unstratified) form: k rows, same determinism
+    g = weighted_sample(d, k=25, weight_col="n_chars", strata_col=None)
+    assert g.count() == 25
+    # columns pass through untouched
+    assert set(g.columns) == {"doc_id", "source", "n_chars"}
+
+
+def test_weighted_sample_uniform_weights_match_hash_order(spark):
+    """With equal weights A-ES degenerates to a uniform hash-ordered
+    sample: key ordering is ln(u)/c — monotone in u — so the selected
+    set must equal the top-k docs by the raw hash-derived uniform."""
+    from pyspark.sql import Row
+
+    from indexr_spark.functions.text import hash32
+    from indexr_spark.operators.text import weighted_sample
+
+    d = spark.createDataFrame([Row(doc_id=i, n_chars=7) for i in range(100)])
+    got = {r.doc_id for r in weighted_sample(d, 10, strata_col=None).collect()}
+    want = {
+        r.doc_id
+        for r in d.withColumn("u", hash32(F.col("doc_id").cast("string")))
+        .orderBy(F.desc("u"), "doc_id")
+        .limit(10)
+        .collect()
+    }
+    assert got == want
