@@ -336,3 +336,41 @@ def test_lsh_signature_build_stays_wide_and_unleaked(spark):
     ]
     for line in predicate_lines:
         assert "array_min" not in line, f"minhash leaked into a predicate:\n{line}"
+
+
+def test_pipeline_ops_minimum_shuffle_shapes(spark):
+    """The round-6 pipeline family's plan contracts, pinned per round
+    (the pipeline10x spot-run asserts the same shapes at 10x):
+    d27's unigram LM joins BROADCAST with exactly the two inherent
+    corpus passes (score + LM build — the third pass was a real
+    regression the EXPLAIN.md snapshot caught); d29 is in-row with
+    only the ordering exchange; d30 fuses all four funnel stages into
+    one canonical-hash shuffle (+ rollup + ordering); nothing goes
+    sort-merge or cartesian."""
+    import re
+
+    counts = {}
+    for name in (
+        "d27_unigram_logprob",
+        "d28_incremental_dedup",
+        "d29_entropy_profile",
+        "d30_pipeline_funnel",
+    ):
+        plan = plan_of(spark, name)
+        counts[name] = {
+            "ex": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+            "smj": len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)),
+            "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
+            "bhj": len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)),
+        }
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert counts[name]["smj"] == 0, (name, plan)
+    assert counts["d27_unigram_logprob"]["scans"] == 2  # score + LM build
+    assert counts["d27_unigram_logprob"]["bhj"] == 1  # LM rides a broadcast
+    assert counts["d27_unigram_logprob"]["ex"] <= 4
+    assert counts["d29_entropy_profile"]["ex"] <= 1  # ordering only
+    assert counts["d29_entropy_profile"]["scans"] == 1
+    # one h-shuffle (window) + source rollup + ordering
+    assert counts["d30_pipeline_funnel"]["ex"] <= 3
+    assert counts["d30_pipeline_funnel"]["scans"] == 1
+    assert counts["d28_incremental_dedup"]["ex"] <= 4
