@@ -17,6 +17,11 @@ Usage (python -m indexr_spark.cli ...):
                                                  (hybrid views)
     history  <table_path>                        snapshot versions
     vacuum   <table_path> [--keep N]             drop expired snapshots
+             [--min-age S]                       (spare files younger
+                                                 than S seconds: a
+                                                 concurrent writer's
+                                                 not-yet-committed
+                                                 batch; 0 = offline)
 """
 
 from __future__ import annotations

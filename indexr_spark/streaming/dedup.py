@@ -26,6 +26,11 @@ side at 100 TB is a hash-bucketed snapshot table (shuffle-free on
 its side), the batch side is micro-batch-sized. Nothing here holds
 unbounded executor state — the "state" is the store table itself,
 which is exactly what survives restarts, compactions and vacuums.
+Per-batch read PLANNING of the store stays flat because appends land
+in collapsible data/<uuid> batch dirs (snapshots._scan_paths) and
+every 32nd commit materializes the manifest chain; a periodic
+sources/tools.optimize_segments + vacuum keeps the small-file count
+itself bounded on a long-lived store.
 
 Reference: the realtime ingest state machine this extends is
 streaming/ingest.py (RTSMerge parity); the reference engine has no
