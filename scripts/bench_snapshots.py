@@ -236,7 +236,13 @@ def replace_bench(work: str) -> None:
     next_id = 0
     t0 = time.time()
     for c in range(N_COMMITS):
-        d = f"b{c:04d}"
+        # 12-hex batch-dir names: _scan_paths' directory collapse is
+        # now STRUCTURAL (only _write_data_files' data/<12-hex>
+        # convention collapses — review fix for adopted layouts), so
+        # the synthetic dirs must follow the managed convention or
+        # the read-planning rows here would silently measure the
+        # explicit-leaf-path fallback instead
+        d = f"{c:012x}"
         os.makedirs(os.path.join(path, "data", d))
         rels = []
         for _ in range(FILES_PER_COMMIT):
