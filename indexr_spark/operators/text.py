@@ -781,7 +781,7 @@ def jaccard_pairs(
     )
 
 
-def doc_band_sigs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+def doc_band_sigs(docs: DataFrame, bands: int = JACCARD_BANDS) -> DataFrame:
     """Per-DOCUMENT MinHash band signatures — the persistable near-dup
     fingerprint store schema: (doc_id, band, sig, mhs), where `mhs`
     is the full K=MINHASH_SEEDS minhash array the estimated-Jaccard
@@ -789,7 +789,15 @@ def doc_band_sigs(docs: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     (one md5 per token, K modular family members over that base, zero
     shuffles); the grain is doc- not canon-group because an
     incremental store must answer "is THIS incoming doc a near-dup",
-    not re-derive corpus-wide groups. `docs` needs (doc_id, text)."""
+    not re-derive corpus-wide groups. `docs` needs (doc_id, text).
+
+    Default banding is JACCARD_BANDS (4x4, the d09 recall tuning) —
+    the same default neardup_store_sink uses. CAUTION: a store and a
+    batch built at DIFFERENT bandings produce (band, sig) keys that
+    essentially never collide — near-dups would silently pass as
+    novel. neardup_store_sink records its banding in the store's
+    manifest meta and refuses a mismatched reopen; callers composing
+    these pieces directly must carry the banding themselves."""
     rows_per_band = MINHASH_SEEDS // bands
     base_df = docs.select(
         "doc_id",

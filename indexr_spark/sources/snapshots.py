@@ -420,6 +420,41 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# In-flight write protocol: _write_data_files drops a dot-named
+# marker NEXT TO the batch dir (inside it, Spark's overwrite would
+# wipe it) before any data lands; the commit paths clear it after the
+# manifest commits. vacuum treats any un-manifested file whose batch
+# still carries a marker as a commit in progress — regardless of file
+# age, closing the "write outlives the min_age_s grace" hole — until
+# the MARKER itself goes stale (a dead writer), at which point the
+# batch is orphan-swept and the marker removed.
+INFLIGHT_PREFIX = ".inflight."
+INFLIGHT_STALE_S = 3600.0
+
+
+def _inflight_marker(path: str, batch_rel: str) -> str:
+    return os.path.join(path, "data", INFLIGHT_PREFIX + os.path.basename(batch_rel))
+
+
+def _clear_inflight(path: str, new_files: list[str]) -> None:
+    """Remove the in-flight markers for the batch dirs of just-
+    committed files. Called AFTER the manifest commit; a commit that
+    raises leaves its marker, and vacuum honors it until
+    INFLIGHT_STALE_S, then sweeps the dead writer's batch."""
+    batches = set()
+    for f in new_files:
+        d = os.path.dirname(f)
+        while os.path.dirname(d) not in ("", "."):
+            parent = os.path.dirname(d)
+            if parent == "data":
+                batches.add(d)
+                break
+            d = parent
+    for b in batches:
+        with contextlib.suppress(OSError):
+            os.remove(_inflight_marker(path, b))
+
+
 def _write_data_files(
     df: DataFrame,
     path: str,
@@ -427,10 +462,16 @@ def _write_data_files(
     num_segments: int | None = None,
 ) -> list[str]:
     """Write a new immutable batch of data files; return their paths
-    relative to the table root."""
+    relative to the table root. The in-flight marker lands before the
+    first data byte (see the protocol note above)."""
     from indexr_spark.sources.segments import write_segments
 
-    batch = os.path.join(path, "data", uuid.uuid4().hex[:12])
+    batch_name = uuid.uuid4().hex[:12]
+    batch = os.path.join(path, "data", batch_name)
+    os.makedirs(os.path.dirname(batch), exist_ok=True)
+    marker = _inflight_marker(path, batch_name)
+    with open(marker, "w") as f:
+        f.write(str(os.getpid()))
     write_segments(df, batch, sort_by=sort_by, num_segments=num_segments)
     return [
         os.path.relpath(os.path.join(root, name), path)
@@ -454,11 +495,10 @@ def write_snapshot(
     commit then refuses with ConcurrentSnapshotConflict if the table
     advanced past that base, instead of replacing away an interleaved
     writer's commit."""
-    return _commit(
-        path,
-        _write_data_files(df, path, sort_by, num_segments),
-        expect_parent=expect_parent,
-    )
+    files = _write_data_files(df, path, sort_by, num_segments)
+    v = _commit(path, files, expect_parent=expect_parent)
+    _clear_inflight(path, files)
+    return v
 
 
 def append_snapshot(
@@ -484,7 +524,9 @@ def append_snapshot(
     reference serialized the same transition through ZooKeeper
     (HybridTable.java:64-82)."""
     new = _write_data_files(df, path, sort_by)
-    return _commit(path, new, meta, delta=True)
+    v = _commit(path, new, meta, delta=True)
+    _clear_inflight(path, new)
+    return v
 
 
 _WATERMARK_NAME = "META_WATERMARKS"
@@ -634,7 +676,9 @@ def upsert_snapshot(
         raise FileNotFoundError(f"no committed snapshot under {path}")
     target, merged, untouched = scoped_merge_plan(spark, path, updates, key_cols, base)
     new_files = _write_data_files(merged, path, sort_by)
-    return _commit(path, untouched + new_files, expect_parent=base)
+    v = _commit(path, untouched + new_files, expect_parent=base)
+    _clear_inflight(path, new_files)
+    return v
 
 
 def scoped_merge_plan(
@@ -716,16 +760,16 @@ def _scan_paths(path: str, files: list[str]) -> list[str]:
 
     def _managed(d: str) -> bool:
         # The managed convention is structural, not just the name
-        # prefix: _write_data_files creates data/<12-hex>/ batch dirs.
-        # An adopted EXTERNAL layout that merely KEEPS its files under
-        # a dir called data/ is not managed — its writer may still
-        # exist, and a name-prefix check would hand its directory to
-        # Spark and re-open the check-then-use race for it.
+        # prefix: _write_data_files creates data/<12-hex>/ batch dirs
+        # and NOTHING else — files sitting directly at data/ can only
+        # be an adopted external layout's (this module never puts one
+        # there), and an adopted layout's writer may still exist, so
+        # handing Spark such a directory re-opens the check-then-use
+        # race. Only a 12-hex second segment qualifies (sub-dirs below
+        # a managed batch — partitioned segment writes — inherit it).
         parts = d.split(os.sep)
-        if not parts or parts[0] != "data":
+        if len(parts) < 2 or parts[0] != "data":
             return False
-        if len(parts) == 1:
-            return True  # data/ root: only this module writes there
         seg = parts[1]
         return len(seg) == 12 and all(c in "0123456789abcdef" for c in seg)
 
@@ -862,6 +906,19 @@ def _vacuum_locked(
                 and not name.startswith(("_", "."))
                 and rel not in live
             ):
+                # a live in-flight marker protects its whole batch
+                # REGARDLESS of file age (a large pre-commit write can
+                # outlive any fixed grace); a stale marker is a dead
+                # writer and its batch is orphan-swept
+                parts = rel.split(os.sep)
+                if len(parts) >= 3 and parts[0] == "data":
+                    marker = _inflight_marker(path, parts[1])
+                    try:
+                        m_age = now - os.path.getmtime(marker)
+                    except OSError:
+                        m_age = None  # no marker: pre-protocol batch
+                    if m_age is not None and m_age < INFLIGHT_STALE_S:
+                        continue  # commit in progress
                 if min_age_s > 0:
                     try:
                         age = now - os.path.getmtime(fpath)
@@ -871,6 +928,16 @@ def _vacuum_locked(
                         continue  # possibly a not-yet-committed write
                 os.remove(fpath)
                 deleted.append(rel)
+    # retire stale in-flight markers (dead writers): their batches
+    # were orphan-swept above (or never received a byte)
+    data_dir = os.path.join(path, "data")
+    if os.path.isdir(data_dir):
+        for n in os.listdir(data_dir):
+            if n.startswith(INFLIGHT_PREFIX):
+                m = os.path.join(data_dir, n)
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(m) >= INFLIGHT_STALE_S:
+                        os.remove(m)
     # fold custom meta keys (e.g. the streaming epoch) into the
     # watermark BEFORE deleting expired manifests: retiring a manifest
     # must not erase the exactly-once evidence max_committed_meta

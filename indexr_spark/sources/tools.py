@@ -105,6 +105,7 @@ def upsert_segments(
     anti join shuffles on the key unless the updates are
     broadcast-sized (they usually are)."""
     from indexr_spark.sources.snapshots import (
+        _clear_inflight,
         _commit,
         _write_data_files,
         ensure_snapshot,
@@ -132,6 +133,7 @@ def upsert_segments(
     # rather than silently replace it away.
     new_files = _write_data_files(merged, table_path, sort_by)
     _commit(table_path, untouched + new_files, expect_parent=base)
+    _clear_inflight(table_path, new_files)
     return n_updated, n_inserted
 
 

@@ -159,13 +159,25 @@ def neardup_store_sink(
                 epoch_key,
             )
             return
+        # banding mismatch guard: a store and batch built at different
+        # bandings produce (band, sig) keys that essentially never
+        # collide, so every near-dup would silently pass as novel —
+        # the banding rides the manifest meta and a mismatched reopen
+        # refuses loudly instead
+        stored_bands = max_committed_meta(sig_store_dir, "sig_bands")
+        if stored_bands is not None and int(stored_bands) != bands:
+            raise ValueError(
+                f"neardup_store_sink: store {sig_store_dir} was built "
+                f"with bands={int(stored_bands)}, reopened with "
+                f"bands={bands} — mismatched bandings silently find "
+                "nothing; rebuild the store or match its banding"
+            )
         sigs = doc_band_sigs(batch.select("doc_id", "text"), bands=bands)
         # within-batch exact collapse: identical minhash arrays ⇒
         # identical token sets (same construction) ⇒ one survivor
+        # (min() over the per-band duplicate rows needs no pre-distinct)
         winners = (
-            sigs.select("doc_id", "mhs")
-            .distinct()
-            .groupBy("mhs")
+            sigs.groupBy("mhs")
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
@@ -180,6 +192,8 @@ def neardup_store_sink(
                 .distinct()
             )
             sigs = sigs.join(dups, "doc_id", "left_anti")
-        append_snapshot(sigs, sig_store_dir, meta={epoch_key: epoch_id})
+        append_snapshot(
+            sigs, sig_store_dir, meta={epoch_key: epoch_id, "sig_bands": bands}
+        )
 
     return sink

@@ -104,13 +104,25 @@ def manifest_bench(work: str) -> None:
     print(f"building {N_COMMITS * FILES_PER_COMMIT} files via "
           f"{N_COMMITS} x {FILES_PER_COMMIT}-file delta appends", flush=True)
     next_id = 0
+    batch_no = 0
+
+    def new_batch() -> str:
+        # managed-convention batch dirs (data/<12-hex>): _scan_paths'
+        # structural collapse check (review fix) only collapses these
+        nonlocal batch_no
+        d = f"{batch_no:012x}"
+        batch_no += 1
+        os.makedirs(os.path.join(path, "data", d), exist_ok=True)
+        return d
+
     # 33/65/97 are the FULL_REWRITE_EVERY=32 materialization commits —
     # the amortized O(files) sidecar+full-manifest writes
     report_at = {1, 10, 33, 50, 65, 97, N_COMMITS}
     for c in range(1, N_COMMITS + 1):
         rels = []
+        bd = new_batch()
         for _ in range(FILES_PER_COMMIT):
-            rel = os.path.join("data", f"f{next_id:06d}.parquet")
+            rel = os.path.join("data", bd, f"f{next_id:06d}.parquet")
             os.link(seed_for(next_id), os.path.join(path, rel))
             rels.append(rel)
             next_id += 1
@@ -130,8 +142,9 @@ def manifest_bench(work: str) -> None:
 
     # headline: a small append at 100k live files must be flat
     rels = []
+    bd = new_batch()
     for _ in range(10):
-        rel = os.path.join("data", f"f{next_id:06d}.parquet")
+        rel = os.path.join("data", bd, f"f{next_id:06d}.parquet")
         os.link(seed_for(next_id), os.path.join(path, rel))
         rels.append(rel)
         next_id += 1
@@ -164,8 +177,9 @@ def manifest_bench(work: str) -> None:
     rel_sets = []
     for _ in range(8):
         rels = []
+        bd = new_batch()
         for _ in range(10):
-            rel = os.path.join("data", f"f{next_id:06d}.parquet")
+            rel = os.path.join("data", bd, f"f{next_id:06d}.parquet")
             os.link(seed_for(next_id), os.path.join(path, rel))
             rels.append(rel)
             next_id += 1

@@ -1,15 +1,15 @@
 #!/usr/bin/env python
-"""Measure the round-6 HEADLINE additions calm and merge ONLY their
-entries into bench_baseline.json (existing entries untouched — they
-were captured calm earlier in round 6; a full recapture would risk
-re-contaminating them if the machine phase shifts mid-run).
+"""Measure HEADLINE queries that have no bench_baseline.json entry yet
+and ADD their entries (never overwrites an existing entry — the
+baseline's sub-second values follow a max-not-min policy that a
+mechanical re-run must not clobber; delete an entry by hand first to
+intentionally re-capture it).
 
-Refuses to merge unless the capture is genuinely calm: single-thread
-spin ≤ 0.9 s and spark_cal within 1.45× of the committed baseline's
-2.189 — i.e. inside the 2.2–3.2 calm band the r5 verdict's own
-independent reproductions used (the multi-core cal flickers ±30%
-even in calm phases; the spin guard catches the single-thread
-throttle that actually contaminated the r5 baseline). Run:
+Refuses to merge unless the capture is calm: single-thread spin
+≤ 0.9 s and spark_cal within 1.45× of the committed baseline's (the
+multi-core cal flickers ±30% even in calm phases; the spin guard
+catches the single-thread throttle that actually contaminated the r5
+baseline). Run:
 
     python scripts/merge_new_baseline_entries.py        # dry run
     python scripts/merge_new_baseline_entries.py --write
@@ -18,6 +18,7 @@ throttle that actually contaminated the r5 baseline). Run:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,14 +26,6 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
-
-NEW_OPS = [
-    "d27_unigram_logprob",
-    "d28_incremental_dedup",
-    "d29_entropy_profile",
-    "d30_pipeline_funnel",
-    "s12_kmeans_step",
-]
 
 
 def _spin() -> float:
@@ -48,22 +41,30 @@ def main() -> None:
     base_path = _REPO / "bench_baseline.json"
     base = json.loads(base_path.read_text())
 
+    from bench import HEADLINE, _spark_calibration
+    from indexr_spark import operators
+    from indexr_spark.session import get_spark
+
+    # add-only: entries the gate currently skips for lack of a baseline
+    missing = [n for n in HEADLINE if n not in base["queries"]]
+    if not missing:
+        sys.exit("every HEADLINE query already has a baseline entry — "
+                 "delete one by hand to intentionally re-capture it")
+    print(f"missing baseline entries: {missing}", flush=True)
+
     spin = _spin()
     if spin > 0.9:
         sys.exit(f"not calm: spin {spin:.2f}s > 0.9s — try again later")
-
-    from bench import _spark_calibration  # reuse bench.py's exact cal job
-    from indexr_spark import operators
-    from indexr_spark.session import get_spark
 
     spark = get_spark(
         app_name="baseline-merge",
         extra_confs={"spark.ui.showConsoleProgress": "false"},
     )
     spark.range(1000).count()
-    sf = str(_REPO.parent / "testdata" / "sf0.1")
+    # same corpus the gate's captures use (bench.py honors this too)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # warm each query's code path once (JIT), then best-of-3
-    for name in NEW_OPS:
+    for name in missing:
         operators.QUERIES[name](spark, sf).count()
     # the multi-core cal flickers within a phase — best-of-3 with
     # breathing room, and retry the whole calm check for up to ~8
@@ -83,7 +84,7 @@ def main() -> None:
         time.sleep(30)
 
     merged = {}
-    for name in NEW_OPS:
+    for name in missing:
         best = min(
             _timed(operators.QUERIES[name], spark, sf) for _ in range(3)
         )
@@ -94,11 +95,13 @@ def main() -> None:
     if write:
         base["queries"].update(merged)
         base["value"] = round(sum(base["queries"].values()), 3)
-        base.setdefault("notes", {})["r6_additions"] = (
-            "entries for the five r6 HEADLINE additions merged from a "
-            f"dedicated calm capture (spark_cal {cal:.3f}, spin<=0.9 and "
-            "the 2.2-3.2 cal band enforced, best-of-3 per query, warmed); "
-            "pre-existing entries untouched"
+        base.setdefault("notes", {})[f"added_{'_'.join(sorted(merged))[:40]}"] = (
+            f"entries added from a dedicated calm capture (spark_cal "
+            f"{cal:.3f}, guards: spin<=0.9 and cal within 1.45x of the "
+            f"baseline's {base['spark_cal_sec']}; best-of-3 per query, "
+            f"warmed; sf_dir={sf}); existing entries untouched. "
+            "Sub-second entries may deserve a hand-raise to their "
+            "bench-context reading (see the r6_additions note)."
         )
         base_path.write_text(json.dumps(base, indent=1) + "\n")
         print(f"wrote {base_path}")

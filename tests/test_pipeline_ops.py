@@ -300,3 +300,29 @@ def test_weighted_sample_uniform_weights_match_hash_order(spark):
         .collect()
     }
     assert got == want
+
+
+def test_doc_and_group_band_sigs_agree(spark):
+    """The doc-grain signature builder (doc_band_sigs — the store
+    schema) and the group-grain one (_group_band_sigs — the d07/d09
+    candidate path) are two constructions of the SAME hash family;
+    for any document, its band signatures must be identical under
+    both. Pins the two code paths together: a family/banding change
+    applied to one and not the other would silently break signature-
+    store compatibility (review finding)."""
+    from indexr_spark.operators.text import _group_band_sigs, doc_band_sigs
+    from indexr_spark.tables import load_table
+
+    d = load_table(spark, SMOKE_SF, "documents").limit(50)
+    doc_sigs = {
+        (r.doc_id, r.band): r.sig
+        for r in doc_band_sigs(d.select("doc_id", "text"), bands=4).collect()
+    }
+    groups = d.select(
+        F.col("doc_id").alias("gid"), F.lit(1).alias("rep"), F.col("text").alias("any_text")
+    )
+    group_sigs = {
+        (r.gid, r.band): r.sig for r in _group_band_sigs(groups, bands=4).collect()
+    }
+    assert doc_sigs, "no signatures produced"
+    assert doc_sigs == group_sigs

@@ -807,3 +807,52 @@ def test_scan_paths_require_batch_dir_convention(tmp_path):
     assert os.path.join(root, "data", "abcdef012345") in out
     assert os.path.join(root, "data", "external-dir", "p2.parquet") in out
     assert os.path.join(root, "data", "external-dir") not in out
+
+
+def test_vacuum_honors_inflight_markers(spark, tmp_path):
+    """The in-flight marker protocol (review fix #2): a batch whose
+    marker is fresh is protected from the orphan sweep REGARDLESS of
+    file age (a big pre-commit write can outlive any fixed grace); a
+    stale marker is a dead writer — batch swept, marker retired. The
+    commit paths clear their own markers."""
+    import os
+    import time as _time
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1, "a")], "k int, s string"), path)
+    # the successful commit cleared its marker
+    data_dir = os.path.join(path, "data")
+    assert not [
+        n for n in os.listdir(data_dir) if n.startswith(S.INFLIGHT_PREFIX)
+    ]
+
+    # simulate a SLOW in-flight writer: files older than any grace,
+    # marker fresh
+    batch = os.path.join(data_dir, "bbbbbbbbbbbb")
+    os.makedirs(batch)
+    spark.createDataFrame([(9, "z")], "k int, s string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(batch)
+    orphans = [
+        os.path.join(r, n)
+        for r, _, ns in os.walk(batch)
+        for n in ns
+        if n.endswith(".parquet")
+    ]
+    old = _time.time() - 7200
+    for p in orphans:
+        os.utime(p, (old, old))
+    marker = S._inflight_marker(path, "bbbbbbbbbbbb")
+    open(marker, "w").write("123")
+
+    deleted = S.vacuum(path, keep_versions=1, min_age_s=600)
+    assert all("bbbbbbbbbbbb" not in d for d in deleted)
+    assert all(os.path.exists(p) for p in orphans), "in-flight batch swept"
+
+    # dead writer: marker itself goes stale -> batch swept, marker gone
+    os.utime(marker, (old, old))
+    deleted = S.vacuum(path, keep_versions=1, min_age_s=600)
+    assert any("bbbbbbbbbbbb" in d for d in deleted)
+    assert not os.path.exists(marker)

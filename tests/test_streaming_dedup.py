@@ -206,3 +206,25 @@ def test_neardup_store_sink_accumulates_novel_signatures(spark, tmp_path):
         r.doc_id for r in read_snapshot(spark, store_dir).select("doc_id").distinct().collect()
     }
     assert docs_v3 == docs_v2
+
+
+def test_neardup_store_sink_refuses_banding_mismatch(spark, tmp_path):
+    """The store records its banding in manifest meta; reopening with
+    a different bands value must refuse loudly — mismatched bandings
+    produce (band, sig) keys that never collide, so every near-dup
+    would silently pass as novel (review finding)."""
+    import pytest
+
+    from indexr_spark.streaming.dedup import neardup_store_sink
+
+    store_dir = str(tmp_path / "sigstore")
+    b = spark.createDataFrame([(1, "alpha beta gamma")], SCHEMA)
+    neardup_store_sink(store_dir, bands=4, app_id="m1")(b, 0)
+    with pytest.raises(ValueError, match="bands=4.*bands=2"):
+        neardup_store_sink(store_dir, bands=2, app_id="m1")(
+            spark.createDataFrame([(2, "delta")], SCHEMA), 1
+        )
+    # matching banding continues fine
+    neardup_store_sink(store_dir, bands=4, app_id="m1")(
+        spark.createDataFrame([(2, "delta epsilon zeta")], SCHEMA), 1
+    )
