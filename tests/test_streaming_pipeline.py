@@ -115,3 +115,46 @@ def test_cleaning_pipeline_matches_batch_funnel_semantics(spark, tmp_path):
     assert got.count() == sum(f.n_dedup for f in funnel.values())
     for s, f in funnel.items():
         assert per_source.get(s, 0) >= f.n_final
+
+
+def test_pipeline_table_survives_maintenance(spark, tmp_path):
+    """Lifecycle: a sink-built table goes through OPTIMIZE-style
+    compaction and vacuum, and the pipeline keeps deduping correctly
+    against the rewritten store — the maintenance path and the
+    streaming path compose. The compaction's version shows NULL
+    funnel counters in pipeline_history (it is not a pipeline epoch)."""
+    from indexr_spark.sources.snapshots import latest_version, vacuum
+    from indexr_spark.sources.tools import optimize_segments
+
+    table = str(tmp_path / "clean")
+    sink = cleaning_pipeline_sink(table, app_id="m1")
+    sink(spark.createDataFrame([(1, GOOD, "s0")], SCHEMA), 0)
+    sink(spark.createDataFrame([(2, GOOD2, "s0")], SCHEMA), 1)
+    assert read_snapshot(spark, table).count() == 2
+
+    files_before, files_after = optimize_segments(spark, table)
+    assert files_after <= files_before
+    vacuum(table, keep_versions=1, min_age_s=0)
+
+    # the compacted + vacuumed store still rejects canonical dups and
+    # admits novel docs — and the epoch guard survived the maintenance
+    # (vacuum folds retired epochs into the meta watermark)
+    sink(
+        spark.createDataFrame(
+            [(10, " ".join(reversed(GOOD.split())), "s9"),
+             (11, GOOD2 + " seventeen", "s9")],
+            SCHEMA,
+        ),
+        2,
+    )
+    got = sorted(r.doc_id for r in read_snapshot(spark, table).collect())
+    assert got == [1, 2, 11]
+
+    # replay of a pre-compaction epoch stays a no-op after vacuum
+    sink(spark.createDataFrame([(99, GOOD, "s9")], SCHEMA), 1)
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [1, 2, 11]
+
+    hist = {r.version: r for r in pipeline_history(spark, table).collect()}
+    compaction_versions = [v for v, r in hist.items() if r.n_total is None]
+    assert compaction_versions, "compaction version should carry NULL counters"
+    assert latest_version(table) in hist
