@@ -783,9 +783,10 @@ def jaccard_pairs(
 
 def doc_band_sigs(docs: DataFrame, bands: int = JACCARD_BANDS) -> DataFrame:
     """Per-DOCUMENT MinHash band signatures — the persistable near-dup
-    fingerprint store schema: (doc_id, band, sig, mhs), where `mhs`
-    is the full K=MINHASH_SEEDS minhash array the estimated-Jaccard
-    verify folds over. The in-row construction is _group_band_sigs'
+    fingerprint store schema: (doc_id, band, sig, mhs, n_bands), where
+    `mhs` is the full K=MINHASH_SEEDS minhash array the estimated-
+    Jaccard verify folds over and `n_bands` stamps the banding for
+    the structural mismatch guard. The in-row construction is _group_band_sigs'
     (one md5 per token, K modular family members over that base, zero
     shuffles); the grain is doc- not canon-group because an
     incremental store must answer "is THIS incoming doc a near-dup",
@@ -827,9 +828,12 @@ def doc_band_sigs(docs: DataFrame, bands: int = JACCARD_BANDS) -> DataFrame:
     # posexplode_OUTER for the same constraint-inference reason as
     # _group_band_sigs (the non-outer form lets Catalyst substitute
     # the whole signature expression into a pre-join filter).
+    # n_bands rides every row so neardup_against_store can refuse a
+    # banding-mismatched pair of frames structurally (mismatched
+    # bandings never collide — they would silently find nothing).
     return per_doc.select(
         "doc_id", "mhs", F.posexplode_outer("sigs").alias("band", "sig")
-    ).select("doc_id", "band", "sig", "mhs")
+    ).select("doc_id", "band", "sig", "mhs", F.lit(bands).alias("n_bands"))
 
 
 def neardup_against_store(
@@ -854,6 +858,24 @@ def neardup_against_store(
     warning (never silently) — one boilerplate signature colliding
     with everything is the classic skew bomb in production near-dup.
     """
+    # structural banding guard: frames built at different bandings
+    # produce (band, sig) keys that essentially never collide, and the
+    # result would be a silent empty candidate set — refuse instead.
+    # head() reads a single row per side (one row-group at any scale);
+    # legacy frames without the column skip the check.
+    def _bands_of(df: DataFrame) -> int | None:
+        if "n_bands" not in df.columns:
+            return None
+        r = df.select("n_bands").head()
+        return None if r is None else int(r["n_bands"])
+
+    ba, bs = _bands_of(batch_sigs), _bands_of(store_sigs)
+    if ba is not None and bs is not None and ba != bs:
+        raise ValueError(
+            f"neardup_against_store: batch signatures use {ba} bands but "
+            f"the store uses {bs} — mismatched bandings never collide; "
+            "rebuild one side with the other's banding"
+        )
     store = store_sigs
     if max_bucket is not None:
         # Census once, pin the result (localCheckpoint severs the

@@ -496,7 +496,16 @@ def write_snapshot(
     advanced past that base, instead of replacing away an interleaved
     writer's commit."""
     files = _write_data_files(df, path, sort_by, num_segments)
-    v = _commit(path, files, expect_parent=expect_parent)
+    try:
+        v = _commit(path, files, expect_parent=expect_parent)
+    except BaseException:
+        # commit failed for THIS batch (e.g. ConcurrentSnapshotConflict
+        # — the caller rewrites against the new parent, never re-commits
+        # these files): the write is provably dead, so clear the marker
+        # and let the orphan age out under the normal grace instead of
+        # shielding it for the full stale window
+        _clear_inflight(path, files)
+        raise
     _clear_inflight(path, files)
     return v
 
@@ -524,7 +533,11 @@ def append_snapshot(
     reference serialized the same transition through ZooKeeper
     (HybridTable.java:64-82)."""
     new = _write_data_files(df, path, sort_by)
-    v = _commit(path, new, meta, delta=True)
+    try:
+        v = _commit(path, new, meta, delta=True)
+    except BaseException:
+        _clear_inflight(path, new)  # dead write: see write_snapshot
+        raise
     _clear_inflight(path, new)
     return v
 
@@ -676,7 +689,11 @@ def upsert_snapshot(
         raise FileNotFoundError(f"no committed snapshot under {path}")
     target, merged, untouched = scoped_merge_plan(spark, path, updates, key_cols, base)
     new_files = _write_data_files(merged, path, sort_by)
-    v = _commit(path, untouched + new_files, expect_parent=base)
+    try:
+        v = _commit(path, untouched + new_files, expect_parent=base)
+    except BaseException:
+        _clear_inflight(path, new_files)  # dead write: see write_snapshot
+        raise
     _clear_inflight(path, new_files)
     return v
 
@@ -891,6 +908,7 @@ def _vacuum_locked(
     lock = os.path.join(_manifest_dir(path), ".commit.lock")
     now = time.time()
     examined = 0
+    _batch_freshness: dict[tuple[str, str], float] = {}
     for root, dirs, names in os.walk(path):
         if _is_metadata_path(root, path):
             continue
@@ -909,7 +927,13 @@ def _vacuum_locked(
                 # a live in-flight marker protects its whole batch
                 # REGARDLESS of file age (a large pre-commit write can
                 # outlive any fixed grace); a stale marker is a dead
-                # writer and its batch is orphan-swept
+                # writer and its batch is orphan-swept. Liveness is
+                # max(marker mtime, the batch's NEWEST file mtime): a
+                # write longer than INFLIGHT_STALE_S keeps producing
+                # files (Spark task commits land progressively), so an
+                # actively-written batch stays fresh however long the
+                # whole write takes — only a batch nothing has touched
+                # for the stale window is a dead writer's.
                 parts = rel.split(os.sep)
                 if len(parts) >= 3 and parts[0] == "data":
                     marker = _inflight_marker(path, parts[1])
@@ -917,8 +941,25 @@ def _vacuum_locked(
                         m_age = now - os.path.getmtime(marker)
                     except OSError:
                         m_age = None  # no marker: pre-protocol batch
-                    if m_age is not None and m_age < INFLIGHT_STALE_S:
-                        continue  # commit in progress
+                    if m_age is not None:
+                        batch_key = (parts[0], parts[1])
+                        fresh = _batch_freshness.get(batch_key)
+                        if fresh is None:
+                            bdir = os.path.join(path, parts[0], parts[1])
+                            newest = 0.0
+                            for r2, _d2, n2 in os.walk(bdir):
+                                for nm in n2:
+                                    with contextlib.suppress(OSError):
+                                        newest = max(
+                                            newest,
+                                            os.path.getmtime(
+                                                os.path.join(r2, nm)
+                                            ),
+                                        )
+                            fresh = now - newest if newest else m_age
+                            _batch_freshness[batch_key] = fresh
+                        if min(m_age, fresh) < INFLIGHT_STALE_S:
+                            continue  # commit in progress
                 if min_age_s > 0:
                     try:
                         age = now - os.path.getmtime(fpath)
@@ -929,15 +970,31 @@ def _vacuum_locked(
                 os.remove(fpath)
                 deleted.append(rel)
     # retire stale in-flight markers (dead writers): their batches
-    # were orphan-swept above (or never received a byte)
+    # were orphan-swept above (or never received a byte). Staleness
+    # uses the same liveness rule as the sweep — marker OR batch
+    # content recently touched means the writer may still be alive,
+    # and stripping a live writer's marker would expose its files to
+    # the next vacuum's age gate mid-write.
     data_dir = os.path.join(path, "data")
     if os.path.isdir(data_dir):
         for n in os.listdir(data_dir):
             if n.startswith(INFLIGHT_PREFIX):
                 m = os.path.join(data_dir, n)
                 with contextlib.suppress(OSError):
-                    if now - os.path.getmtime(m) >= INFLIGHT_STALE_S:
-                        os.remove(m)
+                    if now - os.path.getmtime(m) < INFLIGHT_STALE_S:
+                        continue
+                    bdir = os.path.join(data_dir, n[len(INFLIGHT_PREFIX):])
+                    newest = 0.0
+                    for r2, _d2, n2 in os.walk(bdir):
+                        for nm in n2:
+                            with contextlib.suppress(OSError):
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(os.path.join(r2, nm)),
+                                )
+                    if newest and now - newest < INFLIGHT_STALE_S:
+                        continue
+                    os.remove(m)
     # fold custom meta keys (e.g. the streaming epoch) into the
     # watermark BEFORE deleting expired manifests: retiring a manifest
     # must not erase the exactly-once evidence max_committed_meta

@@ -132,8 +132,12 @@ def upsert_segments(
     # between makes it stale — refuse (ConcurrentSnapshotConflict)
     # rather than silently replace it away.
     new_files = _write_data_files(merged, table_path, sort_by)
-    _commit(table_path, untouched + new_files, expect_parent=base)
-    _clear_inflight(table_path, new_files)
+    try:
+        _commit(table_path, untouched + new_files, expect_parent=base)
+    finally:
+        # success: marker done its job; conflict: this batch is dead
+        # (the retry rewrites fresh files) — either way it comes off
+        _clear_inflight(table_path, new_files)
     return n_updated, n_inserted
 
 

@@ -113,7 +113,7 @@ def dedup_store_sink(
 
 def neardup_store_sink(
     sig_store_dir: str,
-    bands: int = 4,
+    bands: int | None = None,
     est_threshold: float = 0.9,
     app_id: str | None = None,
     max_bucket: int | None = None,
@@ -137,7 +137,11 @@ def neardup_store_sink(
     (band, sig) keeps the candidate join store-side shuffle-free."""
     from pyspark.sql import functions as F
 
-    from indexr_spark.operators.text import doc_band_sigs, neardup_against_store
+    from indexr_spark.operators.text import (
+        JACCARD_BANDS,
+        doc_band_sigs,
+        neardup_against_store,
+    )
     from indexr_spark.sources.snapshots import (
         append_snapshot,
         latest_version,
@@ -145,6 +149,10 @@ def neardup_store_sink(
         read_snapshot,
     )
 
+    # ONE source of truth for the default banding (doc_band_sigs'),
+    # so a future retune cannot diverge the sink from the builder
+    if bands is None:
+        bands = JACCARD_BANDS
     epoch_key = f"epoch_{app_id}" if app_id else "epoch"
 
     def sink(batch: DataFrame, epoch_id: int) -> None:

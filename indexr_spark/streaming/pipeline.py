@@ -75,6 +75,17 @@ def cleaning_pipeline_sink(
             return
         from pyspark.sql import Window as W
 
+        # the classification pass owns these names — a passthrough
+        # column colliding with one would be silently overwritten and
+        # then dropped from the output (refuse loudly instead)
+        reserved = {"_n_toks", "_quality", "_dedup", "_in_store", "_final", CANON_COL}
+        clash = reserved & set(batch.columns)
+        if clash:
+            raise ValueError(
+                f"cleaning_pipeline_sink: batch columns {sorted(clash)} "
+                "collide with the sink's reserved internal names — "
+                "rename them upstream"
+            )
         toks = tokens("text")
         dts = distinct_tokens("text")
         base = batch.withColumn("_n_toks", F.size(toks)).withColumn(

@@ -91,7 +91,19 @@ def main() -> None:
         merged[name] = round(best, 3)
         print(f"{name}: {merged[name]} s (spin {_spin():.2f})", flush=True)
 
-    print(f"capture spark_cal {cal:.3f} (baseline {base['spark_cal_sec']:.3f})")
+    # the phase can flip MID-capture (the exact contamination the
+    # guards exist for) — re-verify calm AFTER the measurements and
+    # refuse to write values captured across a flip
+    post_spin = _spin()
+    post_cal = min(_spark_calibration(spark) for _ in range(2))
+    post_ratio = post_cal / base["spark_cal_sec"]
+    if post_spin > 0.9 or not (1 / 1.45) <= post_ratio <= 1.45:
+        sys.exit(
+            f"phase flipped mid-capture (post spin {post_spin:.2f}, "
+            f"post cal {post_cal:.3f}) — measurements discarded, retry"
+        )
+    print(f"capture spark_cal {cal:.3f} (baseline {base['spark_cal_sec']:.3f}, "
+          f"post-capture cal {post_cal:.3f})")
     if write:
         base["queries"].update(merged)
         base["value"] = round(sum(base["queries"].values()), 3)

@@ -851,8 +851,23 @@ def test_vacuum_honors_inflight_markers(spark, tmp_path):
     assert all("bbbbbbbbbbbb" not in d for d in deleted)
     assert all(os.path.exists(p) for p in orphans), "in-flight batch swept"
 
-    # dead writer: marker itself goes stale -> batch swept, marker gone
+    # LONG live writer: marker older than the stale window but the
+    # batch's newest file is fresh (task commits keep landing) — the
+    # batch stays protected however long the whole write takes
     os.utime(marker, (old, old))
+    os.utime(orphans[0], None)  # a task commit just landed
+    deleted = S.vacuum(path, keep_versions=1, min_age_s=600)
+    assert all("bbbbbbbbbbbb" not in d for d in deleted)
+    assert os.path.exists(marker), "live writer's marker stripped"
+
+    # dead writer: marker AND all batch content stale (the liveness
+    # signal is max(marker, newest batch file) — _SUCCESS/.crc count,
+    # since Spark touches them as the write progresses) -> batch
+    # swept, marker gone
+    os.utime(marker, (old, old))
+    for r, _, ns in os.walk(batch):
+        for n in ns:
+            os.utime(os.path.join(r, n), (old, old))
     deleted = S.vacuum(path, keep_versions=1, min_age_s=600)
     assert any("bbbbbbbbbbbb" in d for d in deleted)
     assert not os.path.exists(marker)
