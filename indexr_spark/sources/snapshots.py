@@ -908,7 +908,10 @@ def _vacuum_locked(
     lock = os.path.join(_manifest_dir(path), ".commit.lock")
     now = time.time()
     examined = 0
+    # per-batch memos: one marker stat + at most one content walk per
+    # batch dir, not per file (100k files -> ~100 stats, not 100k)
     _batch_freshness: dict[tuple[str, str], float] = {}
+    _marker_age: dict[tuple[str, str], float | None] = {}
     for root, dirs, names in os.walk(path):
         if _is_metadata_path(root, path):
             continue
@@ -936,13 +939,17 @@ def _vacuum_locked(
                 # for the stale window is a dead writer's.
                 parts = rel.split(os.sep)
                 if len(parts) >= 3 and parts[0] == "data":
-                    marker = _inflight_marker(path, parts[1])
-                    try:
-                        m_age = now - os.path.getmtime(marker)
-                    except OSError:
-                        m_age = None  # no marker: pre-protocol batch
+                    batch_key = (parts[0], parts[1])
+                    if batch_key in _marker_age:
+                        m_age = _marker_age[batch_key]
+                    else:
+                        marker = _inflight_marker(path, parts[1])
+                        try:
+                            m_age = now - os.path.getmtime(marker)
+                        except OSError:
+                            m_age = None  # no marker: pre-protocol batch
+                        _marker_age[batch_key] = m_age
                     if m_age is not None:
-                        batch_key = (parts[0], parts[1])
                         fresh = _batch_freshness.get(batch_key)
                         if fresh is None:
                             bdir = os.path.join(path, parts[0], parts[1])
