@@ -157,6 +157,29 @@ def vecs50x(spark) -> None:
     )
     _run(spark, "ivf_probe[20q,nprobe=2]",
          lambda: VS.ivf_probe(spark, "/tmp/ivf50x", qs, k=3, nprobe=2))
+    # trained quantizer (r6 kmeans_fit via train_iters): what the extra
+    # Lloyd rounds buy is CELL BALANCE — the worst cell bounds probe
+    # cost at a fixed nprobe, so report max/mean cell size both ways
+    t0 = time.time()
+    VS.build_ivf_store(spark, emb, "/tmp/ivf50x_t4", n_cells=16, train_iters=4)
+    build_t = time.time() - t0
+
+    def _balance(store: str) -> str:
+        sizes = [
+            r["n"]
+            for r in spark.read.parquet(store)
+            .groupBy("cell").agg(F.count("*").alias("n")).collect()
+        ]
+        return (f"{len(sizes)} cells, max {max(sizes)}, "
+                f"mean {sum(sizes) // len(sizes)}, "
+                f"imbalance {max(sizes) / (sum(sizes) / len(sizes)):.2f}x")
+
+    print(f"ivf_store_build[train_iters=4]  {build_t:.1f}s  spin={_spin()}",
+          flush=True)
+    print(f"  1-step balance: {_balance('/tmp/ivf50x')}", flush=True)
+    print(f"  4-iter balance: {_balance('/tmp/ivf50x_t4')}", flush=True)
+    _run(spark, "ivf_probe[t4,20q,nprobe=2]",
+         lambda: VS.ivf_probe(spark, "/tmp/ivf50x_t4", qs, k=3, nprobe=2))
     _run(spark, "neardup_pairs_numpy", lambda: S.neardup_pairs_numpy(emb))
     _run(spark, "d10_embedding_neardup",
          lambda: operators.QUERIES["d10_embedding_neardup"](spark, sf))
