@@ -2395,6 +2395,66 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+def simhash_pairs(
+    sim_df: DataFrame, max_hamming: int = 3, bands: int | None = None
+) -> DataFrame:
+    """COMPLETE Hamming-≤k near-dup pairs over a (doc_id, simhash)
+    frame (d08's output): split the SIMHASH_BITS bits into `bands`
+    equal slices with bands > max_hamming — two hashes within Hamming
+    distance k then agree EXACTLY on at least one band (pigeonhole),
+    so candidate recall is 1.0 BY CONSTRUCTION, unlike MinHash
+    banding's probabilistic S-curve. The classic web-scale simhash
+    dedup layout (Manku et al.'s near-duplicate detection): candidates
+    equi-join on (band, band_value), the popcount verify is in-row.
+
+    Returns (a_id, b_id, hamming), a_id < b_id. Scale shape: the only
+    shuffle keys on (band, value) — bucket-join, never all-pairs; the
+    exploded frame is `bands` rows per doc of three integers. Skewed
+    buckets (a boilerplate band value shared corpus-wide) are the
+    same quadratic hazard as LSH buckets — at 100 TB drive this
+    through chunked_self_join or a bucket cap exactly like d07."""
+    bands = bands if bands is not None else max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole completeness guarantee"
+        )
+    if SIMHASH_BITS % bands:
+        raise ValueError(f"bands={bands} must divide SIMHASH_BITS={SIMHASH_BITS}")
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+            for b in range(bands)
+        ]
+    )
+    ex = sim_df.select("doc_id", "simhash", F.explode(slices).alias("s")).select(
+        "doc_id", "simhash", F.col("s.band").alias("band"), F.col("s.v").alias("v")
+    )
+    a = ex.select(
+        F.col("band"), F.col("v"),
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"),
+    )
+    b = ex.select(
+        F.col("band"), F.col("v"),
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"),
+    )
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        a.join(b, ["band", "v"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     k: int,

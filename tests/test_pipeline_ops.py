@@ -326,3 +326,39 @@ def test_doc_and_group_band_sigs_agree(spark):
     }
     assert doc_sigs, "no signatures produced"
     assert doc_sigs == group_sigs
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark):
+    """The pigeonhole guarantee, checked exhaustively: banded simhash
+    candidates + popcount verify must find EXACTLY the brute-force
+    set of Hamming-<=3 pairs over the corpus's d08 hashes — recall
+    1.0 by construction (unlike MinHash banding), precision 1.0 from
+    the verify."""
+    from indexr_spark import operators
+    from indexr_spark.operators.text import simhash_pairs
+
+    sim = operators.QUERIES["d08_simhash"](spark, SMOKE_SF)
+    rows = {r.doc_id: r.simhash for r in sim.collect()}
+    ids = sorted(rows)
+    want = {
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    got = {(r.a_id, r.b_id, r.hamming) for r in simhash_pairs(sim).collect()}
+    assert got == want
+    assert want, "corpus has no Hamming-<=3 simhash pairs — vacuous test"
+
+
+def test_simhash_pairs_parameter_guards(spark):
+    import pytest
+
+    from indexr_spark import operators
+    from indexr_spark.operators.text import simhash_pairs
+
+    sim = operators.QUERIES["d08_simhash"](spark, SMOKE_SF).limit(10)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(sim, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(sim, max_hamming=3, bands=5)
