@@ -2435,22 +2435,48 @@ def simhash_pairs(
     ex = sim_df.select("doc_id", "simhash", F.explode(slices).alias("s")).select(
         "doc_id", "simhash", F.col("s.band").alias("band"), F.col("s.v").alias("v")
     )
-    a = ex.select(
-        F.col("band"), F.col("v"),
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"),
+    # chunked_self_join, NOT a plain (band, v) self-join: band values
+    # are only `width` bits, so buckets are corpus_size/2^width on
+    # AVERAGE and far worse on dup-heavy corpora (identical hashes
+    # share every band) — a plain join serializes each bucket's
+    # quadratic pair generation into one task (measured: >400 s at
+    # 50k docs; the valve brings the same output to ~80 s). Same
+    # remedy as d07/d10.
+    j = chunked_self_join(ex, ["band", "v"], order_col="doc_id")
+    # orientation: chunked emission order is not normalized; hamming
+    # is symmetric, so normalize ids with least/greatest
+    pairs = j.select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        F.col("a.band").alias("band"),  # == b.band (the join key)
+        F.col("a.simhash").alias("a_sh"),
+        F.col("b.simhash").alias("b_sh"),
     )
-    b = ex.select(
-        F.col("band"), F.col("v"),
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"),
+    # FIRST-MATCH-BAND dedup (d07's trick, but fully in-row because
+    # both hashes ride the joined row): a pair emits only from the
+    # LOWEST band where the two hashes agree — every lower band must
+    # differ — so each pair appears exactly once and the 100M-row
+    # dropDuplicates shuffle disappears (measured 77.9 s → 55.6 s at
+    # 10x for the same 115,487,305 pairs — the dup-heavy corpus's
+    # output is itself quadratic in family sizes, so emission
+    # dominates what remains). Band slices via the d08
+    # floor-div trick: shiftright needs a literal, the lambda's j is
+    # a column, and (h / 2^(j·width)) is exact in doubles for h < 2^32.
+    def _slice(col, j):
+        return (
+            (col / F.pow(F.lit(2.0), j * width)).cast("long") % F.lit(mask + 1)
+        )
+
+    lower_all_differ = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        F.forall(
+            F.sequence(F.lit(0), F.col("band") - 1),
+            lambda jj: _slice(F.col("a_sh"), jj) != _slice(F.col("b_sh"), jj),
+        )
     )
     ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (
-        a.join(b, ["band", "v"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
-        .dropDuplicates(["a_id", "b_id"])
-        .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter((F.col("hamming") <= max_hamming) & lower_all_differ)
         .select("a_id", "b_id", "hamming")
     )
 
