@@ -2100,39 +2100,82 @@ ORDER BY source
 """
 
 
-def d27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame, min_count: int = 1, top_k: int | None = None
+) -> DataFrame:
     """Perplexity-proxy quality scoring: a corpus unigram LM
     (p(t) = count(t)/total) scores every document by its mean
     negative log-probability; the exp of that is the document's
     unigram perplexity. The standard cheap stand-in for model-based
     quality filtering (CCNet-style) when no LM checkpoint is in the
-    loop.
+    loop. `docs` needs (doc_id, text).
 
-    Shape: one map-combined aggregation builds the LM (|vocab| rows —
-    tiny relative to any corpus), which is explicitly BROADCAST back
-    onto the exploded token stream, so scoring is a map-side join plus
-    one aggregation keyed by doc_id. At 100 TB the LM for a trained
-    tokenizer's vocab is a few MB — the broadcast is the whole point;
-    the corpus itself is never shuffled on a token key."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    Vocabulary control — the 100 TB posture: a RAW-token vocabulary
+    grows with the corpus (Heaps' law: web scale ⇒ billions of
+    distinct tokens), so the capped form is the deployment form.
+    Tokens below `min_count` occurrences, or outside the `top_k` most
+    frequent, are folded into a single OOV event whose probability is
+    the dropped tokens' total mass / total — probabilities still sum
+    to 1, kept-token probabilities are UNCHANGED by capping, and
+    singleton tokens (garbage estimates anyway) stop inflating the
+    vocab. With `top_k` set the LM is bounded BY CONSTRUCTION, so the
+    scoring join forces a broadcast; with only `min_count` the bound
+    is statistical, and with neither (the default, oracle-comparable
+    form) the vocab is unbounded — both of those leave the join side
+    to AQE's runtime stats instead of forcing a hint that would OOM
+    on a billion-row LM.
+
+    Shape: one map-combined aggregation builds the LM, scoring is a
+    join back onto the exploded token stream plus one aggregation
+    keyed by doc_id — two corpus passes in every form. The capped
+    form localCheckpoints the |vocab|-row counts so the rank/limit,
+    the two scalar totals (1 driver row each — driver-sized by
+    contract) and the kept-LM filter all read the materialized counts
+    instead of re-exploding the corpus."""
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    # total corpus tokens as a whole-frame window over the LM itself:
-    # a separate counts.agg() subtree would RE-SCAN and re-explode the
-    # corpus just to sum |vocab| numbers (no CSE across DataFrame
-    # reuse — the first EXPLAIN.md snapshot showed the third corpus
-    # pass). The unpartitioned window funnels only the |vocab|-row LM
-    # through one partition, which is exactly the driver-side-small
-    # contract the broadcast below already assumes.
-    from pyspark.sql import Window as W
+    capped = min_count > 1 or top_k is not None
+    if not capped:
+        # total corpus tokens as a whole-frame window over the LM
+        # itself: a separate counts.agg() subtree would RE-SCAN and
+        # re-explode the corpus just to sum |vocab| numbers (no CSE
+        # across DataFrame reuse — the first EXPLAIN.md snapshot
+        # showed the third corpus pass). The unpartitioned window
+        # funnels only the |vocab|-row LM through one partition.
+        from pyspark.sql import Window as W
 
-    total = F.sum("c").over(W.partitionBy())
-    lm = counts.select(
-        "tok", F.log(F.col("c").cast("double") / total).alias("logp")
-    )
+        total = F.sum("c").over(W.partitionBy())
+        lm = counts.select(
+            "tok", F.log(F.col("c").cast("double") / total).alias("logp")
+        )
+        scored = toks.join(lm, "tok").select("doc_id", "logp")
+    else:
+        if top_k is not None and top_k < 1:
+            raise ValueError(f"top_k={top_k} must be >= 1")
+        import math
+
+        counts = counts.localCheckpoint()
+        kept = counts.filter(F.col("c") >= min_count)
+        if top_k is not None:
+            # TakeOrderedAndProject (distributed partial top-k), not a
+            # global row_number window — an unpartitioned rank would
+            # funnel the raw vocab through one task. Ties break on the
+            # token string so the cut is deterministic on any engine.
+            kept = kept.orderBy(F.desc("c"), "tok").limit(top_k)
+        total_n = int(counts.agg(F.sum("c")).collect()[0][0] or 0)
+        kept_n = int(kept.agg(F.sum("c")).collect()[0][0] or 0)
+        total_n = max(total_n, 1)
+        oov_logp = math.log(max(total_n - kept_n, 1) / total_n)
+        lm = kept.select(
+            "tok",
+            F.log(F.col("c").cast("double") / F.lit(float(total_n))).alias("logp"),
+        )
+        lm_side = F.broadcast(lm) if top_k is not None else lm
+        scored = toks.join(lm_side, "tok", "left").select(
+            "doc_id", F.coalesce(F.col("logp"), F.lit(oov_logp)).alias("logp")
+        )
     return (
-        toks.join(F.broadcast(lm), "tok")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(F.avg(-F.col("logp")), 6).alias("nll"),
@@ -2140,6 +2183,18 @@ def d27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def d27_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of `unigram_logprob`: the uncapped LM (floor=1,
+    no top-k) so the row is oracle-comparable — every token keeps its
+    exact corpus probability. The uncapped form does NOT force the LM
+    broadcast (its vocab is unbounded; AQE's runtime stats pick the
+    join side — at any benchable scale that resolves to the same
+    broadcast); the deployment form is `unigram_logprob(docs,
+    top_k=...)`, bounded by construction and broadcast-pinned
+    (tests/test_pipeline_ops.py)."""
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE["d27_unigram_logprob"] = f"""
@@ -2249,21 +2304,66 @@ def d29_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely in-row over the token array (nested higher-order
     functions — no explode, no shuffle, scan-parallel at any corpus
-    size), the same 100 TB posture as d16's repetition gates. Token
-    and distinct arrays are materialized as columns first: Catalyst
-    does not CSE subexpressions into lambda bodies (the d22 lesson),
-    so the per-distinct-token count lambda must reference a bound
-    column, not re-tokenize."""
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", tokens("text").alias("toks"), distinct_tokens("text").alias("dts")
+    size), the same 100 TB posture as d16's repetition gates.
+
+    Per-token counts come from SORTED-RUN boundaries — array_sort,
+    find the run-start positions, difference consecutive starts —
+    which is O(n log n) per doc. The obvious per-distinct
+    `filter(toks, x == t)` scan is O(n·n_distinct): harmless on this
+    corpus's 10–99-token docs, quadratic on the 100k-token documents
+    a real pipeline profiles BEFORE chunking (a true O(n) in-row count
+    map isn't expressible — Catalyst HOF accumulators are immutable,
+    so a fold-built map copies itself per element, which is the same
+    quadratic in disguise). tests/test_pipeline_ops.py pins the
+    bounded-time behavior on a 40k-token doc. Intermediate arrays are
+    materialized as columns first: Catalyst does not CSE
+    subexpressions into lambda bodies (the d22 lesson). Array access
+    is F.get (0-based, null out of range) — element_at throws under
+    ANSI, and boolean operators don't promise the short-circuit that
+    would dodge the i-1 = -1 probe on the first run boundary.
+
+    Entropy / TTR / hapax depend only on the MULTISET of counts, so
+    the sorted-run order (vs the oracle's first-occurrence order)
+    only reorders a float summation — divergence ~1e-15, absorbed by
+    round(·, 6) exactly like cross-engine ln ulp noise already is."""
+    return _entropy_profile_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _entropy_profile_frame(d: DataFrame) -> DataFrame:
+    """d29's per-frame body — (doc_id, text) in; the long-doc pytest
+    drives it directly on a synthetic 40k-token document."""
+    srt = F.array_sort("toks")
+    base = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.size("toks").alias("n"), srt.alias("srt")
     ).select(
         "doc_id",
-        F.size("toks").alias("n"),
-        F.size("dts").alias("nd"),
-        F.transform(
-            "dts", lambda t: F.size(F.filter("toks", lambda x: x == t))
-        ).alias("cnts"),
+        "n",
+        # run-start positions (0-based) in the sorted token array;
+        # n = 0 guarded explicitly — sequence(0, -1) is DESCENDING
+        # (the shingles lesson), not empty
+        F.when(
+            F.col("n") > 0,
+            F.filter(
+                F.sequence(F.lit(0), F.col("n") - 1),
+                lambda i: (i == 0) | (F.get("srt", i) != F.get("srt", i - 1)),
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("starts"),
+    ).select(
+        "doc_id",
+        "n",
+        F.size("starts").alias("nd"),
+        F.when(
+            F.size("starts") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.size("starts") - 1),
+                lambda p: F.coalesce(F.get("starts", p + 1), F.col("n"))
+                - F.get("starts", p),
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("cnts"),
     )
     p = lambda c: c.cast("double") / F.col("n")  # noqa: E731
     entropy = -F.aggregate(

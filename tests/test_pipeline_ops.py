@@ -65,6 +65,69 @@ def test_unigram_logprob_is_consistent_and_positive(spark):
         assert abs(r["ppl"] - math.exp(r["nll"])) <= 1e-4 * r["ppl"]
 
 
+def test_unigram_logprob_capped_vocab_and_oov_mass(spark):
+    """The capped LM's contract, hand-computed: kept tokens keep their
+    EXACT corpus probability (capping never re-normalizes them), every
+    dropped token scores as one OOV event carrying the dropped mass,
+    and min_count / top_k produce the same fold when they select the
+    same vocab."""
+    from indexr_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    # counts: a=3 b=2 c=1 d=1, total=7; top_k=2 and min_count=2 both
+    # keep {a, b} (kept mass 5) -> oov mass 2
+    la, lb, oov = math.log(3 / 7), math.log(2 / 7), math.log(2 / 7)
+    expect = {
+        1: -(2 * la + lb + oov) / 4,  # a a b c
+        2: -(la + lb + oov) / 3,  # a b d
+    }
+    for kwargs in ({"top_k": 2}, {"min_count": 2}):
+        rows = {r["doc_id"]: r for r in unigram_logprob(docs, **kwargs).collect()}
+        assert set(rows) == {1, 2}
+        for doc_id, nll in expect.items():
+            assert abs(rows[doc_id]["nll"] - nll) < 1e-6, (kwargs, doc_id)
+            assert abs(rows[doc_id]["ppl"] - math.exp(nll)) < 1e-4
+    # floor=1 (the registry default) scores c and d with their own
+    # singleton probability instead of the OOV fold
+    r1 = {r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()}
+    l1 = math.log(1 / 7)
+    assert abs(r1[1] - (-(2 * la + lb + l1) / 4)) < 1e-6
+    # degenerate cap refused, not silently empty
+    import pytest
+
+    with pytest.raises(ValueError):
+        unigram_logprob(docs, top_k=0)
+
+
+def test_entropy_profile_long_doc_bounded_time(spark):
+    """The sorted-run count path must stay tractable on the 100k-token
+    documents a real pipeline profiles before chunking — the r6 shape
+    (a filter scan per distinct token) was O(n·n_distinct) and took
+    minutes on a doc like this; the run-boundary form is O(n log n).
+    4k distinct tokens x 10 occurrences = 40k tokens; values verified
+    exactly (uniform distribution -> entropy ln(nd), hapax 0)."""
+    import time
+
+    nd, reps = 4000, 10
+    block = " ".join(f"t{i:05d}" for i in range(nd))
+    docs = spark.createDataFrame(
+        [(1, " ".join([block] * reps))], "doc_id long, text string"
+    )
+    from indexr_spark.operators.text import _entropy_profile_frame
+
+    t0 = time.time()
+    row = _entropy_profile_frame(docs).collect()[0]
+    elapsed = time.time() - t0
+    assert row["n_tokens"] == nd * reps
+    assert row["n_distinct"] == nd
+    assert abs(row["entropy"] - math.log(nd)) < 1e-4
+    assert row["hapax_ratio"] == 0.0
+    assert abs(row["ttr"] - 1 / reps) < 1e-6
+    assert elapsed < 60, f"long-doc entropy took {elapsed:.1f}s"
+
+
 def test_entropy_profile_respects_information_bounds(spark):
     rows = operators.QUERIES["d29_entropy_profile"](spark, SMOKE_SF).collect()
     for r in rows:
