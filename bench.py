@@ -161,6 +161,9 @@ HEADLINE = [
     "d28_incremental_dedup",
     "d29_entropy_profile",
     "d30_pipeline_funnel",
+    "d31_weighted_sample",
+    "d32_simhash_pairs",
+    "d33_neardup_incremental",
     "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",

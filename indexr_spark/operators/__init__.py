@@ -47,77 +47,79 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 
 # The driver scores only the first 50 registry entries per round, so
 # the window must hold (a) queries whose code changed since their last
-# green row — their old row no longer certifies HEAD — and (b) the
-# stalest green rows. Round-6 window (exactly 50):
-#   rule (a), 4 entries: d09_ngram_jaccard (refactored into the
-#   parametrized jaccard_pairs for the suggest_bands deployment run —
-#   same pinned constants, but the code path moved), and q17/q19/q39
-#   (the snapshot commit/read path changed: scoped copy-on-write
-#   upsert, files_of vacuum-race retry, _scan_paths managed-namespace
-#   restriction).
-#   rule (b): all 41 rows last scored in r4 (everything r5's window
-#   did not cover — the stalest, at 2 rounds if unscored in r6).
-#   last 5 slots: the round-6 additions (d27-d30, s12) — never
-#   driver-scored, so they outrank spare refreshes of r5-green
-#   flagships (those stay within the ≤1-round invariant unscored).
-# After this round every registry query is green in r5∪r6 with
-# <=1-round staleness.
+# green row — their old row no longer certifies HEAD — plus every
+# never-scored new operator, and (b) the stalest green rows, under the
+# staleness tiers REGISTRY.md defines (<=2 rounds by default, <=3 for
+# frozen-code rows explicitly deferred there). Round-7 window
+# (exactly 50):
+#   rule (a), 3 entries: d08_simhash (its body moved into the shared
+#   simhash_frame feeding d32), d27_unigram_logprob (min_count/top_k
+#   vocab cap + OOV mass), d29_entropy_profile (sorted-run counting
+#   replaced the per-distinct filter scan).
+#   new, 3 entries: d31_weighted_sample, d32_simhash_pairs (the two
+#   r6-verdict-flagged uncertified library operators),
+#   d33_neardup_incremental (the doc_band_sigs/neardup_against_store
+#   ingestion path).
+#   rule (b): 44 of the 46 rows last scored in r5 — all but d08
+#   (already in under rule a) and q03_scalar_expr, the one frozen-code
+#   deferral this round (relational.py untouched since its r5 green
+#   row; REGISTRY.md records it — due r8, tier-B 3-round ceiling).
+# After this round every registry query is green in r6∪r7 except
+# q03 (green r5, frozen, due r8).
 _PRIORITY = [
     # rule (a): code path changed since last green row
-    "d09_ngram_jaccard",
-    "q17_union_hybrid",
-    "q19_update_column_expr",
-    "q39_pruned_catalog_scan",
-    # rule (b): last scored r4 (41)
-    "d01_token_stats",
-    "d02_lang_id",
-    "d03_quality_score",
-    "d05_exact_dedup",
-    "d06_canonical_dedup",
-    "d09b_jaccard_allpairs",
-    "d09r_jaccard_recall",
-    "d11_bpe_tokens",
-    "d13_stratified_sample",
-    "d17_doc_chunking",
-    "d18_sequence_packing",
-    "d19_source_mixture",
-    "d20_cluster_keep_best",
-    "d21_tfidf_topterms",
-    "d24_quality_filter",
-    "d25_token_budget_sample",
-    "d26_source_regression",
-    "mm01_decode_metadata",
-    "mm02_frame_sample",
-    "mm03_resize_payload",
-    "mm04_feature_extract",
-    "mm05_audio_frames",
-    "q02_filter_scan",
-    "q25_asof_join",
-    "q27_salted_agg",
-    "q33_shipping_priority",
-    "q38_retention",
-    "q40_array_functions",
-    "q41_grouping_sets",
-    "q42_window_suite",
-    "q43_null_semantics",
-    "q44_date_functions",
-    "q45_string_functions",
-    "q46_scalar_subquery",
-    "q47_moment_stats",
-    "s01_cosine_topk",
-    "s02_embedding_pairs",
-    "s03_label_centroids",
-    "s07_exact_percentiles",
-    "s09_quantize_int8",
-    "s10_ann_recall",
-    # new in r6 — never driver-scored, so they outrank spare
-    # refreshes for the last 5 slots (the displaced flagships were
-    # scored green in r5 and stay within the ≤1-round invariant)
+    "d08_simhash",
     "d27_unigram_logprob",
-    "d28_incremental_dedup",
     "d29_entropy_profile",
-    "d30_pipeline_funnel",
-    "s12_kmeans_step",
+    # new in r7 — never driver-scored
+    "d31_weighted_sample",
+    "d32_simhash_pairs",
+    "d33_neardup_incremental",
+    # rule (b): last scored r5 (44 of 46; d08 above, q03 deferred)
+    "s11_neardup_numpy",
+    "d04_fingerprint",
+    "d14_normalize_text",
+    "d15_contamination",
+    "d16_repetition_stats",
+    "d22_bigram_counts",
+    "d23_ngram_contamination",
+    "q04_agg_having_limit_offset",
+    "q05_distinct_agg",
+    "q06_join_broadcast",
+    "q07_multi_join",
+    "q08_window_topk",
+    "q09_sort_limit_offset",
+    "q10_intersect",
+    "q11_except",
+    "q12_rollup",
+    "q13_date_agg",
+    "q14_conditional_agg",
+    "q15_window_running",
+    "q16_like_filters",
+    "q18_sql_embedded",
+    "q20_events_rollup",
+    "q21_sessionize",
+    "q22_events_hourly",
+    "q23_json_props",
+    "q24_events_pivot",
+    "q26_div_zero_compat",
+    "q28_cube",
+    "q29_anti_join",
+    "q30_correlated_avg",
+    "q31_outer_join",
+    "q32_semi_join",
+    "q34_range_join",
+    "q35_moving_avg",
+    "q36_latest_per_user",
+    "q37_funnel",
+    "s05_approx_stats",
+    "s08_hll_sketch_union",
+    "d10_embedding_neardup",
+    "d07_minhash_lsh",
+    "d12_dup_clusters",
+    "s04_ann_lsh_topk",
+    "s06_ivf_topk",
+    "q01_pricing_summary",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

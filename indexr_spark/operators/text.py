@@ -617,7 +617,14 @@ def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over distinct tokens: per bit j, sum +1/-1 over
     token hashes' bit j; bit set iff the sum is >= 0. Integer
     arithmetic end to end — exactly reproducible on both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    return simhash_frame(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def simhash_frame(d: DataFrame) -> DataFrame:
+    """d08's per-frame body, UNSORTED — (doc_id, text) in, (doc_id,
+    simhash) out. d32 feeds this straight into the banded pair join;
+    the trailing orderBy exists only for d08's oracle determinism and
+    would cost a pointless range exchange under the join."""
     # Shuffle economics: the whole simhash is computed within the row
     # (hash array → per-bit majority → bit recombination), so the
     # operator is embarrassingly parallel — zero shuffles; the
@@ -653,7 +660,7 @@ def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "simhash"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE["d08_simhash"] = f"""
@@ -2627,6 +2634,156 @@ def weighted_sample(
     )
 
 
+# d31's per-stratum sample size. Small enough that every source keeps
+# some selection pressure at sf0.01 (25 docs/source), large enough
+# that the A-ES ordering is exercised past its first pick.
+D31_SAMPLE_K = 5
+
+
+def d31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry certification of `weighted_sample` (Efraimidis–
+    Spirakis A-ES): the top-D31_SAMPLE_K docs per source by
+    key = ln(u)/n_chars with u the portable md5 uniform of doc_id.
+    Deterministic by construction, so the driver can value-hash the
+    selected rows against DuckDB running the identical arithmetic —
+    certifying the weight transform, the uniform, and the per-stratum
+    top-k cut in one row. Scale shape is weighted_sample's: one
+    window top-k per stratum, strata in parallel."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(d, D31_SAMPLE_K).orderBy("source", "doc_id")
+
+
+ORACLE["d31_weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, source, n_chars FROM ranked
+WHERE rn <= {D31_SAMPLE_K}
+ORDER BY source, doc_id
+"""
+
+
+# d32's Hamming radius: bands = radius + 1 slices of the 32-bit
+# simhash give pigeonhole-complete recall at this radius.
+D32_MAX_HAMMING = 3
+
+
+def d32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry certification of `simhash_pairs`: ALL document pairs
+    within Hamming distance D32_MAX_HAMMING of each other's 32-bit
+    SimHash (d08's hash), via the banded pigeonhole join. The oracle
+    is the brute-force all-pairs scan — a genuinely independent
+    check that the banding + first-match-band dedup reproduce the
+    exhaustive answer pair-for-pair (the pytest exhaustive-equality
+    test pinned this on a toy corpus; this row certifies it on the
+    driver's corpus every round). Scale shape is simhash_pairs':
+    candidates shuffle only on (band, slice-value) through
+    chunked_self_join — never all-pairs."""
+    sim = simhash_frame(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(
+        sim, max_hamming=D32_MAX_HAMMING, bands=D32_MAX_HAMMING + 1
+    ).orderBy("a_id", "b_id")
+
+
+ORACLE["d32_simhash_pairs"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, unnest(range(0, {SIMHASH_BITS})) AS bit, h FROM h
+), contrib AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM bits
+), sums AS (
+  SELECT doc_id, bit, sum(contrib) AS s FROM contrib GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.simhash, b.simhash)) <= {D32_MAX_HAMMING}
+ORDER BY a_id, b_id
+"""
+
+
+# d33's MinHash-estimated-Jaccard gate — the library default (0.5 ≈
+# "more seeds agree than not"), exactly representable as k/16 so the
+# Spark and DuckDB comparisons see identical doubles.
+D33_EST_THRESHOLD = 0.5
+
+
+def d33_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry certification of the incremental near-dup ingestion
+    path (`doc_band_sigs` + `neardup_against_store`): the signature
+    STORE is built from the single-digit sources (src0–src9), the
+    incoming BATCH from the double-digit ones (src10–src19), and the
+    row is every (batch doc, store doc) pair whose band signatures
+    collide and whose MinHash-estimated Jaccard clears
+    D33_EST_THRESHOLD. This is the production shape of streaming
+    near-dup (neardup_store_sink's per-batch join) certified
+    end-to-end against DuckDB re-deriving the same minhashes, the
+    same 4x4 banding, the same candidate join, and the same
+    agreeing-seeds estimate from the raw text. Scale shape: the only
+    shuffle keys on (band, sig); the store side is bucketable on
+    exactly that key, making ingestion near-dup shuffle-free on the
+    100 TB side (neardup_against_store's docstring argues the
+    topology; this row pins the semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    store = doc_band_sigs(d.filter(F.length("source") == 4))
+    batch = doc_band_sigs(d.filter(F.length("source") == 5))
+    return neardup_against_store(
+        batch, store, est_threshold=D33_EST_THRESHOLD
+    ).orderBy("doc_id", "store_id")
+
+
+ORACLE["d33_neardup_incremental"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, source, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok
+), seeded AS (
+  SELECT doc_id, source, h, unnest(range(0, {MINHASH_SEEDS})) AS seed FROM h
+), mh AS (
+  SELECT doc_id, source, seed,
+         min((h * (999961 + 2 * seed) + 997 * (seed + 1)) % {MINHASH_P}) AS minh
+  FROM seeded GROUP BY doc_id, source, seed
+), sigs AS (
+  SELECT doc_id, source, seed // {MINHASH_SEEDS // JACCARD_BANDS} AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, source, band
+), cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, s.doc_id AS store_id
+  FROM sigs b JOIN sigs s ON b.band = s.band AND b.sig = s.sig
+  WHERE length(b.source) = 5 AND length(s.source) = 4
+), agree AS (
+  SELECT c.doc_id, c.store_id,
+         sum(CASE WHEN mb.minh = ms.minh THEN 1 ELSE 0 END) AS a
+  FROM cand c
+  JOIN mh mb ON mb.doc_id = c.doc_id
+  JOIN mh ms ON ms.doc_id = c.store_id AND ms.seed = mb.seed
+  GROUP BY c.doc_id, c.store_id
+)
+SELECT doc_id, store_id,
+       round(a / {MINHASH_SEEDS}.0, 6) AS est_jaccard
+FROM agree
+WHERE a / {MINHASH_SEEDS}.0 >= {D33_EST_THRESHOLD}
+ORDER BY doc_id, store_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -2659,4 +2816,7 @@ QUERIES = {
     "d28_incremental_dedup": d28_incremental_dedup,
     "d29_entropy_profile": d29_entropy_profile,
     "d30_pipeline_funnel": d30_pipeline_funnel,
+    "d31_weighted_sample": d31_weighted_sample,
+    "d32_simhash_pairs": d32_simhash_pairs,
+    "d33_neardup_incremental": d33_neardup_incremental,
 }

@@ -383,6 +383,30 @@ def test_pipeline_ops_minimum_shuffle_shapes(spark):
     assert counts["d28_incremental_dedup"]["ex"] <= 4
 
 
+def test_d31_d32_plan_shapes(spark):
+    """The r7 certification rows keep their library functions' scale
+    shapes: d31 (A-ES weighted sample) is one scan + the per-stratum
+    window shuffle + the oracle ordering — no join at all; d32
+    (banded simhash pairs) shuffles candidates only on (band, value)
+    through chunked_self_join — two scans of the exploded frame, a
+    size-decided join, and NEVER a cartesian product (the all-pairs
+    shape the banding exists to avoid)."""
+    import re
+
+    plan = plan_of(spark, "d31_weighted_sample")
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+    assert "Join" not in plan, plan
+
+    plan = plan_of(spark, "d32_simhash_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+    # the verify predicate (popcount + first-match-band) is in-row —
+    # no post-join shuffle for pair dedup
+    assert "dropDuplicates" not in plan and "Deduplicate" not in plan, plan
+
+
 def test_unigram_logprob_capped_plan_broadcasts_bounded_lm(spark):
     """The deployment form (top_k set ⇒ LM bounded by construction)
     forces the broadcast and never sorts-merges the token stream; the
