@@ -698,6 +698,60 @@ def upsert_snapshot(
     return v
 
 
+def delete_matching(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    sort_by: list[str] | None = None,
+) -> int:
+    """Copy-on-write DELETE of every row whose `key_cols` match a row
+    in `keys` — upsert_snapshot's scoping with anti-join-only output:
+    files whose sidecar key ranges are provably disjoint from the
+    delete set carry into the new manifest untouched; only possibly-
+    matching files are read and rewritten without the matches. When
+    no live file can hold a match the table version does not even
+    advance (a delete of nothing is a no-op, not an empty commit).
+
+    Scale posture: rewrite cost ∝ files whose key range overlaps the
+    delete set, so tables clustered on the key (sort_by at write — the
+    cleaning sink sorts each batch by its canonical hash for exactly
+    this reason) localize the rewrite; an unclustered table degrades
+    soundly to a full rewrite, never to a wrong answer. Same
+    ConcurrentSnapshotConflict contract as upsert_snapshot: the
+    survivors derive from the base version's DATA, so an interleaved
+    commit makes them stale and the commit refuses."""
+    base = latest_version(path)
+    if base == 0:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    live = files_of(path, base)
+    ranges = _update_key_ranges(keys, key_cols)
+    # an all-null (or empty) delete set can never equality-match a row
+    # — _overlapping_files reads an unknown range as "may match" (right
+    # for upserts, which still insert), but a delete of nothing is a
+    # no-op, not a full-table rewrite
+    if any(mn is None for mn, _ in ranges.values()):
+        return base
+    touched = _overlapping_files(path, live, ranges)
+    if not touched:
+        return base
+    untouched = sorted(set(live) - set(touched))
+    target = spark.read.parquet(*_scan_paths(path, touched))
+    # plain equality, NOT eqNullSafe: _overlapping_files' file-skip
+    # proof relies on null keys never join-matching (a skipped
+    # disjoint-range file may still hold null-keyed rows)
+    cond = [target[k] == keys[k] for k in key_cols]
+    survivors = target.join(keys, cond, "left_anti")
+    new_files = _write_data_files(survivors, path, sort_by)
+    try:
+        v = _commit(path, untouched + new_files, expect_parent=base)
+    except BaseException:
+        _clear_inflight(path, new_files)  # dead write: see write_snapshot
+        raise
+    _clear_inflight(path, new_files)
+    return v
+
+
 def scoped_merge_plan(
     spark: SparkSession,
     path: str,

@@ -1,6 +1,8 @@
 """The streaming cleaning funnel: quality gate → in-batch canonical
-dedup → store anti-join → snapshot append with per-epoch counters in
-manifest meta (streaming/pipeline.py)."""
+dedup → cross-source decontamination (incremental census) → store
+anti-join → snapshot append with per-epoch counters in manifest meta
+(streaming/pipeline.py), plus the retroactive decontaminate_table
+maintenance job."""
 
 from __future__ import annotations
 
@@ -12,7 +14,9 @@ from pyspark.sql import functions as F
 from indexr_spark.sources.snapshots import read_snapshot
 from indexr_spark.streaming.pipeline import (
     CANON_COL,
+    census_dir_for,
     cleaning_pipeline_sink,
+    decontaminate_table,
     pipeline_history,
 )
 
@@ -37,8 +41,10 @@ def test_cleaning_pipeline_stream_end_to_end(spark, tmp_path):
     src = str(tmp_path / "in")
     table = str(tmp_path / "clean")
     os.makedirs(src)
-    # batch 1: one good doc, one word-order variant (canonical dup in
-    # batch), one too-short (quality fail)
+    # batch 1: one good doc with a word-order variant under ANOTHER
+    # source (canonical dup in batch AND cross-source contamination —
+    # the winner itself must be dropped, exactly like batch d30), and
+    # one too-short doc (quality fail)
     _write_batch(src, "a.jsonl", [
         (1, GOOD, "s0"),
         (2, " ".join(reversed(GOOD.split())), "s1"),  # same token set
@@ -56,24 +62,39 @@ def test_cleaning_pipeline_stream_end_to_end(spark, tmp_path):
     try:
         q.processAllAvailable()
         got1 = read_snapshot(spark, table)
-        assert sorted(r.doc_id for r in got1.collect()) == [1]
+        # the GOOD hash is multi-source from the start: contaminated,
+        # so even its dedup winner does not land
+        assert sorted(r.doc_id for r in got1.collect()) == []
         assert CANON_COL in got1.columns  # hash persisted for later batches
 
-        # batch 2: a cross-batch canonical dup of doc 1 + a novel good doc
+        # batch 2: the same canonical text under yet another source
+        # (census-contaminated) + a novel good doc
         _write_batch(src, "b.jsonl", [
             (10, GOOD, "s2"),
             (11, GOOD2, "s2"),
         ])
         q.processAllAvailable()
-        assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [1, 11]
+        assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [11]
     finally:
         q.stop()
 
     # the funnel is auditable from the table alone
     hist = {r.version: r for r in pipeline_history(spark, table).collect()}
     v1, v2 = sorted(hist)
-    assert (hist[v1].n_total, hist[v1].n_quality, hist[v1].n_dedup, hist[v1].n_final) == (3, 2, 1, 1)
-    assert (hist[v2].n_total, hist[v2].n_quality, hist[v2].n_dedup, hist[v2].n_final) == (2, 2, 2, 1)
+    assert (
+        hist[v1].n_total, hist[v1].n_quality, hist[v1].n_dedup,
+        hist[v1].n_decontam, hist[v1].n_final,
+    ) == (3, 2, 1, 0, 0)
+    assert (
+        hist[v2].n_total, hist[v2].n_quality, hist[v2].n_dedup,
+        hist[v2].n_decontam, hist[v2].n_final,
+    ) == (2, 2, 2, 1, 1)
+
+    # the census recorded every (hash, source) pair, quality-failed
+    # docs included (a low-quality copy still contaminates its hash)
+    census = read_snapshot(spark, census_dir_for(table))
+    # (hG,s0) (hG,s1) (hshort,s0) from batch 1; (hG,s2) (hG2,s2) from 2
+    assert census.count() == 5
 
     # replayed epoch: counters and contents unchanged (exactly-once)
     sink = cleaning_pipeline_sink(table, app_id="p1")
@@ -81,14 +102,15 @@ def test_cleaning_pipeline_stream_end_to_end(spark, tmp_path):
         spark.createDataFrame([(99, GOOD2, "s9")], SCHEMA),
         0,  # stale epoch
     )
-    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [1, 11]
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [11]
 
 
 def test_cleaning_pipeline_matches_batch_funnel_semantics(spark, tmp_path):
     """Stream the sf0.001 documents through the pipeline in ONE batch:
-    the survivors must be exactly d30's final set (same gates, same
-    canonical dedup, no store — first epoch), pinning the streaming
-    and batch implementations of the funnel to one semantics."""
+    the survivors must be exactly d30's final set per source (same
+    gates, same canonical dedup, same cross-source decontamination —
+    no store, first epoch), pinning the streaming and batch
+    implementations of the funnel to ONE semantics."""
     from indexr_spark import operators
     from indexr_spark.tables import load_table
     from tests.conftest import SMOKE_SF
@@ -107,14 +129,49 @@ def test_cleaning_pipeline_matches_batch_funnel_semantics(spark, tmp_path):
         r.source: r.n for r in
         got.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
-    # d30's n_final additionally drops cross-SOURCE dups; the stream's
-    # first-wins keeps one doc per canonical hash regardless of source,
-    # so the stream's per-source totals must be >= d30's n_final and
-    # its global total must equal d30's n_dedup total (one survivor
-    # per quality-passing canonical hash)
-    assert got.count() == sum(f.n_dedup for f in funnel.values())
+    assert got.count() == sum(f.n_final for f in funnel.values())
     for s, f in funnel.items():
-        assert per_source.get(s, 0) >= f.n_final
+        assert per_source.get(s, 0) == f.n_final, s
+    # and the epoch counters agree with d30's totals stage by stage
+    hist = pipeline_history(spark, table).collect()[-1]
+    assert hist.n_total == sum(f.n_total for f in funnel.values())
+    assert hist.n_quality == sum(f.n_quality for f in funnel.values())
+    assert hist.n_dedup == sum(f.n_dedup for f in funnel.values())
+    assert hist.n_decontam == sum(f.n_final for f in funnel.values())
+
+
+def test_decontaminate_table_retroactive(spark, tmp_path):
+    """A doc admitted BEFORE its hash turned multi-source is the
+    sink's blind spot by construction (a stream cannot see the
+    future); decontaminate_table is the maintenance job that closes
+    it from the census. Also pins the no-op contract: a clean table
+    keeps its version."""
+    from indexr_spark.sources.snapshots import latest_version
+
+    table = str(tmp_path / "clean")
+    sink = cleaning_pipeline_sink(table, app_id="r1")
+    sink(spark.createDataFrame([(1, GOOD, "s0"), (2, GOOD2, "s0")], SCHEMA), 0)
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [1, 2]
+
+    # nothing contaminated yet: no-op, version unchanged
+    v_before = latest_version(table)
+    assert decontaminate_table(spark, table) == v_before
+
+    # the GOOD hash turns multi-source in a later epoch; the incoming
+    # copy is refused at ingest, but doc 1 is already stored
+    sink(
+        spark.createDataFrame(
+            [(10, " ".join(reversed(GOOD.split())), "s1")], SCHEMA
+        ),
+        1,
+    )
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [1, 2]
+
+    v = decontaminate_table(spark, table)
+    assert v > v_before
+    assert sorted(r.doc_id for r in read_snapshot(spark, table).collect()) == [2]
+    # idempotent: a second run finds nothing left to drop
+    assert decontaminate_table(spark, table) == v
 
 
 def test_pipeline_table_survives_maintenance(spark, tmp_path):
@@ -136,8 +193,9 @@ def test_pipeline_table_survives_maintenance(spark, tmp_path):
     assert files_after <= files_before
     vacuum(table, keep_versions=1, min_age_s=0)
 
-    # the compacted + vacuumed store still rejects canonical dups and
-    # admits novel docs — and the epoch guard survived the maintenance
+    # the compacted + vacuumed store still rejects canonical dups
+    # (doc 10's hash is now multi-source AND in-store) and admits
+    # novel docs — and the epoch guard survived the maintenance
     # (vacuum folds retired epochs into the meta watermark)
     sink(
         spark.createDataFrame(
