@@ -53,6 +53,7 @@ def chunked_self_join(
     order_col: str,
     chunk_col: str | Column | None = None,
     n_chunks: int | None = None,
+    repartition_probe: bool = False,
 ) -> DataFrame:
     """Self-join `df` on `key_cols` emitting each unordered pair of
     distinct rows exactly once, with per-key quadratic generation
@@ -63,17 +64,31 @@ def chunked_self_join(
     per row within a key group (it halves same-chunk pairs and kills
     self-pairs). `chunk_col` defaults to `order_col`; `n_chunks`
     defaults to the session's default parallelism.
+
+    `repartition_probe` shuffles the replicated side onto the exact
+    join keys (key_cols + chunk). Pass True when `df` arrives POORLY
+    PARTITIONED (e.g. a small parquet scan or a 1-partition
+    checkpoint): under a broadcast join nothing else distributes the
+    probe, so the valve otherwise degrades to ONE serial task
+    (measured on the simhash banded join at sf0.1: 5.4 s serial vs
+    1.4 s repartitioned for the same 8.7M candidates). Leave False
+    when `df` is already well-partitioned — the exchange is pure
+    added cost there, and it compounds in iterative consumers whose
+    lineage re-executes the join (measured: d12's connected
+    components at 10x regressed 32 s -> 83 s with the exchange forced
+    on its already-shuffled checkpointed signatures).
     """
     spark = df.sparkSession
     C = n_chunks or spark.sparkContext.defaultParallelism
     chunk = F.pmod(
         F.xxhash64(chunk_col if chunk_col is not None else order_col), F.lit(C)
     ).cast("int")
-    a = (
-        df.withColumn(CHUNK_A, chunk)
-        .withColumn(CHUNK_B, F.explode(F.sequence(F.col(CHUNK_A), F.lit(C - 1))))
-        .alias("a")
+    a = df.withColumn(CHUNK_A, chunk).withColumn(
+        CHUNK_B, F.explode(F.sequence(F.col(CHUNK_A), F.lit(C - 1)))
     )
+    if repartition_probe:
+        a = a.repartition(*key_cols, CHUNK_B)
+    a = a.alias("a")
     b = df.withColumn(CHUNK_B, chunk).alias("b")
     same_key = reduce(
         Column.__and__,

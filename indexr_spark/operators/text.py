@@ -907,20 +907,34 @@ def neardup_against_store(
                 max_bucket,
             )
             store = store.join(F.broadcast(over), ["band", "sig"], "left_anti")
+    # THIN-pair candidate dedup: the band join emits one row per
+    # colliding band, so pairs must dedup — but deduping rows that
+    # carry both 16-long minhash arrays shuffles candidate_count x
+    # 2x16 longs (measured 9.6 s at sf0.1's 14M candidates). Emitting
+    # (doc_id, store_id) ONLY, deduping thin, and re-attaching the two
+    # arrays afterwards from doc-count-sized side maps runs the same
+    # semantics at 3.0 s. (The in-row first-match-band trick that
+    # kills this shuffle entirely in simhash_pairs measured SLOWER
+    # here — 15 s — because deriving "did band j collide" from the
+    # arrays costs interpreted slice/forall HOFs per candidate,
+    # whereas simhash band slices are two integer ops.) The batch map
+    # broadcasts by contract (a micro-batch); the store map is left
+    # to AQE — corpus-sized at 100 TB, where it joins the deduped
+    # pairs hash-on-store_id (bucketable, like the store itself).
     cand = (
-        batch_sigs.select("band", "sig", F.col("doc_id"), F.col("mhs"))
+        batch_sigs.select("band", "sig", "doc_id")
         .join(
-            store.select(
-                "band",
-                "sig",
-                F.col("doc_id").alias("store_id"),
-                F.col("mhs").alias("store_mhs"),
-            ),
+            store.select("band", "sig", F.col("doc_id").alias("store_id")),
             ["band", "sig"],
         )
-        .select("doc_id", "store_id", "mhs", "store_mhs")
+        .select("doc_id", "store_id")
         .dropDuplicates(["doc_id", "store_id"])
     )
+    batch_map = batch_sigs.select("doc_id", "mhs").dropDuplicates(["doc_id"])
+    store_map = store_sigs.select(
+        F.col("doc_id").alias("store_id"), F.col("mhs").alias("store_mhs")
+    ).dropDuplicates(["store_id"])
+    cand = cand.join(F.broadcast(batch_map), "doc_id").join(store_map, "store_id")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("mhs"), F.col("store_mhs"), lambda a, b: a == b),
@@ -2529,6 +2543,16 @@ def simhash_pairs(
     if SIMHASH_BITS % bands:
         raise ValueError(f"bands={bands} must divide SIMHASH_BITS={SIMHASH_BITS}")
     width = SIMHASH_BITS // bands
+    # Materialize the narrow (doc_id, simhash) frame BEFORE the join:
+    # when sim_df arrives as an unevaluated expression chain (d08's
+    # per-token md5 + 32-bit majority HOFs), Catalyst substitutes that
+    # whole chain into every downstream reference — the join condition
+    # and the verify filter then re-derive the simhash FROM THE TOKENS
+    # per candidate row (measured: 8.7M candidates at sf0.1 took
+    # 8.65 s un-checkpointed vs 0.44 s checkpointed — a 20x tax). Two
+    # longs per doc, so the pin is corpus-row-sized, not corpus-sized
+    # — the production shape persists the simhash column anyway.
+    sim_df = sim_df.select("doc_id", "simhash").localCheckpoint()
     mask = (1 << width) - 1
     slices = F.array(
         *[
@@ -2549,7 +2573,13 @@ def simhash_pairs(
     # quadratic pair generation into one task (measured: >400 s at
     # 50k docs; the valve brings the same output to ~80 s). Same
     # remedy as d07/d10.
-    j = chunked_self_join(ex, ["band", "v"], order_col="doc_id")
+    # repartition_probe: the exploded frame descends from the narrow
+    # checkpoint (often 1 partition at small scale) and the join
+    # broadcasts, so without it the whole candidate probe serializes
+    # into one task (joins.py documents the measured 4x)
+    j = chunked_self_join(
+        ex, ["band", "v"], order_col="doc_id", repartition_probe=True
+    )
     # orientation: chunked emission order is not normalized; hamming
     # is symmetric, so normalize ids with least/greatest
     pairs = j.select(
@@ -2742,8 +2772,14 @@ def d33_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB side (neardup_against_store's docstring argues the
     topology; this row pins the semantics)."""
     d = load_table(spark, sf_dir, "documents")
-    store = doc_band_sigs(d.filter(F.length("source") == 4))
-    batch = doc_band_sigs(d.filter(F.length("source") == 5))
+    # checkpoint both signature frames: in production the store side
+    # is a persisted table and the batch side a materialized
+    # micro-batch — and un-pinned, the minhash expression chain gets
+    # substituted into the candidate join's downstream consumers
+    # (the simhash_pairs hazard; sig rows are 16 longs + 2 ints, so
+    # the pin is row-sized)
+    store = doc_band_sigs(d.filter(F.length("source") == 4)).localCheckpoint()
+    batch = doc_band_sigs(d.filter(F.length("source") == 5)).localCheckpoint()
     return neardup_against_store(
         batch, store, est_threshold=D33_EST_THRESHOLD
     ).orderBy("doc_id", "store_id")

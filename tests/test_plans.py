@@ -401,10 +401,19 @@ def test_d31_d32_plan_shapes(spark):
 
     plan = plan_of(spark, "d32_simhash_pairs")
     assert "CartesianProduct" not in plan, plan
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+    # the (doc_id, simhash) frame is checkpointed before banding (the
+    # expression-substitution hazard: un-pinned, the join condition
+    # re-derives the simhash from the tokens per candidate row — a
+    # measured 20x tax), so the join children scan the RDD, not parquet
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
     # the verify predicate (popcount + first-match-band) is in-row —
     # no post-join shuffle for pair dedup
     assert "dropDuplicates" not in plan and "Deduplicate" not in plan, plan
+    # the chunk valve only parallelizes if the replicated side is
+    # actually partitioned by (key, chunk) — under a broadcast join
+    # nothing else shuffles it (the serial-probe regression)
+    assert re.search(r"hashpartitioning\(band#\d+, v#\d+L, __chunk_b#\d+", plan), plan
 
 
 def test_unigram_logprob_capped_plan_broadcasts_bounded_lm(spark):
