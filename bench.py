@@ -164,6 +164,7 @@ HEADLINE = [
     "d31_weighted_sample",
     "d32_simhash_pairs",
     "d33_neardup_incremental",
+    "d34_bpe_merges",
     "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",

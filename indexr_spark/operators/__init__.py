@@ -56,16 +56,19 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 #   simhash_frame feeding d32), d27_unigram_logprob (min_count/top_k
 #   vocab cap + OOV mass), d29_entropy_profile (sorted-run counting
 #   replaced the per-distinct filter scan).
-#   new, 3 entries: d31_weighted_sample, d32_simhash_pairs (the two
+#   new, 4 entries: d31_weighted_sample, d32_simhash_pairs (the two
 #   r6-verdict-flagged uncertified library operators),
 #   d33_neardup_incremental (the doc_band_sigs/neardup_against_store
-#   ingestion path).
-#   rule (b): 44 of the 46 rows last scored in r5 — all but d08
-#   (already in under rule a) and q03_scalar_expr, the one frozen-code
-#   deferral this round (relational.py untouched since its r5 green
-#   row; REGISTRY.md records it — due r8, tier-B 3-round ceiling).
+#   ingestion path), d34_bpe_merges (distributed BPE training —
+#   rows-only: no SQL oracle, certified by test_bpe.py's plain-Python
+#   reference implementation).
+#   rule (b): 43 of the 46 rows last scored in r5 — all but d08
+#   (already in under rule a) and the two frozen-code tier-B
+#   deferrals q03_scalar_expr + q10_intersect (relational.py
+#   untouched since their r5 green rows; REGISTRY.md records both —
+#   due r8, 3-round ceiling).
 # After this round every registry query is green in r6∪r7 except
-# q03 (green r5, frozen, due r8).
+# q03/q10 (green r5, frozen, due r8).
 _PRIORITY = [
     # rule (a): code path changed since last green row
     "d08_simhash",
@@ -75,7 +78,8 @@ _PRIORITY = [
     "d31_weighted_sample",
     "d32_simhash_pairs",
     "d33_neardup_incremental",
-    # rule (b): last scored r5 (44 of 46; d08 above, q03 deferred)
+    "d34_bpe_merges",
+    # rule (b): last scored r5 (43 of 46; d08 above, q03/q10 deferred)
     "s11_neardup_numpy",
     "d04_fingerprint",
     "d14_normalize_text",
@@ -89,7 +93,6 @@ _PRIORITY = [
     "q07_multi_join",
     "q08_window_topk",
     "q09_sort_limit_offset",
-    "q10_intersect",
     "q11_except",
     "q12_rollup",
     "q13_date_agg",

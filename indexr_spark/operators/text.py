@@ -2820,6 +2820,200 @@ ORDER BY doc_id, store_id
 """
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    min_freq: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
+    standard subword algorithm): start from characters (+ an
+    end-of-word marker), repeatedly find the corpus-wide most frequent
+    adjacent symbol pair and merge it, n_merges times or until the
+    best pair drops under min_freq. Returns the learned merge table
+    (rank, left, right, merged, freq) — deterministic by
+    construction: ties break lexicographically on (left, right), so
+    the same corpus always learns the same merges on any engine.
+
+    This is the piece d11's FIXED subword scheme stubs out: a real
+    pipeline trains the merges on its own corpus. The distributed
+    shape is the textbook one — all iteration state lives in the
+    WORD-COUNT table, not the corpus: one tokenize+count pass over
+    the corpus up front, then each merge round is (a) one aggregation
+    over the word table's adjacent pairs weighted by word frequency,
+    (b) a 1-row driver pull (the argmax pair — driver-sized by
+    contract), (c) an in-row fold applying the merge to each word's
+    symbol array. At 100 TB the corpus is read ONCE; the word table
+    (~10^8 rows for web text, Heaps' law) is what shuffles per round,
+    and each round localCheckpoints it so the fold lineage never
+    deepens (the d12 connected-components pattern). Per-word pair
+    counting is positional (overlaps count: 'aaa' has two (a,a)
+    pairs), matching the reference implementation; the merge fold is
+    greedy left-to-right non-overlapping, also matching — both pinned
+    against a plain-Python reference in tests/test_bpe.py.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        # adjacent-pair counts, weighted by word frequency; words of
+        # one symbol have no pairs (sequence(0,-1) would DESCEND —
+        # guard with the size filter, not with when())
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.get("syms", i).alias("l"),
+                            F.get("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pf"))
+        )
+        top = pairs.orderBy(F.desc("pf"), "l", "r").limit(1).collect()
+        if not top or top[0]["pf"] < min_freq:
+            break
+        left, right, pf = top[0]["l"], top[0]["r"], int(top[0]["pf"])
+        merged = left + right
+        merges.append((rank, left, right, merged, pf))
+
+        # greedy left-to-right fold: merge fires only when the fold's
+        # last emitted symbol is EXACTLY `left` — a symbol produced by
+        # this same pass is strictly longer than `left`, so merges
+        # never chain within one pass (non-overlapping, reference
+        # semantics). Factory closure, not default args: PySpark
+        # inspects the lambda's positional arity.
+        def make_step(_l: str, _r: str, _m: str):
+            def step(acc, s):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (s == F.lit(_r))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return step
+
+        step = make_step(left, right, merged)
+        words = words.select(
+            "freq",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), step
+            ).alias("syms"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, freq bigint"
+    )
+
+
+def bpe_apply(
+    docs: DataFrame, merge_rows: list, text_col: str = "text"
+) -> DataFrame:
+    """Tokenize with a TRAINED merge table: per word, start from
+    characters + '</w>' and apply every merge in rank order (greedy
+    left-to-right per rank — exactly the training fold, so encoding
+    the training corpus reproduces the trained symbols). Adds a
+    `bpe_toks` array<string> column.
+
+    Arrow mapInPandas, not nested HOFs: a production rule set is
+    thousands of merges, and one JVM fold PER RANK would re-walk
+    every word thousands of times inside interpreted higher-order
+    expressions; batch-side Python applies all ranks in one pass per
+    word with a dict lookup. The closure is self-contained (executors
+    do not have this package on sys.path — the mm01 lesson).
+    `merge_rows` is collected driver-side (rank-ordered list of
+    (left, right) — merge tables are vocabulary-sized, small enough
+    to ship in the closure exactly like a broadcast tokenizer
+    model)."""
+    ranks = [(m["left"], m["right"]) for m in merge_rows]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    ) + ", bpe_toks array<string>"
+    _text_col = text_col  # close over STRINGS only (never the DataFrame)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        rank_of = {pair: i for i, pair in enumerate(ranks)}
+
+        def encode_word(word):
+            syms = list(word) + ["</w>"]
+            while len(syms) >= 2:
+                best, best_rank = None, None
+                for a, b in zip(syms, syms[1:]):
+                    rk = rank_of.get((a, b))
+                    if rk is not None and (best_rank is None or rk < best_rank):
+                        best, best_rank = (a, b), rk
+                if best is None:
+                    break
+                a, b = best
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in batches:
+            # split on single spaces + drop empties: exactly the JVM
+            # side's tokens() (str.split() with no arg would also eat
+            # tabs/newlines — a silent contract drift)
+            toks = [
+                [s for w in str(t).split(" ") if w for s in encode_word(w)]
+                for t in pdf[_text_col]
+            ]
+            yield pd.concat(
+                [pdf.reset_index(drop=True), pd.Series(toks, name="bpe_toks")],
+                axis=1,
+            )
+
+    return docs.mapInPandas(encode_batches, out_schema)
+
+
+# d34: deterministic BPE training on the corpus — rank-ordered merge
+# table. No SQL oracle (iterative argmax-and-rewrite is not
+# expressible as one DuckDB query); certified instead by
+# tests/test_bpe.py's plain-Python reference implementation over the
+# same corpus (a stronger independent check than value-hash: the
+# reference re-implements the ALGORITHM, not the query), and scored
+# rows-only by the driver per the documented contract.
+D34_MERGES = 20
+
+
+def d34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry row for `bpe_train`: the first D34_MERGES merges
+    learned from the documents corpus (rank, left, right, merged,
+    freq). Deterministic: lexicographic tie-breaks, no sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=D34_MERGES).orderBy("rank")
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,
@@ -2855,4 +3049,5 @@ QUERIES = {
     "d31_weighted_sample": d31_weighted_sample,
     "d32_simhash_pairs": d32_simhash_pairs,
     "d33_neardup_incremental": d33_neardup_incremental,
+    "d34_bpe_merges": d34_bpe_merges,
 }
