@@ -264,7 +264,13 @@ def pipeline10x(spark) -> None:
 
     sf = "/tmp/sf1x10"
     for q in ("d27_unigram_logprob", "d28_incremental_dedup",
-              "d29_entropy_profile", "d30_pipeline_funnel"):
+              "d29_entropy_profile", "d30_pipeline_funnel",
+              # r7 additions: the A-ES sampler, the banded Hamming
+              # join (115.5M pairs — output is quadratic in dup-family
+              # sizes by spec), the incremental near-dup store path,
+              # and BPE training (20 merge rounds over the word table)
+              "d31_weighted_sample", "d32_simhash_pairs",
+              "d33_neardup_incremental", "d34_bpe_merges"):
         df = operators.QUERIES[q](spark, sf)
         assert "CartesianProduct" not in _explain(df), f"{q} went cartesian"
         t0 = time.time()
