@@ -38,6 +38,7 @@ sizing cannot promise away.
 
 from __future__ import annotations
 
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -53,7 +54,7 @@ def chunked_self_join(
     order_col: str,
     chunk_col: str | Column | None = None,
     n_chunks: int | None = None,
-    repartition_probe: bool = False,
+    repartition_probe: bool | None = None,
 ) -> DataFrame:
     """Self-join `df` on `key_cols` emitting each unordered pair of
     distinct rows exactly once, with per-key quadratic generation
@@ -71,15 +72,35 @@ def chunked_self_join(
     checkpoint): under a broadcast join nothing else distributes the
     probe, so the valve otherwise degrades to ONE serial task
     (measured on the simhash banded join at sf0.1: 5.4 s serial vs
-    1.4 s repartitioned for the same 8.7M candidates). Leave False
+    1.4 s repartitioned for the same 8.7M candidates). Pass False
     when `df` is already well-partitioned — the exchange is pure
     added cost there, and it compounds in iterative consumers whose
     lineage re-executes the join (measured: d12's connected
     components at 10x regressed 32 s -> 83 s with the exchange forced
     on its already-shuffled checkpointed signatures).
+
+    The default (None) is AUTO: the degenerate case is silent — a
+    1-partition probe under a broadcast join produces the right rows,
+    just on one core — so when the caller expressed no preference the
+    valve checks `df`'s planned partition count and, if it is 1 while
+    C > 1, warns and enables the exchange itself. The check compiles
+    the physical plan once (no job runs) and is skipped entirely when
+    the caller decided (True/False), so iterative callers that
+    measured the exchange harmful keep their exact plan.
     """
     spark = df.sparkSession
     C = n_chunks or spark.sparkContext.defaultParallelism
+    if repartition_probe is None:
+        repartition_probe = C > 1 and df.rdd.getNumPartitions() == 1
+        if repartition_probe:
+            warnings.warn(
+                "chunked_self_join: probe side plans as a SINGLE "
+                "partition, which would serialize every pair onto one "
+                "core under a broadcast join — auto-enabling "
+                "repartition_probe (pass repartition_probe=False to "
+                "keep the serial plan)",
+                stacklevel=2,
+            )
     chunk = F.pmod(
         F.xxhash64(chunk_col if chunk_col is not None else order_col), F.lit(C)
     ).cast("int")

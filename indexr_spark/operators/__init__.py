@@ -50,79 +50,80 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 # green row — their old row no longer certifies HEAD — plus every
 # never-scored new operator, and (b) the stalest green rows, under the
 # staleness tiers REGISTRY.md defines (<=2 rounds by default, <=3 for
-# frozen-code rows explicitly deferred there). Round-7 window
+# frozen-code rows explicitly deferred there). Round-8 window
 # (exactly 50):
-#   rule (a), 3 entries: d08_simhash (its body moved into the shared
-#   simhash_frame feeding d32), d27_unigram_logprob (min_count/top_k
-#   vocab cap + OOV mass), d29_entropy_profile (sorted-run counting
-#   replaced the per-distinct filter scan).
-#   new, 4 entries: d31_weighted_sample, d32_simhash_pairs (the two
-#   r6-verdict-flagged uncertified library operators),
-#   d33_neardup_incremental (the doc_band_sigs/neardup_against_store
-#   ingestion path), d34_bpe_merges (distributed BPE training —
-#   rows-only: no SQL oracle, certified by test_bpe.py's plain-Python
-#   reference implementation).
-#   rule (b): 43 of the 46 rows last scored in r5 — all but d08
-#   (already in under rule a) and the two frozen-code tier-B
-#   deferrals q03_scalar_expr + q10_intersect (relational.py
-#   untouched since their r5 green rows; REGISTRY.md records both —
-#   due r8, 3-round ceiling).
-# After this round every registry query is green in r6∪r7 except
-# q03/q10 (green r5, frozen, due r8).
+#   tier-B dues, 2 entries: q03_scalar_expr + q10_intersect (green r5,
+#   relational.py frozen, 3-round ceiling lands this round).
+#   rule (a), 6 entries — every query whose executed path changed in
+#   r8: d31_weighted_sample (ulp-robust quantized A-ES ranking — the
+#   r7 ADVICE structural-flap fix, mirrored in its oracle),
+#   d34_bpe_merges (bpe_train now folds only the slice of words
+#   containing the merge pair — bit-identical output, test_bpe.py
+#   pins it), and d07/d10/d12/d32 (chunked_self_join gained the
+#   1-partition-probe auto guard; their probes are well-partitioned
+#   so their PLANS are unchanged — REGISTRY.md's "when in doubt the
+#   row goes in" still applies at the function level).
+#   rule (b): 42 of the 48 rows last scored r6; the remaining 6
+#   (q40/q42/q43/q44/q45/q47 — relational.py + events.py, both
+#   file-frozen since their r6 rows, full oracle parity in pytest at
+#   HEAD) defer to r9 under tier B, named in REGISTRY.md with their
+#   due round.
+# After this round every registry query is green in r7∪r8 except the
+# six named deferrals (green r6, frozen, due r9).
 _PRIORITY = [
-    # rule (a): code path changed since last green row
-    "d08_simhash",
-    "d27_unigram_logprob",
-    "d29_entropy_profile",
-    # new in r7 — never driver-scored
+    # tier-B dues (green r5, frozen relational.py, ceiling = r8)
+    "q03_scalar_expr",
+    "q10_intersect",
+    # rule (a): code path changed in r8
     "d31_weighted_sample",
     "d32_simhash_pairs",
-    "d33_neardup_incremental",
     "d34_bpe_merges",
-    # rule (b): last scored r5 (43 of 46; d08 above, q03/q10 deferred)
-    "s11_neardup_numpy",
-    "d04_fingerprint",
-    "d14_normalize_text",
-    "d15_contamination",
-    "d16_repetition_stats",
-    "d22_bigram_counts",
-    "d23_ngram_contamination",
-    "q04_agg_having_limit_offset",
-    "q05_distinct_agg",
-    "q06_join_broadcast",
-    "q07_multi_join",
-    "q08_window_topk",
-    "q09_sort_limit_offset",
-    "q11_except",
-    "q12_rollup",
-    "q13_date_agg",
-    "q14_conditional_agg",
-    "q15_window_running",
-    "q16_like_filters",
-    "q18_sql_embedded",
-    "q20_events_rollup",
-    "q21_sessionize",
-    "q22_events_hourly",
-    "q23_json_props",
-    "q24_events_pivot",
-    "q26_div_zero_compat",
-    "q28_cube",
-    "q29_anti_join",
-    "q30_correlated_avg",
-    "q31_outer_join",
-    "q32_semi_join",
-    "q34_range_join",
-    "q35_moving_avg",
-    "q36_latest_per_user",
-    "q37_funnel",
-    "s05_approx_stats",
-    "s08_hll_sketch_union",
-    "d10_embedding_neardup",
     "d07_minhash_lsh",
+    "d10_embedding_neardup",
     "d12_dup_clusters",
-    "s04_ann_lsh_topk",
-    "s06_ivf_topk",
-    "q01_pricing_summary",
+    # rule (b): last scored r6 (42 of 48; q40/q42-q45/q47 deferred)
+    "d09_ngram_jaccard",
+    "q17_union_hybrid",
+    "q19_update_column_expr",
+    "q39_pruned_catalog_scan",
+    "d01_token_stats",
+    "d02_lang_id",
+    "d03_quality_score",
+    "d05_exact_dedup",
+    "d06_canonical_dedup",
+    "d09b_jaccard_allpairs",
+    "d09r_jaccard_recall",
+    "d11_bpe_tokens",
+    "d13_stratified_sample",
+    "d17_doc_chunking",
+    "d18_sequence_packing",
+    "d19_source_mixture",
+    "d20_cluster_keep_best",
+    "d21_tfidf_topterms",
+    "d24_quality_filter",
+    "d25_token_budget_sample",
+    "d26_source_regression",
+    "mm01_decode_metadata",
+    "mm02_frame_sample",
+    "mm03_resize_payload",
+    "mm04_feature_extract",
+    "mm05_audio_frames",
+    "q02_filter_scan",
+    "q25_asof_join",
+    "q27_salted_agg",
+    "q33_shipping_priority",
+    "q38_retention",
+    "q41_grouping_sets",
+    "q46_scalar_subquery",
+    "s01_cosine_topk",
+    "s02_embedding_pairs",
+    "s03_label_centroids",
+    "s07_exact_percentiles",
+    "s09_quantize_int8",
+    "s10_ann_recall",
+    "d28_incremental_dedup",
+    "d30_pipeline_funnel",
+    "s12_kmeans_step",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

@@ -2618,6 +2618,33 @@ def simhash_pairs(
     )
 
 
+# A-ES quantized-rank decade clamp: e = floor(log10(-key)) clamped to
+# [AES_E_MIN, AES_E_MAX]; scale for a decade is 10^(11-e) (~12
+# significant digits kept). Keys outside the clamp range (|key| below
+# 1e-10 — u within 1e-4 of 1.0 — or above 1e9 — weights under ~2e-8)
+# still rank correctly but with reduced ulp absorption at the clamp
+# scale. Literals like 1e21 are not exact powers of ten in a double,
+# but every engine's decimal parser rounds them to the IDENTICAL
+# double (IEEE correctly-rounded parsing), which is the property the
+# cross-engine ranking needs.
+AES_E_MIN = -10
+AES_E_MAX = 8
+
+
+def _aes_scale_table() -> list[tuple[int, float]]:
+    return [
+        (e, float(f"1e{11 - e}")) for e in range(AES_E_MIN, AES_E_MAX + 1)
+    ]
+
+
+def _aes_scale_case_sql() -> str:
+    """The identical decade→scale table as a SQL CASE (for oracles)."""
+    whens = " ".join(
+        f"WHEN {e} THEN 1e{11 - e}" for e in range(AES_E_MIN, AES_E_MAX + 1)
+    )
+    return f"CASE e {whens} END"
+
+
 def weighted_sample(
     docs: DataFrame,
     k: int,
@@ -2639,6 +2666,27 @@ def weighted_sample(
     (same ordering, monotone transform) to keep the arithmetic inside
     double range for tiny weights.
 
+    The RANKING is ulp-robust across engines: the raw key ln(u)/w is
+    a libm result whose last bit can differ between the JVM and other
+    engines, and a near-tie at the rank-k boundary would then select
+    different rows. So the cut ranks a QUANTIZED form of the key —
+    (e, m) with e = clamp(floor(log10(-k)), AES_E_MIN, AES_E_MAX) and
+    m = round(k · 10^(11-e)) as a BIGINT (≈12 significant digits;
+    order by e asc, m desc — for negative k a smaller decade means
+    closer to zero, i.e. a better key) — with doc_id breaking
+    quantization ties. The 10^(11-e) scales come from a literal table
+    (never pow(): libm pow is not guaranteed bit-equal across
+    engines); each literal parses to the identical IEEE double on
+    every engine, |m| stays under 2^53 (exact), and the bigint round
+    kills sub-ulp noise: a cross-engine
+    flip now needs k·10^(11-e) within ~1e-4 of a .5 boundary AND that
+    doc sitting exactly at the rank-k cut, instead of any last-ulp
+    difference at the cut. Docs with non-positive weight are EXCLUDED
+    (the A-ES zero-weight limit: never selected; also avoids the
+    engine-dependent ln(u)/0 = null-vs-inf split), and u = 1 (k = 0
+    exactly, the maximum key) is pinned to (e, m) = (-10, 0) rather
+    than fed to log10(0), which is null on the JVM and -inf elsewhere.
+
     Scale: one window top-k per stratum — the same single-shuffle
     shape as every per-group top-k here; strata fill in parallel.
     With strata_col=None a single global TakeOrdered handles it."""
@@ -2652,15 +2700,32 @@ def weighted_sample(
     )
     w_val = F.col(weight_col).cast("double")
     key = F.log(u) / w_val
-    base = docs.withColumn("_aes_key", key)
+    e_raw = F.floor(F.log10(-key)).cast("int")
+    e = F.when(key == 0, F.lit(AES_E_MIN)).otherwise(
+        F.greatest(F.least(e_raw, F.lit(AES_E_MAX)), F.lit(AES_E_MIN))
+    )
+    scale = None
+    for exp, lit in _aes_scale_table():
+        cond = e == F.lit(exp)
+        scale = F.when(cond, F.lit(lit)) if scale is None else scale.when(
+            cond, F.lit(lit)
+        )
+    m = F.round(key * scale, 0).cast("long")
+    base = (
+        docs.filter(w_val > 0)
+        .withColumn("_aes_e", e)
+        .withColumn("_aes_m", m)
+    )
     if strata_col is None:
-        out = base.orderBy(F.desc("_aes_key"), "doc_id").limit(k)
-        return out.drop("_aes_key")
-    win = W.partitionBy(strata_col).orderBy(F.desc("_aes_key"), "doc_id")
+        out = base.orderBy("_aes_e", F.desc("_aes_m"), "doc_id").limit(k)
+        return out.drop("_aes_e", "_aes_m")
+    win = W.partitionBy(strata_col).orderBy(
+        "_aes_e", F.desc("_aes_m"), "doc_id"
+    )
     return (
         base.withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") <= k)
-        .drop("_aes_key", "_rn")
+        .drop("_aes_e", "_aes_m", "_rn")
     )
 
 
@@ -2676,23 +2741,44 @@ def d31_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ln(u)/n_chars with u the portable md5 uniform of doc_id.
     Deterministic by construction, so the driver can value-hash the
     selected rows against DuckDB running the identical arithmetic —
-    certifying the weight transform, the uniform, and the per-stratum
-    top-k cut in one row. Scale shape is weighted_sample's: one
-    window top-k per stratum, strata in parallel."""
+    certifying the weight transform, the uniform, the per-stratum
+    top-k cut AND the quantized (decade, mantissa) ranking that makes
+    the cut ulp-robust (the oracle ranks the same (e, m) pair, so a
+    last-ulp ln() divergence between the JVM and DuckDB can no longer
+    flip the selected set at the rank boundary). Scale shape is
+    weighted_sample's: one window top-k per stratum, strata in
+    parallel."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return weighted_sample(d, D31_SAMPLE_K).orderBy("source", "doc_id")
 
 
+# The oracle mirrors weighted_sample's quantized ranking exactly:
+# same decade clamp, same literal scale table, same bigint round —
+# see weighted_sample's docstring for why raw-double ranking would be
+# a structural cross-engine flap risk at the rank-k boundary.
 ORACLE["d31_weighted_sample"] = f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
          ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
             / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
   FROM documents
+  WHERE n_chars > 0
+), decaded AS (
+  SELECT doc_id, source, n_chars, k,
+         CASE WHEN k = 0 THEN {AES_E_MIN}
+              ELSE GREATEST(LEAST(CAST(FLOOR(log10(-k)) AS INTEGER),
+                                  {AES_E_MAX}), {AES_E_MIN})
+         END AS e
+  FROM keyed
+), quantized AS (
+  SELECT doc_id, source, n_chars, e,
+         CAST(round(k * ({_aes_scale_case_sql()})) AS BIGINT) AS m
+  FROM decaded
 ), ranked AS (
   SELECT doc_id, source, n_chars,
-         row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
-  FROM keyed
+         row_number() OVER (PARTITION BY source
+                            ORDER BY e, m DESC, doc_id) AS rn
+  FROM quantized
 )
 SELECT doc_id, source, n_chars FROM ranked
 WHERE rn <= {D31_SAMPLE_K}
@@ -2825,6 +2911,9 @@ def bpe_train(
     n_merges: int,
     min_freq: int = 2,
     text_col: str = "text",
+    round_plan_hook=None,
+    slice_fold: bool = True,
+    round_times: list | None = None,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
     standard subword algorithm): start from characters (+ an
@@ -2851,6 +2940,39 @@ def bpe_train(
     pairs), matching the reference implementation; the merge fold is
     greedy left-to-right non-overlapping, also matching — both pinned
     against a plain-Python reference in tests/test_bpe.py.
+
+    The fold is SLICED per round: a word without both merge symbols
+    cannot change (the fold is the identity on it — it rebuilds the
+    array element by element and the merge branch never fires), so
+    each round folds only the slice where
+    `array_contains(syms, left) AND array_contains(syms, right)`
+    — a sound overapproximation (adjacency is what fires the merge,
+    containment is what the filter checks) — and unions the untouched
+    rest through unchanged. Merges get rarer as ranks grow, so the
+    expensive interpreted-HOF fold decays toward zero rows per round
+    while the cheap containment scan stays vectorized; output is
+    bit-identical to folding everything (test_bpe.py's corpus pin is
+    the oracle). The checkpoint still materializes the full union each
+    round (that is what caps the lineage), but a block copy of
+    unchanged rows is orders cheaper than re-folding them.
+
+    Production posture for real vocab sizes: n_merges ~30k means 30k
+    sequential argmax rounds — inherent to BPE, not to this
+    implementation. The standard large-corpus practice is
+    sample-then-train: learn merges on a uniform sample (merge ranks
+    stabilize quickly — pair frequencies concentrate), then `bpe_apply`
+    the learned table to the full corpus. Train on the sample, encode
+    at scale.
+
+    `round_plan_hook(pairs_df, next_words_df)` is a debug-only probe
+    (explain_snapshots.py): called once, on the first round, with the
+    round's two internal frames BEFORE they are executed/checkpointed
+    — the returned merge table is a LocalTableScan, so the per-round
+    plans are the ones worth snapshotting. No effect on results.
+    `slice_fold=False` keeps the pre-r8 fold-everything rewrite (the
+    measurement baseline — scripts/run_scale_spot.py bpe500 compares
+    both; output is identical either way) and `round_times` (a list)
+    collects per-round wall seconds. Neither affects results.
     """
     spark = docs.sparkSession
     words = (
@@ -2866,7 +2988,10 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple] = []
+    import time as _time
+
     for rank in range(n_merges):
+        _t0 = _time.time()
         # adjacent-pair counts, weighted by word frequency; words of
         # one symbol have no pairs (sequence(0,-1) would DESCEND —
         # guard with the size filter, not with when())
@@ -2917,12 +3042,32 @@ def bpe_train(
             return step
 
         step = make_step(left, right, merged)
-        words = words.select(
-            "freq",
-            F.aggregate(
-                "syms", F.array().cast("array<string>"), step
-            ).alias("syms"),
-        ).localCheckpoint()
+        fold = F.aggregate(
+            "syms", F.array().cast("array<string>"), step
+        ).alias("syms")
+        if slice_fold:
+            # fold only words that can contain the pair (sound
+            # overapproximation; the fold is the identity elsewhere)
+            can = F.array_contains("syms", left) & F.array_contains(
+                "syms", right
+            )
+            folded = words.filter(can).select("freq", fold)
+            # coalesce before the checkpoint: the union's partition
+            # count is the two slices' SUM, which would double every
+            # round and turn the per-round checkpoint into
+            # exponential task counts
+            nxt = (
+                words.filter(~can)
+                .unionByName(folded)
+                .coalesce(spark.sparkContext.defaultParallelism)
+            )
+        else:
+            nxt = words.select("freq", fold)
+        if rank == 0 and round_plan_hook is not None:
+            round_plan_hook(pairs, nxt)
+        words = nxt.localCheckpoint()
+        if round_times is not None:
+            round_times.append(_time.time() - _t0)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
     )

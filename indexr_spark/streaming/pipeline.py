@@ -250,7 +250,10 @@ def decontaminate_table(
     Scale: the contaminated-hash set is census-sized-per-multi-hash
     (tiny next to the corpus); the delete is sidecar-scoped, and the
     sink's hash-sorted appends give it narrow per-file ranges to
-    prune by."""
+    prune by. The survivor rewrite passes the SAME sort_by, so the
+    files this job writes keep the hash clustering — without it one
+    retroactive pass would leave wide-range survivor files and every
+    later pass would degrade toward a full rewrite."""
     from indexr_spark.sources.snapshots import delete_matching, latest_version
 
     cdir = census_dir if census_dir is not None else census_dir_for(table_dir)
@@ -265,7 +268,45 @@ def decontaminate_table(
         .filter(F.col("_n_src") > 1)
         .select(CANON_COL)
     )
-    return delete_matching(spark, table_dir, multi, [CANON_COL])
+    return delete_matching(
+        spark, table_dir, multi, [CANON_COL], sort_by=[CANON_COL]
+    )
+
+
+def compact_census(spark: SparkSession, census_dir: str) -> int:
+    """Periodic maintenance for the census table: rewrite it as its
+    DISTINCT (canonical hash, source) pairs. The sink's per-batch
+    `.distinct()` is per-batch only, so a source re-sending the same
+    document every batch grows the census with rows that add no
+    information — harmless for correctness (the census is consumed as
+    a per-hash source SET) but unbounded in size, and every batch's
+    `collect_set` re-aggregates the duplicates. Run like compaction;
+    after it the census row count equals its distinct pair count.
+
+    Preserves both contracts the census carries: decontamination
+    decisions (a set is unchanged by deduplication — pinned by
+    tests/test_streaming_pipeline.py) and the exactly-once epoch
+    guard (`max_committed_meta` scans ALL live manifests plus the
+    vacuum watermark, and vacuum folds retiring manifests' meta into
+    the watermark before deleting, so the epoch evidence survives
+    this commit and any later vacuum). Concurrency-safe the
+    copy-on-write way: the rewrite derives from the base version, so
+    an interleaved sink append raises ConcurrentSnapshotConflict
+    instead of being silently replaced — rerun after the stream
+    quiesces or between batches."""
+    from indexr_spark.sources.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = latest_version(census_dir)
+    if base == 0:
+        return 0
+    pairs = read_snapshot(spark, census_dir).distinct()
+    return write_snapshot(
+        pairs, census_dir, sort_by=[CANON_COL], expect_parent=base
+    )
 
 
 def pipeline_history(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -7,6 +7,7 @@ epoch counts.
     python scripts/bench_snapshots.py manifest   # 100k-file table
     python scripts/bench_snapshots.py epochs     # 1k-epoch compact + racing append
     python scripts/bench_snapshots.py replace    # scoped upsert + post-replace planning
+    python scripts/bench_snapshots.py decontam   # sidecar-scoped retro decontamination
 
 manifest — builds a table to 100k live files via 100 x 1000-file
 delta appends (file payloads are hardlinks of one tiny parquet: the
@@ -33,6 +34,19 @@ files and falls back to explicit leaf paths while every clean dir
 still collapses; (c) read planning after vacuum retires the replaced
 files and the dir collapses again (vacuum IS the post-replace
 planning cleanup).
+
+decontam — the round-7/8 seam: decontaminate_table's sidecar-scoped
+rewrite on a realistically built pipeline table — ~1k REAL parquet
+files from hash-SORTED appends (the cleaning sink's write posture:
+each epoch's files carry narrow canonical-hash ranges), a census
+where a handful of hashes turn multi-source, then (a) the retro
+delete must rewrite only the files whose range provably overlaps a
+contaminated hash (bound: n_contam x n_epochs, nowhere near the
+table); (b) a SECOND pass with fresh contaminated hashes must stay
+equally scoped — this is the r8 ADVICE fix's evidence: the survivor
+rewrite passes sort_by=[CANON_COL], so pass 1's output files keep
+narrow ranges instead of degrading every later pass toward a full
+rewrite.
 
 Numbers are only comparable at similar single-thread spins (this box
 throttles in phases; see bench.py).
@@ -340,6 +354,80 @@ def replace_bench(work: str) -> None:
     spark.stop()
 
 
+
+
+def decontam_bench(work: str) -> None:
+    """decontaminate_table at ~1k files (see module docstring)."""
+    import hashlib
+
+    from indexr_spark.session import get_spark
+    from indexr_spark.sources import snapshots as S
+    from indexr_spark.streaming.pipeline import CANON_COL, decontaminate_table
+
+    spark = get_spark(app_name="bench-decontam",
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    spark.range(100).count()
+
+    table = os.path.join(work, "clean")
+    cdir = os.path.join(work, "clean_census")
+    n_epochs, rows_per_epoch = 30, 20_000
+
+    def canon(i: int) -> str:
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    print(f"building {n_epochs} hash-sorted epochs x {rows_per_epoch} rows "
+          "(the cleaning sink's append posture)", flush=True)
+    t0 = time.time()
+    for ep in range(n_epochs):
+        lo = ep * rows_per_epoch
+        rows = [(lo + i, canon(lo + i), "s0") for i in range(rows_per_epoch)]
+        df = spark.createDataFrame(
+            rows, f"doc_id long, {CANON_COL} string, source string"
+        )
+        S.append_snapshot(df, table, sort_by=[CANON_COL],
+                          meta={"epoch_bench": ep})
+        S.append_snapshot(df.select(CANON_COL, "source"), cdir,
+                          sort_by=[CANON_COL], meta={"epoch_bench": ep})
+    live0 = S.files_of(table, S.latest_version(table))
+    print(f"built {len(live0)} files in {time.time() - t0:.1f}s  "
+          f"spin={_spin()}", flush=True)
+
+    def contaminate(doc_ids: list[int]) -> None:
+        rows = [(canon(i), "s1") for i in doc_ids]
+        S.append_snapshot(
+            spark.createDataFrame(rows, f"{CANON_COL} string, source string"),
+            cdir, sort_by=[CANON_COL],
+        )
+
+    n_contam = 5
+    for pass_no, lo in ((1, 17), (2, 300_017)):
+        ids = [lo + 7 * j for j in range(n_contam)]
+        contaminate(ids)
+        live_before = set(S.files_of(table, S.latest_version(table)))
+        rows_before = S.read_snapshot(spark, table).count()
+        t0 = time.time()
+        v = decontaminate_table(spark, table, census_dir=cdir)
+        dt = time.time() - t0
+        after = set(S.files_of(table, v))
+        rewritten = sum(1 for f in live_before if f not in after)
+        rows_after = S.read_snapshot(spark, table).count()
+        bound = n_contam * n_epochs
+        print(f"pass {pass_no}: decontaminate {n_contam} hashes at "
+              f"{len(live_before)} files: {dt:.1f}s, rewrote {rewritten} "
+              f"files (bound {bound}), rows {rows_before} -> {rows_after}  "
+              f"spin={_spin()}", flush=True)
+        assert rows_after == rows_before - n_contam, (rows_before, rows_after)
+        assert rewritten <= bound, (
+            f"rewrite not scoped: {rewritten} files > bound {bound} — "
+            "survivor files lost their hash clustering?"
+        )
+    # the pass-2 assertion above IS the sort_by regression gate: if
+    # decontaminate_table's survivor rewrite dropped the hash sort,
+    # pass 1's output files would span the whole hash range and pass 2
+    # would rewrite them all (>> bound).
+    spark.stop()
+
+
 def epochs_bench(work: str) -> None:
     from indexr_spark.session import get_spark
     from indexr_spark.sources import snapshots as S
@@ -421,4 +509,4 @@ if __name__ == "__main__":
     os.makedirs(work)
     print(f"workdir {work}  spin={_spin()}", flush=True)
     {"manifest": manifest_bench, "epochs": epochs_bench,
-     "replace": replace_bench}[which](work)
+     "replace": replace_bench, "decontam": decontam_bench}[which](work)

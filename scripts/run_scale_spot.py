@@ -331,10 +331,44 @@ def pipeline10x(spark) -> None:
               "(build with build_scale_corpus.py vecs50x)", flush=True)
 
 
+def bpe500(spark) -> None:
+    """The r8 bpe_train measurement (VERDICT task 2): a >=500-merge
+    training run on the 10x corpus, sliced fold vs the
+    fold-everything baseline it replaced, with the per-round time
+    curve summarized in windows. The slice's claim: per-round fold
+    cost decays with merge-pair rarity (late merges touch few words),
+    while the baseline re-folds every word every round."""
+    from indexr_spark.operators.text import bpe_train
+
+    sf = "/tmp/sf1x10"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = int(os.environ.get("INDEXR_BPE_BENCH_MERGES", "500"))
+
+    def windows(ts: list[float]) -> str:
+        out = []
+        for lo in (0, len(ts) // 2, max(0, len(ts) - 10)):
+            w = ts[lo:lo + 10]
+            if w:
+                out.append(f"r{lo + 1}-{lo + len(w)}: "
+                           f"{sum(w) / len(w):.2f}s/round")
+        return ", ".join(out)
+
+    for tag, slice_fold in (("sliced", True), ("fold-everything", False)):
+        times: list[float] = []
+        t0 = time.time()
+        merges = bpe_train(docs, n_merges=n, slice_fold=slice_fold,
+                           round_times=times)
+        rows = merges.count()
+        print(f"bpe_train[{tag}] {n} merges: {time.time() - t0:.1f}s "
+              f"total, {rows} merges learned, curve [{windows(times)}]  "
+              f"spin={_spin()}", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
-           "pipeline10x": "/tmp/sf1x10/documents.parquet"}
+           "pipeline10x": "/tmp/sf1x10/documents.parquet",
+           "bpe500": "/tmp/sf1x10/documents.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -365,7 +399,8 @@ if __name__ == "__main__":
 
         warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk",
                 "rel10x": "q33_shipping_priority",
-                "pipeline10x": "d30_pipeline_funnel"}[which]
+                "pipeline10x": "d30_pipeline_funnel",
+                "bpe500": "d34_bpe_merges"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -378,5 +413,5 @@ if __name__ == "__main__":
               "the first measured row will overstate steady cost",
               flush=True)
     {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
-     "pipeline10x": pipeline10x}[which](spark)
+     "pipeline10x": pipeline10x, "bpe500": bpe500}[which](spark)
     spark.stop()

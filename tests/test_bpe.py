@@ -128,3 +128,17 @@ def test_d34_registry_row_shape(spark):
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
     # rows-only contract: d34 deliberately has no SQL oracle
     assert "d34_bpe_merges" not in operators.ORACLE
+
+
+def test_bpe_train_slice_fold_matches_fold_everything(spark):
+    """The r8 sliced fold (only words containing both merge symbols
+    are re-folded) must be bit-identical to the fold-everything
+    baseline it replaced — same merges, same frequencies, same
+    ranks — since the fold is the identity on every excluded word."""
+    texts = ["low low low lower lower lowest", "new newer newest low"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    sliced = bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    full = bpe_train(docs, n_merges=8, slice_fold=False).orderBy(
+        "rank"
+    ).collect()
+    assert sliced == full

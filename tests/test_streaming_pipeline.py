@@ -216,3 +216,58 @@ def test_pipeline_table_survives_maintenance(spark, tmp_path):
     compaction_versions = [v for v, r in hist.items() if r.n_total is None]
     assert compaction_versions, "compaction version should carry NULL counters"
     assert latest_version(table) in hist
+
+
+def test_compact_census_bounds_rows_and_preserves_decisions(spark, tmp_path):
+    """The census accumulates per-batch-distinct (hash, source) pairs,
+    so a source re-sending the same document every batch grows it
+    without adding information. compact_census must (a) bound the row
+    count to the distinct pair count, (b) change no decontamination
+    decision (the census is consumed as a set), and (c) leave the
+    exactly-once epoch guard intact across its commit."""
+    from indexr_spark.sources.snapshots import max_committed_meta
+    from indexr_spark.streaming.pipeline import compact_census
+
+    table = str(tmp_path / "clean")
+    cdir = census_dir_for(table)
+    sink = cleaning_pipeline_sink(table, app_id="c1")
+    # the same doc under the same source, re-sent three epochs in a
+    # row (plus one novel doc so the table is non-trivial)
+    sink(spark.createDataFrame([(1, GOOD, "s0"), (2, GOOD2, "s0")], SCHEMA), 0)
+    sink(spark.createDataFrame([(1, GOOD, "s0")], SCHEMA), 1)
+    sink(spark.createDataFrame([(1, GOOD, "s0")], SCHEMA), 2)
+
+    census = read_snapshot(spark, cdir)
+    assert census.count() > census.distinct().count()  # the growth
+    guard_before = max_committed_meta(cdir, "epoch_c1")
+
+    v = compact_census(spark, cdir)
+    assert v > 0
+    compacted = read_snapshot(spark, cdir)
+    assert compacted.count() == compacted.distinct().count()
+    assert (
+        sorted(map(tuple, compacted.collect()))
+        == sorted(map(tuple, census.distinct().collect()))
+    )
+
+    # (c) the epoch guard survives: the max committed epoch is
+    # unchanged and a replayed epoch is still refused by the sink
+    assert max_committed_meta(cdir, "epoch_c1") == guard_before
+    n_before = read_snapshot(spark, table).count()
+    sink(spark.createDataFrame([(99, GOOD, "s0")], SCHEMA), 2)  # replay
+    assert read_snapshot(spark, table).count() == n_before
+
+    # (b) decisions preserved: GOOD turns multi-source AFTER
+    # compaction exactly as it would have before — the incoming copy
+    # is refused and the retroactive job still drops the stored one
+    sink(
+        spark.createDataFrame(
+            [(10, " ".join(reversed(GOOD.split())), "s1")], SCHEMA
+        ),
+        3,
+    )
+    stored = sorted(r.doc_id for r in read_snapshot(spark, table).collect())
+    assert stored == [1, 2]
+    decontaminate_table(spark, table)
+    stored = sorted(r.doc_id for r in read_snapshot(spark, table).collect())
+    assert stored == [2]
