@@ -90,6 +90,7 @@ files.
 
 from __future__ import annotations
 
+import bisect
 import contextlib
 import json
 import os
@@ -620,7 +621,33 @@ def _update_key_ranges(updates: DataFrame, key_cols: list[str]) -> dict:
     return {k: (row[f"__mn_{k}"], row[f"__mx_{k}"]) for k in key_cols}
 
 
-def _overlapping_files(path: str, live: list[str], ranges: dict) -> list[str]:
+def _update_key_values(
+    updates: DataFrame, key_cols: list[str], cap: int = 100_000
+) -> dict:
+    """{key col: sorted distinct non-null values} when the column's
+    distinct count fits `cap` driver-side, else {col: None} (range-only
+    scoping). The point (measured by scripts/bench_snapshots.py
+    decontam): a [min,max] over the update SET is useless when the
+    keys are hash-like — five md5 hashes span essentially the whole
+    hex space, so every file's range "overlaps" and the range check
+    degenerates to a full rewrite (298 of 300 files for 5 keys).
+    Per-file membership against the sorted value list is exact. The
+    cap bounds driver memory; a decontamination key set is
+    census-sized-per-multi-hash (tiny next to the corpus), and past
+    the cap the scoping soundly widens back to ranges."""
+    out = {}
+    for k in key_cols:
+        vals = updates.select(k).distinct().limit(cap + 1).collect()
+        if len(vals) > cap:
+            out[k] = None
+        else:
+            out[k] = sorted(r[0] for r in vals if r[0] is not None)
+    return out
+
+
+def _overlapping_files(
+    path: str, live: list[str], ranges: dict, values: dict | None = None
+) -> list[str]:
     """The live files whose sidecar key-column stats MAY contain a key
     in `ranges` — the copy-on-write rewrite set. Sound, not tight: a
     file escapes the rewrite only when some key column's [min,max] is
@@ -630,7 +657,25 @@ def _overlapping_files(path: str, live: list[str], ranges: dict) -> list[str]:
     all mean "may match" and the file is rewritten. Null keys never
     join-match, so a disjoint-range file holding nulls is still safely
     skipped — as is a zero-row file (no stats to compare, but nothing
-    to match either)."""
+    to match either).
+
+    `values` (from _update_key_values) refines the check per column:
+    a file is also disjoint when NO update value for that column lies
+    inside the file's [min,max] (binary search over the sorted list) —
+    the refinement that keeps hash-keyed deletes scoped to the files
+    actually holding a deleted key. Equality on ALL key columns is
+    what a match needs, so disjointness on ANY column suffices, same
+    as the range rule.
+
+    Files the TABLE sidecar doesn't cover fall back to their batch
+    dir's own sidecar (write_segments writes one per append batch, so
+    it always exists for managed files): the table sidecar refreshes
+    only on full-manifest commits (1 in FULL_REWRITE_EVERY appends —
+    the round-5 commit-cost design), which would otherwise leave a
+    streaming table's newest ~31 batches permanently "may match" and
+    was measured degrading a 5-key decontamination to a 294-of-300
+    file rewrite. Reading one tiny JSON per uncovered batch dir keeps
+    the scoping tight at any sidecar lag."""
     from indexr_spark.sources.segments import SIDECAR_NAME, load_sidecar
 
     try:
@@ -638,12 +683,37 @@ def _overlapping_files(path: str, live: list[str], ranges: dict) -> list[str]:
         with open(os.path.join(path, SIDECAR_NAME)) as f:
             num_rows = {e["path"]: e.get("num_rows") for e in json.load(f)["files"]}
     except (OSError, ValueError, KeyError):
-        return list(live)  # no usable sidecar: rewrite everything
+        stats, num_rows = {}, {}  # lag-only: batch sidecars still scope
+
+    batch_cache: dict[str, tuple[dict, dict]] = {}
+
+    def _stats_for(rel: str):
+        """(ColStats-by-col or None, num_rows or None) for a live file,
+        preferring the table sidecar, falling back to its batch dir's."""
+        ab = os.path.join(path, rel)
+        st = stats.get(ab)
+        if st is not None or rel in num_rows:
+            return st, num_rows.get(rel)
+        bdir = os.path.dirname(ab)
+        if bdir not in batch_cache:
+            try:
+                bstats = load_sidecar(bdir)
+                with open(os.path.join(bdir, SIDECAR_NAME)) as f:
+                    bnum = {
+                        os.path.join(bdir, e["path"]): e.get("num_rows")
+                        for e in json.load(f)["files"]
+                    }
+                batch_cache[bdir] = (bstats, bnum)
+            except (OSError, ValueError, KeyError):
+                batch_cache[bdir] = ({}, {})
+        bstats, bnum = batch_cache[bdir]
+        return bstats.get(ab), bnum.get(ab)
+
     touched = []
     for rel in live:
-        if num_rows.get(rel) == 0:
+        st, nr = _stats_for(rel)
+        if nr == 0:
             continue  # empty file: provably no matching row
-        st = stats.get(os.path.join(path, rel))
         disjoint = False
         if st is not None:
             for k, (mn, mx) in ranges.items():
@@ -654,6 +724,12 @@ def _overlapping_files(path: str, live: list[str], ranges: dict) -> list[str]:
                     if cs.max < mn or cs.min > mx:
                         disjoint = True
                         break
+                    vals = (values or {}).get(k)
+                    if vals is not None:
+                        i = bisect.bisect_left(vals, cs.min)
+                        if i >= len(vals) or vals[i] > cs.max:
+                            disjoint = True  # no key value in range
+                            break
         if not disjoint:
             touched.append(rel)
     return touched
@@ -713,8 +789,13 @@ def delete_matching(
     no live file can hold a match the table version does not even
     advance (a delete of nothing is a no-op, not an empty commit).
 
-    Scale posture: rewrite cost ∝ files whose key range overlaps the
-    delete set, so tables clustered on the key (sort_by at write — the
+    Scale posture: rewrite cost ∝ files provably holding a deleted
+    key — per-file membership of the sorted distinct key set against
+    the sidecar ranges (_update_key_values), NOT the delete set's
+    global [min,max], which hash-like keys stretch over the whole
+    space (measured: 5 md5 keys range-"overlapped" 298 of 300 files;
+    value scoping touches only the ~1-per-epoch files actually
+    holding one). Tables clustered on the key (sort_by at write — the
     cleaning sink sorts each batch by its canonical hash for exactly
     this reason) localize the rewrite; an unclustered table degrades
     soundly to a full rewrite, never to a wrong answer. Same
@@ -732,7 +813,13 @@ def delete_matching(
     # no-op, not a full-table rewrite
     if any(mn is None for mn, _ in ranges.values()):
         return base
-    touched = _overlapping_files(path, live, ranges)
+    # hash-like delete keys (canonical hashes) span the whole key
+    # space, so the set's [min,max] alone cannot scope anything —
+    # collect the sorted distinct keys (bounded; see
+    # _update_key_values) and test per-file membership instead
+    touched = _overlapping_files(
+        path, live, ranges, _update_key_values(keys, key_cols)
+    )
     if not touched:
         return base
     untouched = sorted(set(live) - set(touched))

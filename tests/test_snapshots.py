@@ -871,3 +871,45 @@ def test_vacuum_honors_inflight_markers(spark, tmp_path):
     deleted = S.vacuum(path, keep_versions=1, min_age_s=600)
     assert any("bbbbbbbbbbbb" in d for d in deleted)
     assert not os.path.exists(marker)
+
+
+def test_delete_matching_value_scoped_for_spread_keys(spark, tmp_path):
+    """Hash-like delete keys span the whole key space, so the delete
+    set's global [min,max] overlaps EVERY file's range — the scoping
+    must instead prove per file that no deleted key lies inside its
+    range (sorted-value binary search). Four range-disjoint files,
+    two deleted keys at opposite ends: exactly the two holding files
+    rewrite, the other two carry by reference."""
+    import hashlib
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    keys = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in range(400))
+    quarts = [keys[i * 100:(i + 1) * 100] for i in range(4)]
+    # one sorted append per quartile -> four files with disjoint ranges
+    for q in quarts:
+        S.append_snapshot(
+            spark.createDataFrame([(k, 1) for k in q], "h string, v int"),
+            path, sort_by=["h"],
+        )
+    # full commit refreshes the sidecar over all live files
+    S._commit(path, S.files_of(path, S.latest_version(path)))
+    live = S.files_of(path, S.latest_version(path))
+    assert len(live) >= 4
+    # delete one key from the FIRST quartile and one from the LAST:
+    # their global [min,max] covers every file in between
+    doomed = [quarts[0][50], quarts[3][50]]
+    v = S.delete_matching(
+        spark, path,
+        spark.createDataFrame([(k,) for k in doomed], "h string"), ["h"],
+    )
+    after = set(S.files_of(path, v))
+    carried = [f for f in live if f in after]
+    rewritten = [f for f in live if f not in after]
+    assert len(rewritten) == 2, (
+        f"value scoping failed: rewrote {len(rewritten)} of {len(live)}"
+    )
+    assert len(carried) == len(live) - 2
+    got = {r.h for r in S.read_snapshot(spark, path).collect()}
+    assert got == set(keys) - set(doomed)
