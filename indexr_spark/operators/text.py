@@ -2941,20 +2941,25 @@ def bpe_train(
     greedy left-to-right non-overlapping, also matching — both pinned
     against a plain-Python reference in tests/test_bpe.py.
 
-    The fold is SLICED per round: a word without both merge symbols
-    cannot change (the fold is the identity on it — it rebuilds the
-    array element by element and the merge branch never fires), so
-    each round folds only the slice where
-    `array_contains(syms, left) AND array_contains(syms, right)`
-    — a sound overapproximation (adjacency is what fires the merge,
-    containment is what the filter checks) — and unions the untouched
-    rest through unchanged. Merges get rarer as ranks grow, so the
-    expensive interpreted-HOF fold decays toward zero rows per round
-    while the cheap containment scan stays vectorized; output is
-    bit-identical to folding everything (test_bpe.py's corpus pin is
-    the oracle). The checkpoint still materializes the full union each
-    round (that is what caps the lineage), but a block copy of
-    unchanged rows is orders cheaper than re-folding them.
+    The fold is CONDITIONAL per round: a word without both merge
+    symbols cannot change (the fold is the identity on it — it
+    rebuilds the array element by element and the merge branch never
+    fires), so each round computes
+    `when(array_contains(syms, left) AND array_contains(syms, right),
+    fold).otherwise(syms)` — a sound overapproximation (adjacency is
+    what fires the merge, containment is what the guard checks), and
+    Catalyst's If evaluates lazily per row, so the interpreted-HOF
+    fold runs ONLY on words that can contain the pair. Merges get
+    rarer as ranks grow, so fold work decays toward zero rows per
+    round while the cheap containment guard stays vectorized; output
+    is bit-identical to folding everything (test_bpe.py's corpus pin
+    is the oracle). Measured at 10x (COVERAGE.md r8): a
+    filter-both-slices-then-union variant was tried first and ran
+    SLOWER than folding everything on this corpus (two scans + a
+    union + a coalesce of fixed overhead per round vs a fold that is
+    cheap when the vocabulary is small) — the per-row conditional
+    keeps one scan, one checkpoint, no union, and still skips the
+    fold on every untouched word.
 
     Production posture for real vocab sizes: n_merges ~30k means 30k
     sequential argmax rounds — inherent to BPE, not to this
@@ -3042,27 +3047,20 @@ def bpe_train(
             return step
 
         step = make_step(left, right, merged)
-        fold = F.aggregate(
-            "syms", F.array().cast("array<string>"), step
-        ).alias("syms")
+        fold = F.aggregate("syms", F.array().cast("array<string>"), step)
         if slice_fold:
             # fold only words that can contain the pair (sound
-            # overapproximation; the fold is the identity elsewhere)
+            # overapproximation; the fold is the identity elsewhere —
+            # If evaluates lazily per row, so untouched words never
+            # run the interpreted HOF)
             can = F.array_contains("syms", left) & F.array_contains(
                 "syms", right
             )
-            folded = words.filter(can).select("freq", fold)
-            # coalesce before the checkpoint: the union's partition
-            # count is the two slices' SUM, which would double every
-            # round and turn the per-round checkpoint into
-            # exponential task counts
-            nxt = (
-                words.filter(~can)
-                .unionByName(folded)
-                .coalesce(spark.sparkContext.defaultParallelism)
+            nxt = words.select(
+                "freq", F.when(can, fold).otherwise(F.col("syms")).alias("syms")
             )
         else:
-            nxt = words.select("freq", fold)
+            nxt = words.select("freq", fold.alias("syms"))
         if rank == 0 and round_plan_hook is not None:
             round_plan_hook(pairs, nxt)
         words = nxt.localCheckpoint()
@@ -3157,6 +3155,92 @@ def d34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq). Deterministic: lexicographic tie-breaks, no sampling."""
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d, n_merges=D34_MERGES).orderBy("rank")
+
+
+# ---- d35 draft (REGISTERS IN r9 — REGISTRY.md window policy) ----
+# Fixed, corpus-independent merge table for certifying bpe_apply
+# against a SQL oracle: 12 merges chosen to tokenize the corpus's
+# vocabulary nontrivially (chained merges, </w> merges, and merges
+# that never fire are all exercised). Fixing the table decouples the
+# row from training — d34 already certifies bpe_train.
+D35_MERGES: list[tuple[str, str]] = [
+    ("a", "n"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("l", "e"),
+    ("tab", "le"),
+    ("table", "</w>"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("r", "o"),
+    ("ro", "w"),
+    ("e", "</w>"),
+    ("d", "a"),
+]
+
+
+def d35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_apply with the FIXED D35_MERGES table over the documents
+    corpus — (doc_id, bpe_toks). Draft for the r9 registry row; the
+    oracle (D35_ORACLE_DRAFT) replays the same merges in DuckDB.
+
+    Why an oracle exists at all for an iterative encoder: (a) joining
+    a word's symbol list on a separator turns ONE greedy
+    left-to-right non-overlapping merge application into exactly SQL
+    `replace(s, l || sep || r, l || r)` (replace scans left to right
+    and never rescans replaced output); (b) replaying merges in RANK
+    ORDER is equivalent to bpe_apply's min-rank-first loop, because a
+    merge only ever CREATES adjacencies involving its own output
+    symbol, and any learned pair containing that symbol has a later
+    rank — so after rank k is applied exhaustively, no pair of rank
+    <= k can ever reappear. The replay is a rank-indexed recursive
+    CTE of depth len(D35_MERGES)."""
+    merge_rows = [
+        {"left": lt, "right": rt} for lt, rt in D35_MERGES
+    ]
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_apply(d, merge_rows).select("doc_id", "bpe_toks").orderBy(
+        "doc_id"
+    )
+
+
+def _d35_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({i}, '{lt}', '{rt}')" for i, (lt, rt) in enumerate(D35_MERGES)
+    )
+    n = len(D35_MERGES)
+    return f"""
+WITH RECURSIVE merges(rank, l, r) AS (
+  VALUES {vals}
+), words AS (
+  SELECT doc_id, pos,
+         regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>' AS s
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+  WHERE w <> ''
+), enc AS (
+  SELECT doc_id, pos, s, 0 AS step FROM words
+  UNION ALL
+  SELECT e.doc_id, e.pos,
+         replace(e.s, m.l || chr(31) || m.r, m.l || m.r), e.step + 1
+  FROM enc e JOIN merges m ON m.rank = e.step
+  WHERE e.step < {n}
+)
+SELECT doc_id,
+       flatten(list(string_split(s, chr(31)) ORDER BY pos)) AS bpe_toks
+FROM enc
+WHERE step = {n}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+D35_ORACLE_DRAFT = _d35_oracle_sql()
+# ---- end d35 draft ----
 
 
 QUERIES = {

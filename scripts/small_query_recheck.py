@@ -61,14 +61,21 @@ def main() -> None:
         spark.read.parquet(f"{SF}/{t}.parquet").count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
     cal = bench._spark_calibration(spark)
-    base = json.loads(Path("bench_baseline.json").read_text())
+    repo = Path(__file__).resolve().parent.parent
+    base_doc = json.loads((repo / "bench_baseline.json").read_text())
+    base = base_doc.get("queries", {})
     out = {
         "spark_cal_sec": cal,
         "cpu_spin_sec": spin,
         "loadavg_before": load_before,
-        "baseline_spark_cal_sec": base.get("spark_cal_sec"),
+        "baseline_spark_cal_sec": base_doc.get("spark_cal_sec"),
         "queries": {},
     }
+    base_cal = base_doc.get("spark_cal_sec") or 2.189
+    out["calm"] = cal <= 1.45 * base_cal  # the merge-guard threshold
+    if not out["calm"]:
+        print(json.dumps({"NOT_CALM": True, "spark_cal_sec": cal,
+                          "baseline_spark_cal_sec": base_cal}))
     for name in QUERIES:
         runs = []
         for _ in range(3):

@@ -142,3 +142,73 @@ def test_bpe_train_slice_fold_matches_fold_everything(spark):
         "rank"
     ).collect()
     assert sliced == full
+
+
+def test_d35_draft_fixed_table_encode_matches_duckdb_replay(spark):
+    """The r9 registry row, proven before registration (REGISTRY.md's
+    d35 sketch): bpe_apply with the FIXED D35_MERGES table must equal
+    a DuckDB rank-order replay — one greedy merge application is
+    `replace()` on a separator-joined symbol string, and rank-order
+    replay equals min-rank-first encode (see d35_bpe_encode's
+    docstring for both proofs). Also cross-checked against the
+    plain-Python encoder so the two engines cannot be wrong together."""
+    import duckdb
+
+    from indexr_spark.operators.text import (
+        D35_MERGES,
+        D35_ORACLE_DRAFT,
+        d35_bpe_encode,
+    )
+    from indexr_spark.tables import load_table
+
+    got = {
+        r["doc_id"]: list(r["bpe_toks"])
+        for r in d35_bpe_encode(spark, SMOKE_SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    oracle = {
+        doc_id: list(toks)
+        for doc_id, toks in con.execute(D35_ORACLE_DRAFT).fetchall()
+    }
+    assert set(got) == set(oracle)
+    for doc_id in got:
+        assert got[doc_id] == oracle[doc_id], doc_id
+
+    # independent cross-check: the reference encoder (min-rank-first)
+    rank_of = {p: i for i, p in enumerate(D35_MERGES)}
+
+    def ref_encode(word):
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            best = min(
+                (
+                    (rank_of[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in rank_of
+                ),
+                default=None,
+            )
+            if best is None:
+                break
+            a, b = D35_MERGES[best[0]]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        expect = [
+            s for w in r["text"].split(" ") if w for s in ref_encode(w)
+        ]
+        assert got[r["doc_id"]] == expect, r["doc_id"]
