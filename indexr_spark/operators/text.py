@@ -2906,6 +2906,33 @@ ORDER BY doc_id, store_id
 """
 
 
+def _adjacent_pair_counts(wdf: DataFrame, freq_col=None) -> DataFrame:
+    """(l, r, pf): corpus-wide adjacent-symbol pair counts over a word
+    table, positional (overlaps count: 'aaa' has two (a,a) pairs) and
+    weighted by word frequency. Words of one symbol have no pairs
+    (sequence(0,-1) would DESCEND — guard with the size filter, not
+    with when()). `freq_col` lets the incremental path feed NEGATED
+    frequencies for retraction rows."""
+    fq = freq_col if freq_col is not None else F.col("freq")
+    return (
+        wdf.filter(F.size("syms") >= 2)
+        .select(
+            fq.alias("freq"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.get("syms", i).alias("l"),
+                        F.get("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("pf"))
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
@@ -2914,6 +2941,7 @@ def bpe_train(
     round_plan_hook=None,
     slice_fold: bool = True,
     round_times: list | None = None,
+    incremental_counts: bool = True,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
     standard subword algorithm): start from characters (+ an
@@ -2969,15 +2997,35 @@ def bpe_train(
     the learned table to the full corpus. Train on the sample, encode
     at scale.
 
+    PAIR COUNTS ARE MAINTAINED INCREMENTALLY (the Sennrich paper's
+    own optimization, distributed): a merge of (l, r) changes the
+    adjacent-pair inventory of ONLY the words it rewrites, so instead
+    of re-exploding every word every round (O(total symbols) shuffled
+    per round — the measured per-round floor at a 200k-word
+    vocabulary), the engine keeps a (l, r, pf) pair-count table and
+    applies a DELTA each round: subtract the changed slice's old
+    pairs, add its folded pairs, one union + one (l, r) aggregation
+    over pair-table-sized data. The argmax then reads the (small)
+    pair table directly. Exactness: the delta arithmetic is integer,
+    the changed slice is the same sound overapproximation the fold
+    uses (an untouched word contributes identical pairs to both delta
+    sides and cancels), and zero-count pairs are filtered so argmax
+    parity with a full recount is bit-exact — test_bpe.py pins the
+    incremental-vs-recount merge tables equal rank-for-rank (equality
+    of every round's argmax IS the pair-table invariant) plus the
+    plain-Python reference. Per-round work becomes
+    O(changed words + distinct pairs) instead of O(corpus vocabulary).
+
     `round_plan_hook(pairs_df, next_words_df)` is a debug-only probe
     (explain_snapshots.py): called once, on the first round, with the
     round's two internal frames BEFORE they are executed/checkpointed
     — the returned merge table is a LocalTableScan, so the per-round
     plans are the ones worth snapshotting. No effect on results.
-    `slice_fold=False` keeps the pre-r8 fold-everything rewrite (the
-    measurement baseline — scripts/run_scale_spot.py bpe500 compares
-    both; output is identical either way) and `round_times` (a list)
-    collects per-round wall seconds. Neither affects results.
+    `slice_fold=False` keeps the pre-r8 fold-everything rewrite and
+    `incremental_counts=False` the recount-every-round baseline (the
+    measurement baselines — scripts/run_scale_spot.py bpe500 compares
+    them; output is identical every way) and `round_times` (a list)
+    collects per-round wall seconds. None of them affects results.
     """
     spark = docs.sparkSession
     words = (
@@ -2993,30 +3041,16 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple] = []
+    pc = (
+        _adjacent_pair_counts(words).localCheckpoint()
+        if incremental_counts
+        else None
+    )
     import time as _time
 
     for rank in range(n_merges):
         _t0 = _time.time()
-        # adjacent-pair counts, weighted by word frequency; words of
-        # one symbol have no pairs (sequence(0,-1) would DESCEND —
-        # guard with the size filter, not with when())
-        pairs = (
-            words.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("syms") - 2),
-                        lambda i: F.struct(
-                            F.get("syms", i).alias("l"),
-                            F.get("syms", i + 1).alias("r"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("pf"))
-        )
+        pairs = pc if pc is not None else _adjacent_pair_counts(words)
         top = pairs.orderBy(F.desc("pf"), "l", "r").limit(1).collect()
         if not top or top[0]["pf"] < min_freq:
             break
@@ -3048,20 +3082,44 @@ def bpe_train(
 
         step = make_step(left, right, merged)
         fold = F.aggregate("syms", F.array().cast("array<string>"), step)
+        can = F.array_contains("syms", left) & F.array_contains(
+            "syms", right
+        )
         if slice_fold:
             # fold only words that can contain the pair (sound
             # overapproximation; the fold is the identity elsewhere —
             # If evaluates lazily per row, so untouched words never
             # run the interpreted HOF)
-            can = F.array_contains("syms", left) & F.array_contains(
-                "syms", right
-            )
             nxt = words.select(
                 "freq", F.when(can, fold).otherwise(F.col("syms")).alias("syms")
             )
         else:
             nxt = words.select("freq", fold.alias("syms"))
-        if rank == 0 and round_plan_hook is not None:
+        if pc is not None:
+            # delta-maintain the pair table BEFORE advancing words:
+            # retract the changed slice's current pairs (negated
+            # freq), assert its folded pairs, merge, drop zeros. The
+            # fold runs twice on the changed slice (here and in the
+            # words rewrite) — it decays with pair rarity, while the
+            # full recount this replaces never would.
+            changed = words.filter(can)
+            new_pc = (
+                pc.unionByName(
+                    _adjacent_pair_counts(changed, freq_col=-F.col("freq"))
+                )
+                .unionByName(
+                    _adjacent_pair_counts(
+                        changed.select("freq", fold.alias("syms"))
+                    )
+                )
+                .groupBy("l", "r")
+                .agg(F.sum("pf").alias("pf"))
+                .filter(F.col("pf") > 0)
+            )
+            if rank == 0 and round_plan_hook is not None:
+                round_plan_hook(new_pc, nxt)
+            pc = new_pc.localCheckpoint()
+        elif rank == 0 and round_plan_hook is not None:
             round_plan_hook(pairs, nxt)
         words = nxt.localCheckpoint()
         if round_times is not None:

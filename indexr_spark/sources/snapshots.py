@@ -850,9 +850,25 @@ def scoped_merge_plan(
     (touched-files DataFrame or None, merged rewrite DataFrame,
     untouched live files to carry into the new manifest). Shared by
     upsert_snapshot and tools.upsert_segments (which also needs the
-    touched subset for its updated/inserted counts)."""
+    touched subset for its updated/inserted counts).
+
+    Scoped by per-file key-set membership, not just the updates'
+    global [min,max] — same reasoning as delete_matching: a MERGE
+    keyed on hashes (e.g. a fingerprint store) has updates spanning
+    the whole key space, and range-only scoping degenerates to a
+    full-table rewrite. A file value-scoped out provably holds no
+    update key, so carrying it unchanged is exactly MERGE semantics;
+    the inserts ride the rewrite (or the pure-insert branch) either
+    way. Costs one distinct+limit driver-bounded job per key column —
+    a MERGE-job price, which is why append_snapshot (the per-epoch
+    streaming path) has no scoping at all."""
     live = files_of(path, base)
-    touched = _overlapping_files(path, live, _update_key_ranges(updates, key_cols))
+    touched = _overlapping_files(
+        path,
+        live,
+        _update_key_ranges(updates, key_cols),
+        _update_key_values(updates, key_cols),
+    )
     untouched = sorted(set(live) - set(touched))
     if touched:
         target = spark.read.parquet(*_scan_paths(path, touched))

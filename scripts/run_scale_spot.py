@@ -356,15 +356,24 @@ def bpe500(spark) -> None:
                            f"{sum(w) / len(w):.2f}s/round")
         return ", ".join(out)
 
-    for tag, slice_fold in (("conditional", True), ("fold-everything", False)):
+    CONFIGS = (
+        ("shipped:incremental+conditional", True, True),
+        ("recount+conditional", False, True),
+        ("pre-r8:recount+fold-everything", False, False),
+    )
+
+    def run(tag, corpus, inc, slice_fold, min_freq=2):
         times: list[float] = []
         t0 = time.time()
-        merges = bpe_train(docs, n_merges=n, min_freq=1,
-                           slice_fold=slice_fold, round_times=times)
+        merges = bpe_train(corpus, n_merges=n, min_freq=min_freq,
+                           slice_fold=slice_fold, round_times=times,
+                           incremental_counts=inc)
         rows = merges.count()
         print(f"bpe_train[{tag}] {n} merges: {time.time() - t0:.1f}s "
               f"total, {rows} merges learned, curve [{windows(times)}]  "
               f"spin={_spin()}", flush=True)
+
+    run("10x,shipped", docs, True, True, min_freq=1)
 
     # The docs10x corpus has only 40 distinct words (replica jitter of
     # a template corpus), so its word table is 40 rows and every round
@@ -394,15 +403,8 @@ def bpe500(spark) -> None:
     n_words = wdocs.selectExpr("explode(split(text, ' ')) w").select(
         "w").distinct().count()
     print(f"wide-vocab corpus: {n_words} distinct words", flush=True)
-    for tag, slice_fold in (("conditional", True), ("fold-everything", False)):
-        times = []
-        t0 = time.time()
-        merges = bpe_train(wdocs, n_merges=n, slice_fold=slice_fold,
-                           round_times=times)
-        rows = merges.count()
-        print(f"bpe_train[wide,{tag}] {n} merges: {time.time() - t0:.1f}s "
-              f"total, {rows} merges learned, curve [{windows(times)}]  "
-              f"spin={_spin()}", flush=True)
+    for tag, inc, slice_fold in CONFIGS:
+        run(f"wide,{tag}", wdocs, inc, slice_fold)
 
 
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",

@@ -212,3 +212,18 @@ def test_d35_draft_fixed_table_encode_matches_duckdb_replay(spark):
             s for w in r["text"].split(" ") if w for s in ref_encode(w)
         ]
         assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_bpe_train_incremental_counts_match_recount(spark):
+    """The delta-maintained pair table must drive the identical argmax
+    as a full recount EVERY round — rank-for-rank, freq-for-freq
+    equality of the two variants' merge tables over many rounds is
+    exactly that invariant (one divergent count anywhere flips some
+    round's argmax or its tie-break)."""
+    docs = load_table(spark, SMOKE_SF, "documents")
+    inc = bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    rec = bpe_train(docs, n_merges=12, incremental_counts=False).orderBy(
+        "rank"
+    ).collect()
+    assert inc == rec
+    assert len(inc) == 12

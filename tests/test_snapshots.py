@@ -913,3 +913,41 @@ def test_delete_matching_value_scoped_for_spread_keys(spark, tmp_path):
     assert len(carried) == len(live) - 2
     got = {r.h for r in S.read_snapshot(spark, path).collect()}
     assert got == set(keys) - set(doomed)
+
+
+def test_upsert_value_scoped_for_spread_keys(spark, tmp_path):
+    """The MERGE twin of the spread-key delete test: upserting two
+    hash-like keys whose global range spans every file must rewrite
+    only the files actually holding those keys; the others carry by
+    reference and the merge result is still exact."""
+    import hashlib
+
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    keys = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in range(400))
+    quarts = [keys[i * 100:(i + 1) * 100] for i in range(4)]
+    for q in quarts:
+        S.append_snapshot(
+            spark.createDataFrame([(k, 0) for k in q], "h string, v int"),
+            path, sort_by=["h"],
+        )
+    S._commit(path, S.files_of(path, S.latest_version(path)))
+    live = S.files_of(path, S.latest_version(path))
+    assert len(live) >= 4
+    upd = [(quarts[0][50], 1), (quarts[3][50], 1), ("zzzz_new_key", 1)]
+    v = S.upsert_snapshot(
+        spark, path,
+        spark.createDataFrame(upd, "h string, v int"), ["h"],
+    )
+    after = set(S.files_of(path, v))
+    rewritten = [f for f in live if f not in after]
+    # the two files holding the updated keys (the brand-new key's
+    # insert rides the rewrite batch; "zzzz..." sorts past every md5
+    # hex so it may extend the last file's range but provably matches
+    # no live file's existing keys)
+    assert len(rewritten) <= 3, rewritten
+    rows = {r.h: r.v for r in S.read_snapshot(spark, path).collect()}
+    assert rows[quarts[0][50]] == 1 and rows[quarts[3][50]] == 1
+    assert rows["zzzz_new_key"] == 1
+    assert sum(1 for x in rows.values() if x == 0) == 398
