@@ -2941,7 +2941,7 @@ def bpe_train(
     round_plan_hook=None,
     slice_fold: bool = True,
     round_times: list | None = None,
-    incremental_counts: bool = True,
+    incremental_counts: bool = False,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
     standard subword algorithm): start from characters (+ an
@@ -2997,15 +2997,14 @@ def bpe_train(
     the learned table to the full corpus. Train on the sample, encode
     at scale.
 
-    PAIR COUNTS ARE MAINTAINED INCREMENTALLY (the Sennrich paper's
-    own optimization, distributed): a merge of (l, r) changes the
-    adjacent-pair inventory of ONLY the words it rewrites, so instead
-    of re-exploding every word every round (O(total symbols) shuffled
-    per round — the measured per-round floor at a 200k-word
-    vocabulary), the engine keeps a (l, r, pf) pair-count table and
-    applies a DELTA each round: subtract the changed slice's old
-    pairs, add its folded pairs, one union + one (l, r) aggregation
-    over pair-table-sized data. The argmax then reads the (small)
+    `incremental_counts=True` maintains the pair counts by DELTA (the
+    Sennrich paper's own optimization, distributed): a merge of
+    (l, r) changes the adjacent-pair inventory of ONLY the words it
+    rewrites, so instead of re-exploding every word every round the
+    engine keeps a (l, r, pf) pair-count table and per round
+    retracts the changed slice's old pairs (negated freq), asserts
+    its folded pairs, and re-aggregates — shuffling O(changed words)
+    instead of O(corpus vocabulary), with the argmax reading the
     pair table directly. Exactness: the delta arithmetic is integer,
     the changed slice is the same sound overapproximation the fold
     uses (an untouched word contributes identical pairs to both delta
@@ -3013,19 +3012,31 @@ def bpe_train(
     parity with a full recount is bit-exact — test_bpe.py pins the
     incremental-vs-recount merge tables equal rank-for-rank (equality
     of every round's argmax IS the pair-table invariant) plus the
-    plain-Python reference. Per-round work becomes
-    O(changed words + distinct pairs) instead of O(corpus vocabulary).
+    plain-Python reference. It is OPT-IN, not the default, on
+    measurement (COVERAGE.md r8, three-way at 200k distinct words /
+    500 merges, calm): the delta needs two extra per-round jobs (the
+    retraction/assertion explode and a pair-table checkpoint), and at
+    single-node corpus sizes — where every recount is already
+    sub-second — that fixed overhead exceeds the shuffle it saves
+    (429 s vs 310 s total; run-to-run phase swing for identical code
+    is ~23%, so treat totals as indicative). Its regime is the
+    cluster-scale corpus whose word table genuinely shuffles per
+    round (10^8-row word tables where a full recount is a wide job):
+    there the changed fraction decays with pair rarity and the delta
+    is the only form whose per-round cost follows it. Combined with
+    the sample-then-train posture above, the honest default for THIS
+    engine is the recount (exact same path the bench gate baselines).
 
     `round_plan_hook(pairs_df, next_words_df)` is a debug-only probe
     (explain_snapshots.py): called once, on the first round, with the
     round's two internal frames BEFORE they are executed/checkpointed
     — the returned merge table is a LocalTableScan, so the per-round
     plans are the ones worth snapshotting. No effect on results.
-    `slice_fold=False` keeps the pre-r8 fold-everything rewrite and
-    `incremental_counts=False` the recount-every-round baseline (the
-    measurement baselines — scripts/run_scale_spot.py bpe500 compares
-    them; output is identical every way) and `round_times` (a list)
-    collects per-round wall seconds. None of them affects results.
+    `slice_fold=False` keeps the pre-r8 fold-everything rewrite (a
+    measurement baseline — scripts/run_scale_spot.py bpe500 compares
+    all forms; output is identical every way) and `round_times` (a
+    list) collects per-round wall seconds. None of them affects
+    results.
     """
     spark = docs.sparkSession
     words = (

@@ -357,8 +357,8 @@ def bpe500(spark) -> None:
         return ", ".join(out)
 
     CONFIGS = (
-        ("shipped:incremental+conditional", True, True),
-        ("recount+conditional", False, True),
+        ("shipped:recount+conditional", False, True),
+        ("opt-in:incremental+conditional", True, True),
         ("pre-r8:recount+fold-everything", False, False),
     )
 
@@ -373,7 +373,7 @@ def bpe500(spark) -> None:
               f"total, {rows} merges learned, curve [{windows(times)}]  "
               f"spin={_spin()}", flush=True)
 
-    run("10x,shipped", docs, True, True, min_freq=1)
+    run("10x,shipped", docs, False, True, min_freq=1)
 
     # The docs10x corpus has only 40 distinct words (replica jitter of
     # a template corpus), so its word table is 40 rows and every round

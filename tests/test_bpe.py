@@ -221,9 +221,9 @@ def test_bpe_train_incremental_counts_match_recount(spark):
     exactly that invariant (one divergent count anywhere flips some
     round's argmax or its tie-break)."""
     docs = load_table(spark, SMOKE_SF, "documents")
-    inc = bpe_train(docs, n_merges=12).orderBy("rank").collect()
-    rec = bpe_train(docs, n_merges=12, incremental_counts=False).orderBy(
+    inc = bpe_train(docs, n_merges=12, incremental_counts=True).orderBy(
         "rank"
     ).collect()
+    rec = bpe_train(docs, n_merges=12).orderBy("rank").collect()
     assert inc == rec
     assert len(inc) == 12
