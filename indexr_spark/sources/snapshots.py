@@ -735,6 +735,67 @@ def _overlapping_files(
     return touched
 
 
+_PROBE_MIN_FILES = 8
+
+
+def _probe_touched_files(
+    spark: SparkSession,
+    path: str,
+    candidates: list[str],
+    keys_df: DataFrame,
+    key_cols: list[str],
+) -> list[str]:
+    """EXACT copy-on-write scoping: of the sidecar candidates, the
+    files that actually hold a key from `keys_df` — one job that scans
+    ONLY the candidates and ONLY the key columns (column pruning makes
+    this a thin read), semi-joins the distinct update keys, and
+    collects the distinct matching file names (driver-bounded by
+    len(candidates)).
+
+    Why this exists: per-file [min,max] membership cannot beat
+    ~1 file per APPEND per key on an epoch-fragmented table — every
+    hash-sorted append tiles the whole key space, so a hash key lands
+    inside one file's range per epoch and the sidecar bound is
+    keys x epochs (measured: 120 of 300 files rewritten for 5 keys at
+    30 epochs — scripts/bench_snapshots.py upsert_spread). Reading the
+    candidates' key column costs a fraction of REWRITING them: the
+    probe pins the rewrite to the files a key actually lives in
+    (keys x 1, measured 2 files for the same 5+1 keys), which at
+    100 TB is the difference between touching a handful of files and
+    rewriting one file per historical epoch.
+
+    Exactness is sound both ways: equality on ALL key columns is what
+    a MERGE/DELETE match needs, the probe joins on exactly that, and
+    null keys never equality-match — identical to the rewrite join's
+    own semantics, so a probed-out file provably contributes no
+    matched row. Skipped below _PROBE_MIN_FILES candidates, where the
+    probe job costs more than it can save."""
+    if len(candidates) < _PROBE_MIN_FILES:
+        return candidates
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    cand = spark.read.parquet(*_scan_paths(path, candidates)).select(
+        F.input_file_name().alias("__probe_file"), *key_cols
+    )
+    hits = (
+        cand.join(keys_df.select(*key_cols).distinct(), key_cols, "leftsemi")
+        .select("__probe_file")
+        .distinct()
+        .collect()
+    )
+    root = os.path.abspath(path)
+    rels = set()
+    for r in hits:
+        p = unquote(urlparse(r["__probe_file"]).path)
+        rels.add(os.path.relpath(os.path.abspath(p), root))
+    # paranoia: the probe must only ever NARROW the candidate set; an
+    # unexpected path mapping falls back to the sound sidecar answer
+    out = [rel for rel in candidates if rel in rels]
+    return out if len(rels) == len(out) else candidates
+
+
 def upsert_snapshot(
     spark: SparkSession,
     path: str,
@@ -820,6 +881,7 @@ def delete_matching(
     touched = _overlapping_files(
         path, live, ranges, _update_key_values(keys, key_cols)
     )
+    touched = _probe_touched_files(spark, path, touched, keys, key_cols)
     if not touched:
         return base
     untouched = sorted(set(live) - set(touched))
@@ -861,7 +923,10 @@ def scoped_merge_plan(
     the inserts ride the rewrite (or the pure-insert branch) either
     way. Costs one distinct+limit driver-bounded job per key column —
     a MERGE-job price, which is why append_snapshot (the per-epoch
-    streaming path) has no scoping at all."""
+    streaming path) has no scoping at all. When the sidecar still
+    leaves many candidates (epoch-fragmented layouts),
+    _probe_touched_files pins the set to the files actually holding a
+    key before any rewrite I/O."""
     live = files_of(path, base)
     touched = _overlapping_files(
         path,
@@ -869,6 +934,7 @@ def scoped_merge_plan(
         _update_key_ranges(updates, key_cols),
         _update_key_values(updates, key_cols),
     )
+    touched = _probe_touched_files(spark, path, touched, updates, key_cols)
     untouched = sorted(set(live) - set(touched))
     if touched:
         target = spark.read.parquet(*_scan_paths(path, touched))

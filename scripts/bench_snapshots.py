@@ -8,6 +8,7 @@ epoch counts.
     python scripts/bench_snapshots.py epochs     # 1k-epoch compact + racing append
     python scripts/bench_snapshots.py replace    # scoped upsert + post-replace planning
     python scripts/bench_snapshots.py decontam   # sidecar-scoped retro decontamination
+    python scripts/bench_snapshots.py upsert_spread  # value-scoped MERGE on hash keys
 
 manifest — builds a table to 100k live files via 100 x 1000-file
 delta appends (file payloads are hardlinks of one tiny parquet: the
@@ -428,6 +429,114 @@ def decontam_bench(work: str) -> None:
     spark.stop()
 
 
+def upsert_spread_bench(work: str) -> None:
+    """The MERGE twin of decontam: upsert_snapshot keyed on hash-like
+    keys at ~1k-file scale. The updates' global [min,max] spans
+    essentially the whole hex space, so range-only scoping (the
+    pre-r8 behavior, reproduced here by monkeypatching away the value
+    list) must degenerate toward a full-table rewrite, while the
+    shipped per-file key-set membership rewrites only the files
+    actually holding the updated keys."""
+    import hashlib
+
+    from indexr_spark.session import get_spark
+    from indexr_spark.sources import snapshots as S
+
+    spark = get_spark(app_name="bench-upsert-spread",
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+    spark.range(100).count()
+
+    table = os.path.join(work, "store")
+    n_epochs, rows_per_epoch = 30, 20_000
+
+    def canon(i: int) -> str:
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    print(f"building {n_epochs} hash-sorted epochs x {rows_per_epoch} "
+          "rows (the fingerprint-store append posture)", flush=True)
+    t0 = time.time()
+    for ep in range(n_epochs):
+        lo = ep * rows_per_epoch
+        rows = [(lo + i, canon(lo + i), 0) for i in range(rows_per_epoch)]
+        df = spark.createDataFrame(rows, "doc_id long, h string, v int")
+        S.append_snapshot(df, table, sort_by=["h"], meta={"epoch_bench": ep})
+    live0 = S.files_of(table, S.latest_version(table))
+    print(f"built {len(live0)} files in {time.time() - t0:.1f}s  "
+          f"spin={_spin()}", flush=True)
+
+    n_keys = 5
+    real_values = S._update_key_values
+    real_probe = S._probe_touched_files
+
+    def merge_pass(pass_no: int, lo: int, mode: str, bound: int) -> None:
+        upd = [(lo + 7 * j, canon(lo + 7 * j), pass_no)
+               for j in range(n_keys)]
+        upd += [(10**9 + pass_no, f"zzzz_new_{pass_no}", pass_no)]
+        live = set(S.files_of(table, S.latest_version(table)))
+        n_rows = S.read_snapshot(spark, table).count()
+        if mode == "range-only":
+            S._update_key_values = lambda u, k, cap=0: {c: None for c in k}
+        if mode in ("range-only", "sidecar-values"):
+            S._probe_touched_files = lambda sp, p, cand, *a: cand
+        try:
+            t0 = time.time()
+            v = S.upsert_snapshot(
+                spark, table,
+                spark.createDataFrame(upd, "doc_id long, h string, v int"),
+                ["h"], sort_by=["h"],
+            )
+            dt = time.time() - t0
+        finally:
+            S._update_key_values = real_values
+            S._probe_touched_files = real_probe
+        after = set(S.files_of(table, v))
+        rewritten = sum(1 for f in live if f not in after)
+        print(f"pass {pass_no} ({mode}): upsert {n_keys}+1 spread "
+              f"keys at {len(live)} files: {dt:.1f}s, rewrote {rewritten} "
+              f"files (bound {bound})  spin={_spin()}", flush=True)
+        rows = {r.h: r.v for r in S.read_snapshot(spark, table)
+                .filter(f"v = {pass_no}").collect()}
+        assert set(rows) == {h for _, h, _ in upd}, sorted(rows)[:8]
+        assert S.read_snapshot(spark, table).count() == n_rows + 1
+        assert rewritten <= bound, (mode, rewritten, bound)
+        if mode == "range-only":
+            assert rewritten > len(live) // 2, (
+                f"range-only unexpectedly scoped: {rewritten}")
+
+    # The scoping tiers on an epoch-fragmented layout (each epoch's
+    # files tile the WHOLE hex space):
+    #   range-only          — the updates' global [min,max] overlaps
+    #                         every file: full-table rewrite.
+    #   sidecar-values      — per-file [min,max] membership of each
+    #                         key: ~1 file per key per EPOCH
+    #                         (bound keys x epochs — the decontam
+    #                         bench's bound).
+    #   shipped (+ probe)   — _probe_touched_files reads ONLY the
+    #                         candidates' key column and pins the
+    #                         rewrite to files actually holding a
+    #                         key: keys x 1, independent of epochs.
+    merge_pass(1, 17, "sidecar-values", bound=n_keys * n_epochs)
+    merge_pass(2, 300_017, "shipped", bound=n_keys + 1)
+    merge_pass(3, 500_017, "shipped", bound=n_keys + 1)
+
+    # A sort-compact re-tiles the table into disjoint narrow ranges
+    # (the maintenance posture for any hash-keyed store — same job as
+    # census compaction): the sidecar alone then scopes to keys x 1
+    # and the probe's candidate set is already minimal.
+    base = S.latest_version(table)
+    t0 = time.time()
+    S.write_snapshot(S.read_snapshot(spark, table), table,
+                     sort_by=["h"], expect_parent=base)
+    n_files = len(S.files_of(table, S.latest_version(table)))
+    print(f"sort-compact to {n_files} disjoint-range files: "
+          f"{time.time() - t0:.1f}s  spin={_spin()}", flush=True)
+    merge_pass(4, 400_017, "shipped", bound=n_keys + 1)
+
+    # the degenerate baseline LAST (it rewrites the whole table)
+    merge_pass(5, 150_017, "range-only", bound=10**9)
+    spark.stop()
+
+
 def epochs_bench(work: str) -> None:
     from indexr_spark.session import get_spark
     from indexr_spark.sources import snapshots as S
@@ -509,4 +618,5 @@ if __name__ == "__main__":
     os.makedirs(work)
     print(f"workdir {work}  spin={_spin()}", flush=True)
     {"manifest": manifest_bench, "epochs": epochs_bench,
-     "replace": replace_bench, "decontam": decontam_bench}[which](work)
+     "replace": replace_bench, "decontam": decontam_bench,
+     "upsert_spread": upsert_spread_bench}[which](work)

@@ -951,3 +951,90 @@ def test_upsert_value_scoped_for_spread_keys(spark, tmp_path):
     assert rows[quarts[0][50]] == 1 and rows[quarts[3][50]] == 1
     assert rows["zzzz_new_key"] == 1
     assert sum(1 for x in rows.values() if x == 0) == 398
+
+
+def _build_epoch_fragmented(spark, S, path, n_epochs=10, per_epoch=60):
+    """n_epochs hash-sorted appends whose files each tile ~the whole
+    hex space (md5 keys of disjoint int ranges): per-file [min,max]
+    membership matches ~1 file per key per EPOCH, so only the exact
+    probe can pin a key to the one file actually holding it."""
+    import hashlib
+
+    def canon(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    for ep in range(n_epochs):
+        lo = ep * per_epoch
+        rows = [(lo + i, canon(lo + i), 0) for i in range(per_epoch)]
+        S.append_snapshot(
+            spark.createDataFrame(rows, "doc_id long, h string, v int"),
+            path, sort_by=["h"],
+        )
+    return canon
+
+
+def test_upsert_probe_exact_on_epoch_fragmented_table(spark, tmp_path):
+    """With >= _PROBE_MIN_FILES range/value candidates (every epoch's
+    file spans the hex space), _probe_touched_files must narrow the
+    rewrite to the files ACTUALLY holding an updated key — keys x 1,
+    not keys x epochs."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    canon = _build_epoch_fragmented(spark, S, path)
+    live = S.files_of(path, S.latest_version(path))
+    assert len(live) >= S._PROBE_MIN_FILES
+    upd = [(7, canon(7), 1), (431, canon(431), 1),
+           (10**9, "zzzz_new_key", 1)]
+    v = S.upsert_snapshot(
+        spark, path,
+        spark.createDataFrame(upd, "doc_id long, h string, v int"), ["h"],
+        sort_by=["h"],
+    )
+    after = set(S.files_of(path, v))
+    rewritten = [f for f in live if f not in after]
+    # the two keys live in (at most) two files; the insert rides the
+    # rewrite batch — without the probe this is ~1 file per epoch
+    assert len(rewritten) <= 2, rewritten
+    rows = {r.h: r.v for r in S.read_snapshot(spark, path).collect()}
+    assert rows[canon(7)] == 1 and rows[canon(431)] == 1
+    assert rows["zzzz_new_key"] == 1
+    assert sum(1 for x in rows.values() if x == 0) == 598
+
+
+def test_delete_probe_exact_on_epoch_fragmented_table(spark, tmp_path):
+    """The DELETE twin: delete_matching over the same layout rewrites
+    only the files actually holding a doomed key."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    canon = _build_epoch_fragmented(spark, S, path)
+    live = S.files_of(path, S.latest_version(path))
+    assert len(live) >= S._PROBE_MIN_FILES
+    doomed = [canon(13), canon(517)]
+    v = S.delete_matching(
+        spark, path,
+        spark.createDataFrame([(k,) for k in doomed], "h string"), ["h"],
+        sort_by=["h"],
+    )
+    after = set(S.files_of(path, v))
+    rewritten = [f for f in live if f not in after]
+    assert len(rewritten) <= 2, rewritten
+    got = {r.h for r in S.read_snapshot(spark, path).collect()}
+    assert canon(13) not in got and canon(517) not in got
+    assert len(got) == 598
+
+
+def test_probe_narrow_only_and_threshold(spark, tmp_path):
+    """_probe_touched_files returns candidates unchanged below the
+    threshold, and never widens the candidate set."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    canon = _build_epoch_fragmented(spark, S, path, n_epochs=3)
+    live = S.files_of(path, S.latest_version(path))
+    keys = spark.createDataFrame([(canon(5),)], "h string")
+    few = live[:S._PROBE_MIN_FILES - 1]
+    assert S._probe_touched_files(spark, path, few, keys, ["h"]) == few
+    probed = S._probe_touched_files(spark, path, live, keys, ["h"])
+    assert set(probed) <= set(live) and len(probed) <= 3
