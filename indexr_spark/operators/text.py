@@ -1480,6 +1480,70 @@ ORDER BY doc_id
 """
 
 
+def _repetition_stats_frame(d: DataFrame) -> DataFrame:
+    """d16's body with the most-frequent-bigram count computed from
+    SORTED-RUN boundaries (d29's pattern) instead of a filter scan per
+    distinct shingle. The scan-per-distinct form above is
+    O(n·n_distinct) per document — harmless on this corpus's
+    10–99-token docs, quadratic on the 100k-token documents a real
+    pipeline gates BEFORE chunking; this form is O(n log n). Output is
+    column-for-column identical (pytest-pinned against d16 on the
+    corpus plus hand cases); registered to REPLACE d16's executed path
+    in r9 per REGISTRY.md — r8's scoring window has zero spare rows,
+    so the swap would force a changed-code re-score the window cannot
+    hold this round.
+
+    Run-length mechanics mirror _entropy_profile_frame exactly: sort
+    the shingle array, mark run starts (position 0 or value differs
+    from predecessor — F.get's null at index -1 propagates to false,
+    and the i == 0 branch of the OR picks position 0 up), difference
+    consecutive starts with the array length as the final sentinel,
+    take the max run length."""
+    base = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.size(F.array_distinct("toks")).alias("nd_toks"),
+            F.array_sort(shingles(F.col("toks"), 2)).alias("srt"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "nd_toks",
+            F.size("srt").alias("m"),
+            F.when(
+                F.size("srt") > 0,
+                F.filter(
+                    F.sequence(F.lit(0), F.size("srt") - 1),
+                    lambda i: (i == 0) | (F.get("srt", i) != F.get("srt", i - 1)),
+                ),
+            )
+            .otherwise(F.array().cast("array<int>"))
+            .alias("starts"),
+        )
+    )
+    run_lens = F.when(
+        F.size("starts") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size("starts") - 1),
+            lambda p: F.coalesce(F.get("starts", p + 1), F.col("m"))
+            - F.get("starts", p),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    top_bigram = F.coalesce(F.array_max(run_lens), F.lit(0))
+    n = F.col("n")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(1.0 - F.col("nd_toks").cast("double") / n, 6).alias(
+            "dup_token_frac"
+        ),
+        top_bigram.alias("top_bigram_count"),
+        F.round(2.0 * top_bigram / n, 6).alias("top_bigram_token_frac"),
+    ).orderBy("doc_id")
+
+
 def d19_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture weighting: given target shares per source,
     compute each source's token share and the per-document sampling

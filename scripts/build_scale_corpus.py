@@ -74,6 +74,39 @@ def build_docs10x(out: str = "/tmp/sf1x10") -> None:
     print(f"wrote {out}/documents.parquet")
 
 
+def build_docs100x(out: str = "/tmp/sf1x100", reps: int = 100) -> None:
+    """100x documents (500k docs) — the LINEAR-family scale corpus.
+
+    Same replica scheme as docs10x (even original ids stay exact
+    copies, odd ids get one per-replica suffix token) so the two
+    corpora are structurally comparable — but this one exists for the
+    operators whose COST is linear in docs (d05/d30/d28/d31/d34): the
+    quadratic-OUTPUT ops (d07/d09/d32 — pair counts grow with
+    dup-family size squared) are measured at 10x where their output
+    is still countable; at 100x the same replica scheme would emit
+    ~24B pairs, which is a property of the corpus generator, not the
+    engine. A 100-deep union chain would build a 100-legs-deep plan
+    tree; a (replica × doc) cross of a 100-row range keeps the build
+    itself one scan."""
+    spark = get_spark(app_name="build-docs100x")
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    r = F.col("rep")
+    alld = (
+        d.crossJoin(spark.range(reps).select(F.col("id").cast("int").alias("rep")))
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 2 == 1) & (r > 0),
+                F.concat("text", F.lit(" xrep"), r.cast("string")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("doc_id", F.col("doc_id") + r.cast("long") * 10000)
+        .drop("rep")
+    )
+    alld.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(f"wrote {out}/documents.parquet ({reps}x)")
+
+
 def build_vecs50x(out: str = "/tmp/sfvec50") -> None:
     spark = get_spark(app_name="build-vecs50x")
     e = spark.read.parquet(f"{SRC}/embeddings.parquet")
@@ -137,5 +170,5 @@ def build_rel10x(out: str = "/tmp/sfrel10") -> None:
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
-    {"docs10x": build_docs10x, "vecs50x": build_vecs50x,
-     "rel10x": build_rel10x}[which]()
+    {"docs10x": build_docs10x, "docs100x": build_docs100x,
+     "vecs50x": build_vecs50x, "rel10x": build_rel10x}[which]()

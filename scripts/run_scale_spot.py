@@ -331,6 +331,42 @@ def pipeline10x(spark) -> None:
               "(build with build_scale_corpus.py vecs50x)", flush=True)
 
 
+def funnel100x(spark) -> None:
+    """100x spot-run (500k docs, build_scale_corpus.py docs100x) for
+    the LINEAR-cost family: exact dedup, the end-to-end cleaning
+    funnel, incremental dedup vs a store, A-ES weighted sampling, and
+    BPE training. These are the operators whose 100 TB posture claims
+    cost ∝ docs — this run is the 100x point on that line (the 10x
+    points live in the docs10x/pipeline10x sections of COVERAGE.md).
+    The quadratic-OUTPUT ops (d07/d09/d32) are deliberately absent:
+    at 100x the replica scheme itself would emit ~24B pairs — a
+    property of the corpus generator, not the engine (see
+    build_docs100x's docstring).
+
+    d34's expected shape is SUB-linear: the corpus collapses to a
+    word-count table in the first scan (read ONCE), and 100
+    replicas add only ~100 suffix word types, so per-round cost is
+    nearly flat vs 10x — the measurement certifies "corpus read
+    once" directly."""
+    from indexr_spark import operators
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    sf = "/tmp/sf1x100"
+    for q in ("d05_exact_dedup", "d30_pipeline_funnel",
+              "d28_incremental_dedup", "d31_weighted_sample",
+              "d34_bpe_merges"):
+        df = operators.QUERIES[q](spark, sf)
+        assert "CartesianProduct" not in _explain(df), f"{q} went cartesian"
+        t0 = time.time()
+        n = df.count()
+        print(f"{q}  {time.time() - t0:.1f}s  rows={n}  spin={_spin()}",
+              flush=True)
+
+
 def bpe500(spark) -> None:
     """The r8 bpe_train measurement (VERDICT task 2): a >=500-merge
     training run on the 10x corpus, conditional (per-row guarded)
@@ -411,7 +447,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
            "pipeline10x": "/tmp/sf1x10/documents.parquet",
-           "bpe500": "/tmp/sf1x10/documents.parquet"}
+           "bpe500": "/tmp/sf1x10/documents.parquet",
+           "funnel100x": "/tmp/sf1x100/documents.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -443,7 +480,8 @@ if __name__ == "__main__":
         warm = {"docs10x": "d07_minhash_lsh", "vecs50x": "s04_ann_lsh_topk",
                 "rel10x": "q33_shipping_priority",
                 "pipeline10x": "d30_pipeline_funnel",
-                "bpe500": "d34_bpe_merges"}[which]
+                "bpe500": "d34_bpe_merges",
+                "funnel100x": "d30_pipeline_funnel"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -456,5 +494,6 @@ if __name__ == "__main__":
               "the first measured row will overstate steady cost",
               flush=True)
     {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
-     "pipeline10x": pipeline10x, "bpe500": bpe500}[which](spark)
+     "pipeline10x": pipeline10x, "bpe500": bpe500,
+     "funnel100x": funnel100x}[which](spark)
     spark.stop()

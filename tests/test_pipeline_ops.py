@@ -145,6 +145,84 @@ def test_entropy_profile_long_doc_bounded_time(spark):
     )
 
 
+def test_repetition_stats_sorted_run_form_matches_d16_exactly(spark):
+    """The r9-swap candidate (_repetition_stats_frame, sorted-run
+    top-bigram) must be column-for-column identical to d16's current
+    scan-per-distinct form on the real corpus — this pin is the oracle
+    for the swap, the same contract test_bpe's corpus pin provides for
+    bpe_train rewrites."""
+    from indexr_spark.operators.text import _repetition_stats_frame
+
+    d = load_table(spark, SMOKE_SF, "documents")
+    old = operators.QUERIES["d16_repetition_stats"](spark, SMOKE_SF).collect()
+    new = _repetition_stats_frame(d).collect()
+    assert len(old) == len(new) and len(old) > 0
+    for o, n in zip(old, new):
+        assert o.asDict() == n.asDict(), f"mismatch at doc {o['doc_id']}"
+
+
+def test_repetition_stats_sorted_run_edge_cases(spark):
+    """Hand cases the corpus may not cover: empty text (no shingles,
+    top_bigram 0), single token (no shingles), an all-identical doc
+    (one run covering every shingle), and a tie between two bigrams."""
+    from indexr_spark.operators.text import _repetition_stats_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "x x x x x"),
+            (3, "a b a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in _repetition_stats_frame(docs).collect()}
+    assert rows[1]["top_bigram_count"] == 0 and rows[1]["n_tokens"] == 1
+    # "x x x x x": 4 shingles, all "x x" -> top run 4; dup frac 1 - 1/5
+    assert rows[2]["top_bigram_count"] == 4
+    assert abs(rows[2]["dup_token_frac"] - 0.8) < 1e-9
+    assert abs(rows[2]["top_bigram_token_frac"] - 1.6) < 1e-9
+    # "a b a b c d": shingles [a b, b a, a b, b c, c d] -> "a b" x2
+    assert rows[3]["top_bigram_count"] == 2
+
+
+def test_repetition_stats_long_doc_bounded_time(spark):
+    """Same bounded-time contract as the entropy long-doc pin: 4k
+    distinct bigrams x 10 occurrences must run in seconds (sorted-run
+    shape), where the scan-per-distinct form takes minutes. The bound
+    scales by the calibration spin because this machine throttles in
+    phases (COVERAGE.md)."""
+    import time
+
+    from indexr_spark.operators.text import _repetition_stats_frame
+
+    nd, reps = 4000, 10
+    block = " ".join(f"t{i:05d}" for i in range(nd))
+    docs = spark.createDataFrame(
+        [(1, " ".join([block] * reps))], "doc_id long, text string"
+    )
+
+    t0 = time.time()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    spin = time.time() - t0
+    bound = max(120.0, 400.0 * spin)
+
+    t0 = time.time()
+    row = _repetition_stats_frame(docs).collect()[0]
+    elapsed = time.time() - t0
+    assert row["n_tokens"] == nd * reps
+    # every adjacent pair inside a block is distinct; the block seam
+    # pair ("t03999 t00000") repeats reps-1 times between blocks, and
+    # every within-block pair appears exactly reps times
+    assert row["top_bigram_count"] == reps
+    assert abs(row["dup_token_frac"] - (1 - nd / (nd * reps))) < 1e-9
+    assert elapsed < bound, (
+        f"long-doc repetition took {elapsed:.1f}s (bound {bound:.0f}s, "
+        f"spin {spin:.2f}s)"
+    )
+
+
 def test_entropy_profile_respects_information_bounds(spark):
     rows = operators.QUERIES["d29_entropy_profile"](spark, SMOKE_SF).collect()
     for r in rows:
