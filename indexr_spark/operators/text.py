@@ -3373,6 +3373,86 @@ ORDER BY doc_id
 
 
 D35_ORACLE_DRAFT = _d35_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (d36 draft — library-only this round per REGISTRY.md's
+# zero-spare r8 window; the draft oracle below is proven by pytest the
+# same way d35's was before registration)
+
+# (name, pattern, replacement) applied IN ORDER — emails first (they
+# contain dots and digits the later patterns could chew on), then
+# IPv4, then phone-shaped digit runs. Patterns stay inside the
+# regex subset Java (Spark) and RE2 (DuckDB) implement identically:
+# char classes, bounded/unbounded repetition, non-capturing groups,
+# ASCII \b — no lookaround, no backrefs. The phone pattern is the
+# deliberately-simple C4-style digit-run form (a leading +/digit, ≥6
+# phone chars, a closing digit); a deployment swaps in
+# jurisdiction-specific patterns — the operator shape (sequential
+# count+replace passes, all in-row) is what carries to 100 TB: one
+# scan, zero shuffles, whole-stage codegen end to end.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d .()-]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub personally identifiable text spans (the C4/Dolma
+    pre-training hygiene stage): sequentially count-then-replace each
+    PII_PATTERNS entry, emitting per-type match counts and the
+    redacted text. Counts are taken on the text AS THE PASS SEES IT
+    (post earlier replacements) — exactly the number of spans that
+    pass rewrote, so `sum(n_*)` is the audit total of redactions.
+
+    Each pass lands in its own projection step: Catalyst does no CSE
+    into sibling expressions (the d22 lesson), so a single-select form
+    would re-run the whole replace chain once per count column;
+    stepwise selects materialize each intermediate text exactly once
+    inside one codegen stage. Output: the input columns plus
+    n_email/n_ip/n_phone (int) and `redacted` (string)."""
+    work = "__pii_work"
+    cur = d.select("*", F.col(text_col).alias(work))
+    for name, pat, tok in PII_PATTERNS:
+        cur = cur.select(
+            "*", F.regexp_count(F.col(work), F.lit(pat)).cast("int").alias(f"n_{name}")
+        ).withColumn(work, F.regexp_replace(F.col(work), pat, tok))
+    return cur.withColumnRenamed(work, "redacted")
+
+
+def _d36_oracle_sql() -> str:
+    """DuckDB replay of redact_pii over `documents` — generated from
+    PII_PATTERNS so both engines share one source of truth. DuckDB
+    regexp_replace needs the 'g' flag for replace-all (Spark's
+    replaces all by default); counts via len(regexp_extract_all),
+    cast to INTEGER to match Spark's int."""
+    inner = "SELECT doc_id, text AS t FROM documents"
+    for name, pat, _tok in PII_PATTERNS:
+        sq = pat.replace("'", "''")
+        rq = _tok.replace("'", "''")
+        inner = (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(t, '{sq}')) AS INTEGER)"
+            f" AS n_{name}, regexp_replace(t, '{sq}', '{rq}', 'g') AS t,"
+            f" * EXCLUDE (doc_id, t) FROM ({inner})"
+        )
+    return (
+        f"SELECT doc_id, n_email, n_ip, n_phone, t AS redacted"
+        f" FROM ({inner}) ORDER BY doc_id"
+    )
+
+
+D36_ORACLE_DRAFT = _d36_oracle_sql()
+
+
+def d36_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d36 registry form (NOT registered until the window allows —
+    REGISTRY.md): redact_pii over the documents table, projected to
+    the oracle's column set."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return redact_pii(d).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted"
+    ).orderBy("doc_id")
 # ---- end d35 draft ----
 
 

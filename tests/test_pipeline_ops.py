@@ -520,3 +520,64 @@ def test_simhash_pairs_parameter_guards(spark):
         simhash_pairs(sim, max_hamming=4, bands=4)
     with pytest.raises(ValueError, match="divide"):
         simhash_pairs(sim, max_hamming=3, bands=5)
+
+
+def test_redact_pii_hand_docs_and_duckdb_replay(spark):
+    """d36 draft proven before registration (the d35 protocol): the
+    Spark redaction must equal the generated DuckDB replay on docs
+    that exercise every pattern, pattern ORDER (an email's digits must
+    not be half-eaten by the phone pass), multiple matches per doc,
+    and the no-PII case."""
+    import duckdb
+
+    from indexr_spark.operators.text import D36_ORACLE_DRAFT, redact_pii
+
+    rows = [
+        (1, "contact bob.smith+x@lab-7.example.org or alice@ex.io today"),
+        (2, "server at 10.0.255.7 fell over; ping 192.168.1.1 failed"),
+        (3, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        (4, "mixed: a@b.co from 8.8.8.8 dialed 555-867-5309 twice"),
+        (5, "no pii here, just words and the number 42"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ip"], r["n_phone"], r["redacted"])
+        for r in redact_pii(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        doc_id: (ne, ni, np_, red)
+        for doc_id, ne, ni, np_, red in con.execute(D36_ORACLE_DRAFT).fetchall()
+    }
+    assert got == oracle
+    # semantic spot-pins, independent of both engines
+    assert got[1][0] == 2 and "<EMAIL>" in got[1][3] and "@" not in got[1][3]
+    assert got[2][1] == 2 and "<IP>" in got[2][3]
+    assert got[3][2] == 2 and "<PHONE>" in got[3][3]
+    assert got[4] == (1, 1, 1, "mixed: <EMAIL> from <IP> dialed <PHONE> twice")
+    assert got[5] == (0, 0, 0, rows[4][1])
+    assert got[6] == (0, 0, 0, "")
+
+
+def test_redact_pii_corpus_is_clean_and_parity_holds(spark):
+    """The synthetic corpus carries no PII — the operator must say so
+    (all counts 0, text unchanged), and the d36 registry form must
+    match the DuckDB oracle on the real table end-to-end."""
+    import duckdb
+
+    from indexr_spark.operators.text import D36_ORACLE_DRAFT, d36_redact_pii
+
+    got = d36_redact_pii(spark, SMOKE_SF).collect()
+    assert all(
+        r["n_email"] == 0 and r["n_ip"] == 0 and r["n_phone"] == 0 for r in got
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    oracle = con.execute(D36_ORACLE_DRAFT).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in oracle]
