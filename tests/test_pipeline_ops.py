@@ -581,3 +581,40 @@ def test_redact_pii_corpus_is_clean_and_parity_holds(spark):
     )
     oracle = con.execute(D36_ORACLE_DRAFT).fetchall()
     assert [tuple(r) for r in got] == [tuple(r) for r in oracle]
+
+
+def test_repetition_stats_sorted_run_randomized_python_reference(spark):
+    """200 random token lists (seeded) checked against a plain-Python
+    counter reference — catches anything the structured corpus and the
+    hand cases both miss (e.g. runs at array boundaries, single-shingle
+    docs, high-duplication alphabets)."""
+    import random
+    from collections import Counter
+
+    from indexr_spark.operators.text import _repetition_stats_frame
+
+    rng = random.Random(8016)
+    alphabet = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 40)
+        rows.append((i, " ".join(rng.choice(alphabet) for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in _repetition_stats_frame(docs).collect()}
+    assert len(got) == 200
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        shs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = max(Counter(shs).values()) if shs else 0
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks), doc_id
+        assert r["top_bigram_count"] == top, doc_id
+        if toks:
+            assert (
+                abs(r["dup_token_frac"] - round(1 - len(set(toks)) / len(toks), 6))
+                < 1e-9
+            ), doc_id
+            assert (
+                abs(r["top_bigram_token_frac"] - round(2.0 * top / len(toks), 6))
+                < 1e-9
+            ), doc_id
