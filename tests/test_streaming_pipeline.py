@@ -271,3 +271,63 @@ def test_compact_census_bounds_rows_and_preserves_decisions(spark, tmp_path):
     decontaminate_table(spark, table)
     stored = sorted(r.doc_id for r in read_snapshot(spark, table).collect())
     assert stored == [2]
+
+
+def test_multi_epoch_soak_converges_to_one_batch_result(spark, tmp_path):
+    """Epoch partitioning must be invisible: streaming the sf0.001
+    corpus in 5 doc_id-ordered epochs — with every maintenance job
+    interleaved mid-run (census compaction, OPTIMIZE-style segment
+    compaction, vacuum, a mid-run retroactive decontamination) — must
+    converge, after the final decontaminate_table, to EXACTLY the
+    table the one-batch run produces (doc_id-level: with ordered
+    epochs the first-wins dedup representative is the global one).
+    This is the production ingestion story end-to-end: a pipeline
+    operator can run the maintenance suite at any cadence without
+    changing what the table converges to."""
+    from indexr_spark.sources.snapshots import vacuum
+    from indexr_spark.sources.tools import optimize_segments
+    from indexr_spark.streaming.pipeline import compact_census
+    from indexr_spark.tables import load_table
+    from tests.conftest import SMOKE_SF
+
+    docs = (
+        load_table(spark, SMOKE_SF, "documents")
+        .select("doc_id", "text", "source")
+    )
+
+    # reference: the whole corpus in one batch (semantics already
+    # pinned to d30 by test_cleaning_pipeline_matches_batch_funnel_semantics)
+    ref_table = str(tmp_path / "ref")
+    cleaning_pipeline_sink(ref_table, app_id="soak-ref")(docs, 0)
+    ref = sorted(r.doc_id for r in read_snapshot(spark, ref_table).collect())
+    assert ref, "reference run admitted nothing — the gates are broken"
+
+    # soak: 5 doc_id-range epochs with maintenance interleaved
+    table = str(tmp_path / "soak")
+    cdir = census_dir_for(table)
+    sink = cleaning_pipeline_sink(table, app_id="soak")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[len(ids) * i // 5] for i in range(1, 5)] + [ids[-1] + 1]
+    lo = min(ids)
+    for epoch, hi in enumerate(bounds):
+        sink(docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), epoch)
+        lo = hi
+        if epoch == 1:
+            assert compact_census(spark, cdir) > 0
+        if epoch == 2:
+            decontaminate_table(spark, table)  # mid-run retro pass
+            files_before, files_after = optimize_segments(spark, table)
+            assert files_after <= files_before
+            vacuum(table, keep_versions=1, min_age_s=0)
+
+    decontaminate_table(spark, table)
+    got = sorted(r.doc_id for r in read_snapshot(spark, table).collect())
+    assert got == ref
+
+    # the census converged too: same distinct (hash, source) pairs
+    ref_census = read_snapshot(spark, census_dir_for(ref_table))
+    soak_census = read_snapshot(spark, cdir)
+    assert (
+        sorted(map(tuple, soak_census.select(CANON_COL, "source").distinct().collect()))
+        == sorted(map(tuple, ref_census.select(CANON_COL, "source").distinct().collect()))
+    )
