@@ -3453,6 +3453,70 @@ def d36_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(d).select(
         "doc_id", "n_email", "n_ip", "n_phone", "redacted"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer evaluation (d37 draft — library-only this round, the d35/
+# d36 protocol): fertility + compression per source under a fixed
+# merge table. Fertility (subwords emitted per word) is the standard
+# tokenizer-quality metric a data pipeline tracks per source/language
+# — a source whose fertility spikes is one the tokenizer represents
+# poorly, which shows up directly as wasted sequence length at
+# training time.
+
+
+def d37_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer stats under the FIXED D35_MERGES table:
+    document/word/subword counts, fertility = subwords/word, and
+    chars_per_subword = word characters/subword (compression). One
+    Arrow encode pass (bpe_apply carries source through), one tiny
+    per-source aggregate — the corpus shuffles only the 6 aggregation
+    columns, never the token arrays. The oracle reuses d35's proven
+    recursive-CTE replay and aggregates it the same way."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    merge_rows = [{"left": lt, "right": rt} for lt, rt in D35_MERGES]
+    enc = bpe_apply(d, merge_rows).select(
+        "source",
+        F.size(tokens("text")).alias("nw"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("nc"),
+        F.size("bpe_toks").alias("ns"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+            F.sum("ns").cast("long").alias("n_subwords"),
+            F.round(F.sum("ns") / F.sum("nw"), 6).alias("fertility"),
+            F.round(F.sum("nc") / F.sum("ns"), 6).alias("chars_per_subword"),
+        )
+        .orderBy("source")
+    )
+
+
+def _d37_oracle_sql() -> str:
+    """d35's replay, aggregated per source. The inner encode is the
+    ALREADY-PROVEN D35 recursive CTE (test_d35_draft_... pins it
+    against both Spark and a plain-Python encoder); this wrapper only
+    joins source back on and sums."""
+    inner = _d35_oracle_sql()
+    return f"""
+WITH bpe AS ({inner})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_words,
+       CAST(sum(len(bpe.bpe_toks)) AS BIGINT) AS n_subwords,
+       round(CAST(sum(len(bpe.bpe_toks)) AS DOUBLE)
+             / sum(len({_DUCK_TOKS})), 6) AS fertility,
+       round(CAST(sum(len(replace(d.text, ' ', ''))) AS DOUBLE)
+             / sum(len(bpe.bpe_toks)), 6) AS chars_per_subword
+FROM documents d JOIN bpe ON d.doc_id = bpe.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+D37_ORACLE_DRAFT = _d37_oracle_sql()
 # ---- end d35 draft ----
 
 

@@ -227,3 +227,31 @@ def test_bpe_train_incremental_counts_match_recount(spark):
     rec = bpe_train(docs, n_merges=12).orderBy("rank").collect()
     assert inc == rec
     assert len(inc) == 12
+
+
+def test_d37_fertility_matches_duckdb_and_bounds(spark):
+    """d37 draft proven before registration: per-source fertility/
+    compression under the fixed D35 table must match the DuckDB
+    aggregate of the (already-proven) d35 replay, and must respect the
+    algorithm's own bounds — every word emits at least one subword
+    (fertility >= 1) and no subword exceeds the word+marker length."""
+    import duckdb
+
+    from indexr_spark.operators.text import (
+        D37_ORACLE_DRAFT,
+        d37_tokenizer_fertility,
+    )
+
+    got = [tuple(r) for r in d37_tokenizer_fertility(spark, SMOKE_SF).collect()]
+    assert got, "no sources"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(D37_ORACLE_DRAFT).fetchall()]
+    assert got == oracle
+    for source, n_docs, n_words, n_subwords, fert, cps in got:
+        assert n_docs > 0 and n_words > 0
+        assert fert >= 1.0, (source, fert)  # a word is >= 1 subword
+        assert 0 < cps, (source, cps)
