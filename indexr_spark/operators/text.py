@@ -3331,7 +3331,14 @@ def d35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_rows = [
         {"left": lt, "right": rt} for lt, rt in D35_MERGES
     ]
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_scan: the per-word Python encode is per-row CPU and the
+    # small corpus file scans as one task (the d09 lesson — measured:
+    # d37's aggregate over this encode 1.26 s serial vs 1.00 s spread
+    # at sf0.1; the gap widens with merge-table size, and D35's fixed
+    # 12-rank table is the cheap end of that curve).
+    d = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return bpe_apply(d, merge_rows).select("doc_id", "bpe_toks").orderBy(
         "doc_id"
     )
@@ -3473,7 +3480,9 @@ def d37_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregate — the corpus shuffles only the 6 aggregation
     columns, never the token arrays. The oracle reuses d35's proven
     recursive-CTE replay and aggregates it the same way."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     merge_rows = [{"left": lt, "right": rt} for lt, rt in D35_MERGES]
     enc = bpe_apply(d, merge_rows).select(
         "source",
