@@ -17,6 +17,12 @@ Probe: centroids load driver-side (k×dim floats), each query picks its
 `nprobe` nearest cells in Python, and the scan statically prunes to
 those `cell=` partitions before exact cosine ranks candidates —
 `nprobe` is the recall/cost dial s06 (nprobe=1) doesn't expose.
+
+build_ivfpq_store / ivfpq_probe add the memory half of the layout
+(IVF-PQ): a `pq_code` column (operators/pq.py) lets the candidate
+scan rank by ADC without ever decoding the embedding column, and the
+exact-cosine rerank touches embeddings for only the per-query
+shortlist — see build_ivfpq_store's docstring for the economics.
 """
 
 from __future__ import annotations
@@ -51,6 +57,43 @@ def _prepared(vectors: DataFrame) -> DataFrame:
     return vectors.withColumn("e", e).withColumn("nrm", F.sqrt(_dot(e, e)))
 
 
+def _train_centroids(
+    vectors: DataFrame, prep: DataFrame, n_cells: int, train_iters: int
+) -> list[list[float]]:
+    """The coarse-quantizer training shared by build_ivf_store and
+    build_ivfpq_store (extracted unchanged from build_ivf_store)."""
+    if train_iters > 1:
+        from indexr_spark.operators.similarity import kmeans_fit
+
+        centroids, _ = kmeans_fit(vectors, k=n_cells, max_iters=train_iters)
+        if not centroids:
+            raise ValueError("cannot build an IVF store over an empty corpus")
+        return centroids
+    seeds = [
+        [float(x) for x in r["e"]]
+        for r in prep.orderBy("vec_id").limit(n_cells).select("e").collect()
+    ]
+    if not seeds:
+        raise ValueError("cannot build an IVF store over an empty corpus")
+    n_cells = min(n_cells, len(seeds))  # fewer vectors than cells: clamp
+    # one Lloyd step: assign to seeds, recompute per-cell means
+    assigned = prep.withColumn("cell", _assign_cell(seeds))
+    means = (
+        assigned.select("cell", F.posexplode("e").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
+    dim = len(seeds[0])
+    return [
+        [by_cell.get(c, {}).get(d, seeds[c][d]) for d in range(dim)]
+        for c in range(n_cells)
+    ]
+
+
 def build_ivf_store(
     spark: SparkSession,
     vectors: DataFrame,
@@ -64,36 +107,7 @@ def build_ivf_store(
     iterations tighten cell balance, which is what bounds worst-case
     probe cost at a fixed nprobe), one partitioned write."""
     prep = _prepared(vectors)
-    if train_iters > 1:
-        from indexr_spark.operators.similarity import kmeans_fit
-
-        centroids, _ = kmeans_fit(vectors, k=n_cells, max_iters=train_iters)
-        if not centroids:
-            raise ValueError("cannot build an IVF store over an empty corpus")
-    else:
-        seeds = [
-            [float(x) for x in r["e"]]
-            for r in prep.orderBy("vec_id").limit(n_cells).select("e").collect()
-        ]
-        if not seeds:
-            raise ValueError("cannot build an IVF store over an empty corpus")
-        n_cells = min(n_cells, len(seeds))  # fewer vectors than cells: clamp
-        # one Lloyd step: assign to seeds, recompute per-cell means
-        assigned = prep.withColumn("cell", _assign_cell(seeds))
-        means = (
-            assigned.select("cell", F.posexplode("e").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["c"]
-        dim = len(seeds[0])
-        centroids = [
-            [by_cell.get(c, {}).get(d, seeds[c][d]) for d in range(dim)]
-            for c in range(n_cells)
-        ]
+    centroids = _train_centroids(vectors, prep, n_cells, train_iters)
     final = prep.withColumn("cell", _assign_cell(centroids)).drop("e", "nrm")
     final.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
     with open(os.path.join(store_dir, CENTROIDS_NAME), "w") as f:
@@ -221,6 +235,180 @@ def ivf_probe_df(
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
+
+
+PQ_META_NAME = "_pq.json"
+
+
+def build_ivfpq_store(
+    spark: SparkSession,
+    vectors: DataFrame,
+    store_dir: str,
+    n_cells: int = 8,
+    train_iters: int = 1,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 3,
+) -> tuple[list[list[float]], list]:
+    """build_ivf_store plus the memory half: each vector also lands
+    with its `pq_code` column (operators/pq.pq_encode — m small ints
+    instead of D floats for the scan the probe's shortlist touches),
+    and the PQ codebooks persist next to the centroids:
+
+        <store>/cell=<id>/...parquet   vec_id, embedding, pq_code
+        <store>/_centroids.json        coarse quantizer (k×dim)
+        <store>/_pq.json               {m, ksub, codebooks[m][ksub][dsub]}
+
+    The coarse layout stays COSINE (same training and assignment as
+    build_ivf_store, bit-identical cells); PQ distance is L2 — the
+    standard IVF-PQ metric bridge. ivfpq_probe therefore uses ADC only
+    to SHORTLIST within the probed cells and ranks the final k by
+    exact cosine, so its output contract (and, with a full-cell
+    shortlist, its exact result — pytest-pinned) matches ivf_probe.
+
+    Columnar economics, which is the point at 100 TB: the ADC pass
+    reads (vec_id, pq_code) — the embedding column stays on disk —
+    and the rerank reads embeddings for only the Q·R shortlist rows
+    through a pushed vec_id filter. Both properties are plan-asserted
+    in tests/test_ivfpq.py."""
+    from indexr_spark.operators.pq import pq_encode, pq_train
+
+    prep = _prepared(vectors)
+    centroids = _train_centroids(vectors, prep, n_cells, train_iters)
+    codebooks, _hist = pq_train(vectors, m=m, ksub=ksub, iters=pq_iters)
+    final = pq_encode(
+        prep.withColumn("cell", _assign_cell(centroids)).drop("e", "nrm"),
+        codebooks,
+    )
+    final.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
+    with open(os.path.join(store_dir, CENTROIDS_NAME), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(store_dir, PQ_META_NAME), "w") as f:
+        json.dump({"m": m, "ksub": ksub, "codebooks": codebooks}, f)
+    return centroids, codebooks
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    rerank_from: int = 32,
+) -> DataFrame:
+    """Top-k cosine neighbours per query over an IVF-PQ store: static
+    `cell=` pruning (ivf_probe's driver-side cell pick, cosine), an
+    ADC scan over codes only, then exact-cosine rerank of the per-query
+    R-shortlist — embeddings are read through a pushed vec_id IN
+    filter over the same pruned cells, i.e. Q·R fat rows instead of
+    every row in every probed cell. Output schema and ranking contract
+    are ivf_probe's (q_id, rank, vec_id, cosine; ties → lower vec_id);
+    with rerank_from ≥ the probed cells' population the result is
+    IDENTICAL to ivf_probe by construction."""
+    from pyspark.sql import Window as W
+
+    from indexr_spark.operators.pq import adc_tables
+
+    if rerank_from < k:
+        raise ValueError(f"rerank_from={rerank_from} < k={k}")
+    with open(os.path.join(store_dir, CENTROIDS_NAME)) as f:
+        centroids = json.load(f)
+    with open(os.path.join(store_dir, PQ_META_NAME)) as f:
+        meta = json.load(f)
+    codebooks, ksub, m = meta["codebooks"], meta["ksub"], meta["m"]
+    cnorms = [math.sqrt(sum(x * x for x in cv)) or 1.0 for cv in centroids]
+    qrows = queries.select(
+        "q_id", F.col("embedding").cast("array<double>").alias("qe")
+    ).collect()
+    # per query: nprobe nearest cells by cosine (ivf_probe's key) and
+    # the flat ADC table against the store's codebooks
+    probe_rows = []
+    qvecs: dict[int, list[float]] = {}
+    for r in qrows:
+        qe = list(r["qe"])
+        qvecs[r["q_id"]] = qe
+        qn = math.sqrt(sum(x * x for x in qe)) or 1.0
+        scored = sorted(
+            (
+                (sum(a * b for a, b in zip(qe, cv)) / (qn * cn), cell)
+                for cell, (cv, cn) in enumerate(zip(centroids, cnorms))
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for _, cell in scored[:nprobe]:
+            probe_rows.append((r["q_id"], cell))
+    cells = sorted({c for _, c in probe_rows})
+
+    # phase 1 — ADC shortlist: codes only (embedding never read here)
+    qdf = F.broadcast(
+        spark.createDataFrame(probe_rows, "q_id long, cell int")
+    )
+    codes = spark.read.parquet(store_dir).filter(F.col("cell").isin(cells)).select(
+        "vec_id", "cell", "pq_code"
+    )
+    adc = None
+    for qid, qe in qvecs.items():
+        table = F.lit(adc_tables(qe, codebooks))
+        expr = F.aggregate(
+            F.zip_with(
+                F.col("pq_code"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda code, j: F.get(table, j * ksub + code),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        adc = (
+            F.when(F.col("q_id") == int(qid), expr)
+            if adc is None
+            else adc.when(F.col("q_id") == int(qid), expr)
+        )
+    wa = W.partitionBy("q_id").orderBy("adc", "vec_id")
+    short = (
+        codes.join(qdf, ["cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank_from)
+        .select("q_id", "vec_id")
+        .collect()  # Q·rerank_from ids — driver-sized by contract
+    )
+
+    # phase 2 — exact cosine on the shortlist only: the vec_id IN
+    # filter pushes to the pruned scan, so the embedding column is
+    # decoded for Q·R rows
+    ids = sorted({r["vec_id"] for r in short})
+    pairs_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["q_id"], r["vec_id"]) for r in short], "q_id long, vec_id long"
+        )
+    )
+    fat = _prepared(
+        spark.read.parquet(store_dir)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding")
+    )
+    cos = None
+    for qid, qe in qvecs.items():
+        qn = math.sqrt(sum(x * x for x in qe)) or 1.0
+        expr = _dot(F.col("e"), F.lit([float(x) for x in qe])) / (
+            F.col("nrm") * qn
+        )
+        cos = (
+            F.when(F.col("q_id") == int(qid), expr)
+            if cos is None
+            else cos.when(F.col("q_id") == int(qid), expr)
+        )
+    wx = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        fat.join(pairs_df, ["vec_id"])
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wx))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
         .orderBy("q_id", "rank")

@@ -1,0 +1,132 @@
+"""IVF-PQ store (sources/vector_store.build_ivfpq_store + ivfpq_probe):
+layout parity with the plain IVF store, the exactness pin (a
+full-population shortlist makes ivfpq_probe IDENTICAL to ivf_probe),
+the columnar economics (ADC pass never reads the embedding column;
+the rerank scan carries a pushed vec_id filter), and recall under a
+tight shortlist."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from indexr_spark.sources.vector_store import (
+    PQ_META_NAME,
+    build_ivf_store,
+    build_ivfpq_store,
+    ivf_probe,
+    ivfpq_probe,
+)
+from tests.conftest import SMOKE_SF
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
+
+
+def _queries(spark, n=3):
+    return _emb(spark).filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+
+def test_ivfpq_layout_and_cell_parity_with_plain_ivf(spark, tmp_path):
+    emb = _emb(spark)
+    pq_store = str(tmp_path / "ivfpq")
+    ivf_store = str(tmp_path / "ivf")
+    centroids, codebooks = build_ivfpq_store(
+        spark, emb, pq_store, n_cells=8, m=16, ksub=16, pq_iters=2
+    )
+    plain = build_ivf_store(spark, emb, ivf_store, n_cells=8)
+    # same coarse training path -> bit-identical centroids and cells
+    assert centroids == plain
+    assert len(codebooks) == 16 and len(codebooks[0]) == 16
+    meta = json.load(open(os.path.join(pq_store, PQ_META_NAME)))
+    assert (meta["m"], meta["ksub"]) == (16, 16)
+    assert meta["codebooks"] == codebooks
+
+    out = spark.read.parquet(pq_store)
+    assert out.count() == emb.count()
+    assert "pq_code" in out.columns
+    pq_cells = {
+        r["cell"] for r in out.select("cell").distinct().collect()
+    }
+    ivf_cells = {
+        r["cell"]
+        for r in spark.read.parquet(ivf_store).select("cell").distinct().collect()
+    }
+    assert pq_cells == ivf_cells
+    # cell membership identical vector by vector
+    a = {(r["vec_id"], r["cell"]) for r in out.select("vec_id", "cell").collect()}
+    b = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(ivf_store).select("vec_id", "cell").collect()
+    }
+    assert a == b
+
+
+def test_ivfpq_probe_with_full_shortlist_equals_ivf_probe(spark, tmp_path):
+    """rerank_from >= probed population -> the ADC shortlist is the
+    whole candidate set, so the exact-cosine rerank must reproduce
+    ivf_probe row for row (same schema, ranks, rounded cosines)."""
+    emb = _emb(spark)
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(spark, emb, store, n_cells=8, m=16, ksub=16, pq_iters=2)
+    q = _queries(spark)
+    n = emb.count()
+    exact = [tuple(r) for r in ivf_probe(spark, store, q, k=5, nprobe=2).collect()]
+    approx = [
+        tuple(r)
+        for r in ivfpq_probe(
+            spark, store, q, k=5, nprobe=2, rerank_from=int(n)
+        ).collect()
+    ]
+    assert approx == exact
+
+
+def test_ivfpq_probe_columnar_economics(spark, tmp_path):
+    """The returned (phase-2) plan must show BOTH scan-side savings:
+    the cell partition filter and the pushed vec_id shortlist filter —
+    the fat embedding column is decoded for Q*R rows, not for every
+    row of every probed cell."""
+    emb = _emb(spark)
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(spark, emb, store, n_cells=8, m=16, ksub=16, pq_iters=2)
+    res = ivfpq_probe(spark, store, _queries(spark), k=3, nprobe=2, rerank_from=8)
+    rows = res.collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0] and " IN (" in pf[0]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("In(vec_id" in ln for ln in pushed), plan
+
+
+def test_ivfpq_probe_tight_shortlist_recall(spark, tmp_path):
+    """Under a tight shortlist (R=24 over ~125-vector probed sets) the
+    ADC stage does real filtering; recall vs ivf_probe's exact ranking
+    over the SAME cells must still clear a floor far above chance.
+    Measured 0.70 at m=16/ksub=16 on this corpus (the synthetic
+    near-uniform embeddings are PQ's hard case — see operators/pq.py);
+    floor 0.5, roughly 10x the ~24/250 a random R=24 shortlist scores."""
+    emb = _emb(spark)
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(spark, emb, store, n_cells=8, m=16, ksub=16, pq_iters=3)
+    q = _queries(spark, n=5)
+    k = 10
+    exact = ivf_probe(spark, store, q, k=k, nprobe=2).collect()
+    approx = ivfpq_probe(spark, store, q, k=k, nprobe=2, rerank_from=24).collect()
+    hits = 0
+    for qid in {r["q_id"] for r in exact}:
+        e = {r["vec_id"] for r in exact if r["q_id"] == qid}
+        a = {r["vec_id"] for r in approx if r["q_id"] == qid}
+        hits += len(e & a)
+    recall = hits / (5 * k)
+    assert recall >= 0.5, recall
