@@ -278,3 +278,87 @@ def pq_adc_topk(
         )
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 draft (register when the window allows — REGISTRY.md): PQ encode
+# with a FIXED, corpus-independent codebook, which makes the encoder
+# DuckDB-certifiable the same way d35 fixed its merge table. The
+# codebook values are generated by one deterministic integer formula
+# used by BOTH the Spark literals and the SQL VALUES — a single source
+# of truth, so the two sides cannot drift. The fixed codebook is a
+# deliberately arbitrary quantizer: the row certifies the ENCODER's
+# argmin/tie semantics, not quantization quality (pq_train's quality
+# is pinned by the recall tests).
+
+S13_M, S13_KSUB, S13_DIM = 4, 4, 64
+
+
+def s13_codebooks() -> list:
+    """codebooks[m][ksub][dsub] from a deterministic integer formula —
+    values in [-1.25, 1.25] at 0.25 granularity, exactly representable
+    in binary floating point so both engines hold identical doubles."""
+    dsub = S13_DIM // S13_M
+    return [
+        [
+            [(((j + 1) * (c + 2) * (d + 3)) % 11 - 5) / 4.0 for d in range(dsub)]
+            for c in range(S13_KSUB)
+        ]
+        for j in range(S13_M)
+    ]
+
+
+def s13_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s13 registry form: pq_encode over the embeddings table with
+    the fixed s13 codebook — (vec_id, pq_code). The oracle
+    (S13_ORACLE_DRAFT) scores the SAME maximization formula
+    (2·dot − |c|², ties → lower code) so the two engines differ only
+    in last-ulp dot-product rounding; the codebook's exactly-
+    representable values keep that risk to the dot itself, and the
+    pytest pin runs the pair at both sf0.001 and (in-session) sf0.01."""
+    from indexr_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        pq_encode(emb, s13_codebooks())
+        .select("vec_id", "pq_code")
+        .orderBy("vec_id")
+    )
+
+
+def _s13_oracle_sql() -> str:
+    cbs = s13_codebooks()
+    dsub = S13_DIM // S13_M
+    vals = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cb)}]::DOUBLE[], "
+        f"{sum(x * x for x in cb)!r})"
+        for j, book in enumerate(cbs)
+        for c, cb in enumerate(book)
+    )
+    return f"""
+WITH cb(j, code, c, n2) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, e[j*{dsub}+1 : (j+1)*{dsub}] AS s
+  FROM e CROSS JOIN (SELECT unnest(range({S13_M})) AS j)
+),
+scored AS (
+  SELECT vec_id, sub.j, cb.code,
+         2*list_dot_product(s, cb.c) - cb.n2 AS score
+  FROM sub JOIN cb ON cb.j = sub.j
+),
+best AS (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY score DESC, code) AS rn
+  FROM scored
+)
+SELECT vec_id, list(code ORDER BY j) AS pq_code
+FROM best WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+S13_ORACLE_DRAFT = _s13_oracle_sql()

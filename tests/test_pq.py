@@ -144,3 +144,39 @@ def test_pq_compression_shape(spark):
     assert all(0 <= c < KSUB for c in row["pq_code"])
     # 8 bytes/vector at the test config (64-dim float32 = 256 B: 32×)
     assert math.log2(KSUB) * M / 8 == 8.0
+
+
+def test_s13_fixed_codebook_encode_matches_duckdb_replay(spark):
+    """The s13 draft proven before registration (the d35 protocol):
+    encode with the FIXED deterministic codebook must equal the
+    generated DuckDB replay — both sides maximize the same
+    2·dot − |c|² formula with ties to the lower code, and the codebook
+    values are exactly representable doubles so only dot-product
+    last-ulp rounding could ever diverge. Cross-checked against the
+    independent numpy encoder as well, so the two engines cannot be
+    wrong together."""
+    import duckdb
+
+    from indexr_spark.operators.pq import (
+        S13_ORACLE_DRAFT,
+        s13_codebooks,
+        s13_pq_encode,
+    )
+
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in s13_pq_encode(spark, SMOKE_SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/embeddings.parquet')"
+    )
+    want = {
+        vid: list(code) for vid, code in con.execute(S13_ORACLE_DRAFT).fetchall()
+    }
+    assert got == want
+    ids, X = _np_corpus(spark)
+    np_codes = _np_encode(X, s13_codebooks())
+    for i, vid in enumerate(ids):
+        assert got[vid] == list(np_codes[i]), vid
