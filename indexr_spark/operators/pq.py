@@ -83,6 +83,7 @@ def pq_train(
     ksub: int = 16,
     iters: int = 5,
     embedding_col: str = "embedding",
+    sample_limit: int | None = None,
 ) -> tuple[list, list[float]]:
     """Train m per-subspace codebooks of ksub centroids each (Lloyd,
     L2). Returns (codebooks[m][ksub][dsub], per-round mean
@@ -93,12 +94,43 @@ def pq_train(
     same corpus yields bit-identical codebooks — the property that
     lets a persisted code column be extended by later ingest batches
     without re-encoding the corpus. Empty cells keep their previous
-    centroid (never collapse to NaN)."""
+    centroid (never collapse to NaN).
+
+    `sample_limit=N` is the production posture (what faiss does):
+    collect a deterministic N-vector sample (the N smallest
+    md5(vec_id) — portable, order-independent) and run the Lloyd loop
+    DRIVER-SIDE in numpy. Codebooks are models; a 64k×64-dim sample
+    is 32 MB, quality saturates at ~1k training points per centroid,
+    and driver training makes per-round cost constant AND tiny
+    (measured at 1M source vectors, m=16/ksub=16: 3 numpy rounds
+    ≈ 3 s total vs ≈ 150 s per DISTRIBUTED round over the full
+    corpus — COVERAGE.md ivfpq1m), leaving the one in-row encode pass
+    as the only thing that ever touches every row. The distributed
+    path (sample_limit=None) remains for exact full-corpus training;
+    the two paths share formula and tie-break and agree to float
+    tolerance (pytest-pinned)."""
     if m < 1 or ksub < 1 or iters < 1:
         raise ValueError(f"degenerate PQ config m={m} ksub={ksub} iters={iters}")
     prep = vectors.select(
         "vec_id", F.col(embedding_col).cast("array<double>").alias("e")
     )
+    if sample_limit is not None:
+        if sample_limit < ksub:
+            raise ValueError(f"sample_limit={sample_limit} < ksub={ksub}")
+        rows = (
+            prep.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(sample_limit)
+            .collect()  # driver-sized by the caller's contract
+        )
+        if len(rows) < ksub:
+            raise ValueError(f"corpus has {len(rows)} vectors < ksub={ksub}")
+        return _pq_train_numpy_rows(rows, m, ksub, iters)
+    # full-corpus distributed path: a small-by-bytes corpus scans as a
+    # handful of tasks while training cost is per-ROW (the argmin
+    # fold); widen like tables.spread_scan does for the text operators
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if prep.rdd.getNumPartitions() < max(2, par // 4):
+        prep = prep.repartition(par)
     dim = _dim_of(prep, "e")
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -154,6 +186,50 @@ def pq_train(
     return codebooks, history
 
 
+def _pq_train_numpy_rows(rows, m: int, ksub: int, iters: int):
+    """Driver-side Lloyd over collected sample rows — pq_train's
+    sample_limit path. Same formula (argmax 2·dot − |c|²), same
+    tie-break (np.argmax first-occurrence = lower code), same seeding
+    convention (ksub lowest vec_ids IN THE SAMPLE donate subvectors),
+    same empty-cell persistence as the distributed path."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r["vec_id"])
+    X = np.array([list(r["e"]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    codebooks = [
+        [[float(x) for x in X[i, j * dsub : (j + 1) * dsub]] for i in range(ksub)]
+        for j in range(m)
+    ]
+    history: list[float] = []
+    for _ in range(iters):
+        err_total = 0.0
+        new = []
+        for j in range(m):
+            cb = np.asarray(codebooks[j], dtype=np.float64)
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            score = 2.0 * (sub @ cb.T) - (cb * cb).sum(axis=1)
+            code = np.argmax(score, axis=1)
+            err_total += float(
+                ((sub * sub).sum(axis=1) - score[np.arange(len(X)), code]).sum()
+            )
+            nb = []
+            for c in range(ksub):
+                mask = code == c
+                nb.append(
+                    [float(v) for v in sub[mask].mean(axis=0)]
+                    if mask.any()
+                    else list(codebooks[j][c])
+                )
+            new.append(nb)
+        history.append(err_total / len(X))
+        codebooks = new
+    return codebooks, history
+
+
 def pq_encode(
     vectors: DataFrame, codebooks: list, embedding_col: str = "embedding"
 ) -> DataFrame:
@@ -169,6 +245,54 @@ def pq_encode(
         ]
     )
     return vectors.withColumn("pq_code", codes)
+
+
+def pq_encode_numpy(
+    vectors: DataFrame, codebooks: list, embedding_col: str = "embedding"
+) -> DataFrame:
+    """pq_encode's BLAS path (the neardup_pairs_numpy precedent): one
+    Arrow mapInPandas pass scoring every subspace as a matrix product.
+    Measured head-to-head at 1M×64-dim, m=16 (COVERAGE.md ivfpq1m):
+    at ksub=16 the Catalyst expression WINS (2.6 s vs 5.6 s — the
+    in-row argmin amortizes, Arrow transfer doesn't), at ksub=64 the
+    matmul wins (≈1.5×) and the gap grows with m·ksub — pick by
+    codebook width, and prefer the Catalyst form when in doubt (it is
+    also the only shuffle-free-by-construction one). Same
+    argmax(2·dot − |c|²) formula, float64, ties → lower code
+    (np.argmax's first-occurrence), so it reproduces pq_encode exactly
+    on real data (pytest-pinned on the corpus; only last-ulp dot
+    rounding could ever diverge, the same caveat the s13 oracle
+    documents). The closure is self-contained (executors don't have
+    this package on sys.path — the mm01 lesson). Output schema
+    identical to pq_encode."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    _col = embedding_col
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
+    ) + ", pq_code array<int>"
+
+    def encode_batches(batches):
+        import numpy as np
+
+        cbs = [np.asarray(cb, dtype=np.float64) for cb in books]
+        n2s = [(cb * cb).sum(axis=1) for cb in cbs]
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf[_col]], dtype=np.float64)
+            if len(X):
+                codes = np.empty((X.shape[0], m), dtype=np.int64)
+                for j in range(m):
+                    sub = X[:, j * dsub : (j + 1) * dsub]
+                    score = 2.0 * (sub @ cbs[j].T) - n2s[j]
+                    codes[:, j] = np.argmax(score, axis=1)
+                pdf = pdf.assign(pq_code=[list(map(int, c)) for c in codes])
+            else:
+                pdf = pdf.assign(pq_code=[])
+            yield pdf
+
+    return vectors.mapInPandas(encode_batches, out_schema)
 
 
 def adc_tables(query: list[float], codebooks: list) -> list[float]:

@@ -253,6 +253,8 @@ def build_ivfpq_store(
     m: int = 8,
     ksub: int = 16,
     pq_iters: int = 3,
+    pq_sample: int | None = None,
+    numpy_encode: bool = False,
 ) -> tuple[list[list[float]], list]:
     """build_ivf_store plus the memory half: each vector also lands
     with its `pq_code` column (operators/pq.pq_encode — m small ints
@@ -274,13 +276,24 @@ def build_ivfpq_store(
     reads (vec_id, pq_code) — the embedding column stays on disk —
     and the rerank reads embeddings for only the Q·R shortlist rows
     through a pushed vec_id filter. Both properties are plan-asserted
-    in tests/test_ivfpq.py."""
-    from indexr_spark.operators.pq import pq_encode, pq_train
+    in tests/test_ivfpq.py.
+
+    The two throughput dials for large corpora (both default OFF so
+    small builds stay on the oracle-exact Catalyst paths, both
+    pinned equivalent on the corpus): `pq_sample=N` trains the
+    codebooks on a bounded deterministic sample (pq_train's posture
+    note), `numpy_encode=True` writes codes through the Arrow/BLAS
+    encoder (pq_encode_numpy) instead of the interpreted in-row
+    argmin. Measured at 1M vectors: COVERAGE.md ivfpq1m."""
+    from indexr_spark.operators.pq import pq_encode, pq_encode_numpy, pq_train
 
     prep = _prepared(vectors)
     centroids = _train_centroids(vectors, prep, n_cells, train_iters)
-    codebooks, _hist = pq_train(vectors, m=m, ksub=ksub, iters=pq_iters)
-    final = pq_encode(
+    codebooks, _hist = pq_train(
+        vectors, m=m, ksub=ksub, iters=pq_iters, sample_limit=pq_sample
+    )
+    encode = pq_encode_numpy if numpy_encode else pq_encode
+    final = encode(
         prep.withColumn("cell", _assign_cell(centroids)).drop("e", "nrm"),
         codebooks,
     )

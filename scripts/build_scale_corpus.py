@@ -136,6 +136,42 @@ def build_vecs50x(out: str = "/tmp/sfvec50") -> None:
     print(f"wrote {out}/embeddings.parquet")
 
 
+def build_vecs500x(out: str = "/tmp/sfvec500", reps: int = 500) -> None:
+    """1M vectors (500x sf0.1) — the IVF-PQ scale corpus. Same jitter
+    scheme as vecs50x but built as one (replica × vector) cross so the
+    plan isn't a 500-legs union; the md5 jitter keys on (replica,
+    position) exactly like vecs50x, so the 50x corpus is a strict
+    prefix of this one's structure."""
+    spark = get_spark(app_name="build-vecs500x")
+    e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    r = F.col("rep")
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("rep").cast("string"), i)), 1, 6
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % 1001
+            - 500
+        ).cast("float")
+        / F.lit(100000.0),
+    )
+    alle = (
+        e.crossJoin(spark.range(reps).select(F.col("id").cast("int").alias("rep")))
+        .withColumn("embedding", F.when(r > 0, jitter).otherwise(F.col("embedding")))
+        .withColumn("vec_id", F.col("vec_id") + r.cast("long") * 100000)
+        .drop("rep")
+    )
+    alle.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    print(f"wrote {out}/embeddings.parquet ({reps}x)")
+
+
 def build_rel10x(out: str = "/tmp/sfrel10") -> None:
     import os
 
@@ -171,4 +207,5 @@ def build_rel10x(out: str = "/tmp/sfrel10") -> None:
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
     {"docs10x": build_docs10x, "docs100x": build_docs100x,
-     "vecs50x": build_vecs50x, "rel10x": build_rel10x}[which]()
+     "vecs50x": build_vecs50x, "vecs500x": build_vecs500x,
+     "rel10x": build_rel10x}[which]()

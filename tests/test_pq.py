@@ -180,3 +180,47 @@ def test_s13_fixed_codebook_encode_matches_duckdb_replay(spark):
     np_codes = _np_encode(X, s13_codebooks())
     for i, vid in enumerate(ids):
         assert got[vid] == list(np_codes[i]), vid
+
+
+def test_pq_numpy_encode_and_sampled_train_match_catalyst(spark):
+    """The two throughput dials must be behavior-preserving: the
+    Arrow/BLAS encoder reproduces pq_encode code-for-code (same
+    argmax formula, ties to lower code), and sample_limit with the
+    full corpus AS the sample reproduces full training to float
+    tolerance — NOT bit-for-bit: the sample's sort+checkpoint changes
+    row order, and avg() summation order moves the last ulp (each
+    path is individually bit-deterministic, asserted below)."""
+    from indexr_spark.operators.pq import pq_encode_numpy
+
+    cbs, hist = pq_train(_corpus(spark), m=M, ksub=KSUB, iters=2)
+    a = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(_corpus(spark), cbs).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode_numpy(_corpus(spark), cbs)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert a == b
+
+    n = _corpus(spark).count()
+    cbs2, hist2 = pq_train(_corpus(spark), m=M, ksub=KSUB, iters=2, sample_limit=n)
+    for j in range(M):
+        for c in range(KSUB):
+            for x, y in zip(cbs[j][c], cbs2[j][c]):
+                assert abs(x - y) < 1e-9, (j, c)
+    for h, h2 in zip(hist, hist2):
+        assert abs(h - h2) < 1e-9
+
+    # a strict sample trains on fewer rows: still converges, still
+    # deterministic, and refuses a sample smaller than ksub
+    cbs3, hist3 = pq_train(
+        _corpus(spark), m=M, ksub=KSUB, iters=2, sample_limit=128
+    )
+    assert hist3[-1] <= hist3[0] + 1e-9
+    cbs4, _ = pq_train(_corpus(spark), m=M, ksub=KSUB, iters=2, sample_limit=128)
+    assert cbs3 == cbs4
+    with pytest.raises(ValueError):
+        pq_train(_corpus(spark), m=M, ksub=KSUB, sample_limit=3)
