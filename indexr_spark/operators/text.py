@@ -2764,22 +2764,27 @@ def weighted_sample(
     )
     w_val = F.col(weight_col).cast("double")
     key = F.log(u) / w_val
-    e_raw = F.floor(F.log10(-key)).cast("int")
-    e = F.when(key == 0, F.lit(AES_E_MIN)).otherwise(
+    # key and e materialize as COLUMNS before the scale CASE consumes
+    # them: Catalyst gives CASE branches no CSE, so the raw-expression
+    # form re-evaluated e — and through it log10(ln(md5(...))) — once
+    # PER BRANCH of the ~20-entry scale table (~2x wall on d31's
+    # bench row, caught by the r8 gate; the d22 lesson in CASE form)
+    keyed = docs.filter(w_val > 0).withColumn("_aes_key", key)
+    kcol = F.col("_aes_key")
+    e_raw = F.floor(F.log10(-kcol)).cast("int")
+    e = F.when(kcol == 0, F.lit(AES_E_MIN)).otherwise(
         F.greatest(F.least(e_raw, F.lit(AES_E_MAX)), F.lit(AES_E_MIN))
     )
+    keyed = keyed.withColumn("_aes_e", e)
     scale = None
     for exp, lit in _aes_scale_table():
-        cond = e == F.lit(exp)
+        cond = F.col("_aes_e") == F.lit(exp)
         scale = F.when(cond, F.lit(lit)) if scale is None else scale.when(
             cond, F.lit(lit)
         )
-    m = F.round(key * scale, 0).cast("long")
-    base = (
-        docs.filter(w_val > 0)
-        .withColumn("_aes_e", e)
-        .withColumn("_aes_m", m)
-    )
+    base = keyed.withColumn(
+        "_aes_m", F.round(kcol * scale, 0).cast("long")
+    ).drop("_aes_key")
     if strata_col is None:
         out = base.orderBy("_aes_e", F.desc("_aes_m"), "doc_id").limit(k)
         return out.drop("_aes_e", "_aes_m")
