@@ -3508,6 +3508,108 @@ def d37_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(d: DataFrame) -> DataFrame:
+    """Per-document NLL/perplexity under the corpus BIGRAM LM (d38
+    draft — the CCNet-style fluency signal one order up from d27's
+    unigram): position 0 scores ln P(w0) = c(w0)/T, every following
+    position scores the conditional ln P(w_i | w_{i-1}) =
+    c(w_{i-1}, w_i) / Σ_w c(w_{i-1}, w); nll is the per-token average
+    of the negated sum, ppl = exp(nll). MLE on the scoring corpus
+    itself, so every bigram is seen by construction (no backoff
+    branch to certify).
+
+    The scale shape is deliberately NOT d27's: a bigram LM is
+    |distinct bigrams| rows — never broadcastable — so there is no LM
+    table and no join at all. One in-row explode builds (pos, w,
+    w_next) rows, and the counts ride WINDOW aggregates over that one
+    exploded frame: partition-by-w (unigram + context counts — two
+    aggregates, one shuffle) and partition-by-(w, w_next) (bigram
+    count, second shuffle), then the per-doc rollup (third). T is the
+    one driver scalar (d27's contract). At 100 TB each shuffle keys
+    on token text — the same cardinality any LM build pays — and
+    nothing ever concentrates on a single partition."""
+    from pyspark.sql import Window as W
+
+    base = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    t_total = float(
+        base.select(F.sum(F.size("toks")).alias("t")).first()["t"]
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.get("toks", i).alias("w"),
+            F.get("toks", i + 1).alias("w2"),  # null at the doc end
+        ),
+    )
+    ex = base.select(
+        "doc_id", F.size("toks").alias("n"), F.explode(pairs).alias("x")
+    ).select("doc_id", "n", "x.pos", "x.w", "x.w2")
+    ww = W.partitionBy("w")
+    wbg = W.partitionBy("w", "w2")
+    c_uni = F.count("*").over(ww).cast("double")
+    c_ctx = F.count("w2").over(ww).cast("double")
+    c_bg = F.count("*").over(wbg).cast("double")
+    logp = F.when(F.col("pos") == 0, F.log(c_uni / F.lit(t_total))).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("w2").isNotNull(), F.log(c_bg / c_ctx)).otherwise(F.lit(0.0))
+    return (
+        ex.select("doc_id", "n", logp.alias("logp"))
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum("logp") / F.col("n"), 6).alias("nll"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "nll",
+            F.round(F.exp("nll"), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def d38_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d38 registry form (library-only until the window allows —
+    REGISTRY.md): bigram_logprob over the documents table."""
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+D38_ORACLE_DRAFT = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+  WHERE len({_DUCK_TOKS}) > 0
+), tot AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS T FROM t
+), ex AS (
+  SELECT doc_id, len(toks) AS n,
+         unnest(list_transform(range(1, len(toks) + 1),
+                i -> struct_pack(pos := i - 1, w := toks[i],
+                                 w2 := toks[i + 1]))) AS x
+  FROM t
+), rows_ AS (
+  SELECT doc_id, n, x.pos AS pos, x.w AS w, x.w2 AS w2 FROM ex
+), scored AS (
+  SELECT doc_id, n,
+         CASE WHEN pos = 0
+              THEN ln(CAST(count(*) OVER (PARTITION BY w) AS DOUBLE)
+                      / (SELECT T FROM tot))
+              ELSE 0.0 END
+         + CASE WHEN w2 IS NOT NULL
+                THEN ln(CAST(count(*) OVER (PARTITION BY w, w2) AS DOUBLE)
+                        / CAST(count(w2) OVER (PARTITION BY w) AS DOUBLE))
+                ELSE 0.0 END AS logp
+  FROM rows_
+), agg AS (
+  SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         round(-sum(logp) / n, 6) AS nll
+  FROM scored GROUP BY doc_id, n
+)
+SELECT doc_id, n_tokens, nll, round(exp(nll), 6) AS ppl
+FROM agg ORDER BY doc_id
+"""
+
+
 def _d37_oracle_sql() -> str:
     """d35's replay, aggregated per source. The inner encode is the
     ALREADY-PROVEN D35 recursive CTE (test_d35_draft_... pins it

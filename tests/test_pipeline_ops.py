@@ -618,3 +618,63 @@ def test_repetition_stats_sorted_run_randomized_python_reference(spark):
                 abs(r["top_bigram_token_frac"] - round(2.0 * top / len(toks), 6))
                 < 1e-9
             ), doc_id
+
+
+def test_bigram_logprob_hand_corpus_and_duckdb_replay(spark):
+    """d38 draft proven before registration: hand-computed values on a
+    corpus small enough to verify by hand, plus full-table parity with
+    the generated DuckDB replay at sf0.001. Scoring contract: position
+    0 pays the unigram -ln c(w)/T, every later position pays the
+    conditional -ln c(w1,w2)/ctx(w1); nll is the per-token mean."""
+    import math
+
+    import duckdb
+
+    from indexr_spark.operators.text import (
+        D38_ORACLE_DRAFT,
+        bigram_logprob,
+        d38_bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # corpus: T=8; c(a)=3 c(b)=3 c(c)=2
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1; ctx(a)=3, ctx(b)=2, ctx(c)=0
+    la_b = math.log(3 / 3)  # P(b|a) = 1
+    lb_a = math.log(1 / 2)
+    lb_c = math.log(1 / 2)
+    exp1 = -(math.log(3 / 8) + la_b + lb_a + la_b) / 4  # a b a b
+    exp2 = -(math.log(3 / 8) + la_b + lb_c) / 3  # a b c
+    exp3 = -math.log(2 / 8) / 1  # c (unigram only)
+    for doc_id, want in ((1, exp1), (2, exp2), (3, exp3)):
+        assert abs(rows[doc_id]["nll"] - round(want, 6)) < 1e-6, doc_id
+        assert abs(rows[doc_id]["ppl"] - round(math.exp(rows[doc_id]["nll"]), 6)) < 1e-5
+    assert rows[1]["n_tokens"] == 4 and rows[3]["n_tokens"] == 1
+
+    # full-table parity with the DuckDB replay
+    got = [tuple(r) for r in d38_bigram_logprob(spark, SMOKE_SF).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    want = con.execute(D38_ORACLE_DRAFT).fetchall()
+    assert got == [tuple(r) for r in want]
+    # Gibbs' inequality on the CORPUS total: over the bigram
+    # positions, the conditional MLE beats ANY position-independent
+    # model (including d27's unigram), and the position-0 terms are
+    # identical in both scorers — so the token-weighted corpus NLL
+    # must be strictly lower for the bigram LM. (Per-DOC it can go
+    # either way — measured 366/500 here — which is exactly why the
+    # invariant is the weighted total, not a per-row comparison.)
+    uni = {
+        (r["doc_id"]): (r["n_tokens"], r["nll"])
+        for r in operators.QUERIES["d27_unigram_logprob"](spark, SMOKE_SF).collect()
+    }
+    bi = {r[0]: (r[1], r[2]) for r in got}
+    tot_uni = sum(n * v for n, v in uni.values())
+    tot_bi = sum(n * v for n, v in bi.values())
+    assert tot_bi < tot_uni, (tot_bi, tot_uni)
