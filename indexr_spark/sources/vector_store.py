@@ -255,6 +255,7 @@ def build_ivfpq_store(
     pq_iters: int = 3,
     pq_sample: int | None = None,
     numpy_encode: bool = False,
+    residual: bool = False,
 ) -> tuple[list[list[float]], list]:
     """build_ivf_store plus the memory half: each vector also lands
     with its `pq_code` column (operators/pq.pq_encode — m small ints
@@ -289,19 +290,42 @@ def build_ivfpq_store(
 
     prep = _prepared(vectors)
     centroids = _train_centroids(vectors, prep, n_cells, train_iters)
-    codebooks, _hist = pq_train(
-        vectors, m=m, ksub=ksub, iters=pq_iters, sample_limit=pq_sample
-    )
+    assigned = prep.withColumn("cell", _assign_cell(centroids))
     encode = pq_encode_numpy if numpy_encode else pq_encode
-    final = encode(
-        prep.withColumn("cell", _assign_cell(centroids)).drop("e", "nrm"),
-        codebooks,
-    )
+    if residual:
+        # classic IVF-PQ residual encoding (Jégou et al. §5): quantize
+        # x − centroid[cell], not x. The codes then spend their entire
+        # resolution on WITHIN-cell structure, which is exactly what a
+        # shortlist ranks after cell pruning already removed the
+        # between-cell variance — measured on the 1M jitter corpus:
+        # R=64 recall@10 0.08 raw-PQ → see COVERAGE.md ivfpq1m for
+        # the residual number. ADC tables must then be built per
+        # (query, cell) — ivfpq_probe reads the flag from the meta.
+        cmat = F.lit([[float(x) for x in c] for c in centroids])
+        assigned = assigned.withColumn(
+            "_res",
+            F.zip_with(F.col("e"), F.get(cmat, F.col("cell")), lambda x, c: x - c),
+        )
+        codebooks, _hist = pq_train(
+            assigned.select("vec_id", F.col("_res").alias("embedding")),
+            m=m, ksub=ksub, iters=pq_iters, sample_limit=pq_sample,
+        )
+        final = encode(assigned, codebooks, embedding_col="_res").drop(
+            "_res", "e", "nrm"
+        )
+    else:
+        codebooks, _hist = pq_train(
+            vectors, m=m, ksub=ksub, iters=pq_iters, sample_limit=pq_sample
+        )
+        final = encode(assigned.drop("e", "nrm"), codebooks)
     final.write.mode("overwrite").partitionBy("cell").parquet(store_dir)
     with open(os.path.join(store_dir, CENTROIDS_NAME), "w") as f:
         json.dump(centroids, f)
     with open(os.path.join(store_dir, PQ_META_NAME), "w") as f:
-        json.dump({"m": m, "ksub": ksub, "codebooks": codebooks}, f)
+        json.dump(
+            {"m": m, "ksub": ksub, "codebooks": codebooks, "residual": residual},
+            f,
+        )
     return centroids, codebooks
 
 
@@ -321,7 +345,9 @@ def ivfpq_probe(
     every row in every probed cell. Output schema and ranking contract
     are ivf_probe's (q_id, rank, vec_id, cosine; ties → lower vec_id);
     with rerank_from ≥ the probed cells' population the result is
-    IDENTICAL to ivf_probe by construction."""
+    IDENTICAL to ivf_probe by construction (residual or not — the
+    final ranking is exact). Residual stores (see build_ivfpq_store)
+    get per-(query, cell) ADC tables, read from the store meta."""
     from pyspark.sql import Window as W
 
     from indexr_spark.operators.pq import adc_tables
@@ -363,10 +389,9 @@ def ivfpq_probe(
     codes = spark.read.parquet(store_dir).filter(F.col("cell").isin(cells)).select(
         "vec_id", "cell", "pq_code"
     )
-    adc = None
-    for qid, qe in qvecs.items():
-        table = F.lit(adc_tables(qe, codebooks))
-        expr = F.aggregate(
+    def _table_expr(table_vals: list[float]) -> "F.Column":
+        table = F.lit(table_vals)
+        return F.aggregate(
             F.zip_with(
                 F.col("pq_code"),
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -375,11 +400,26 @@ def ivfpq_probe(
             F.lit(0.0),
             lambda acc, d: acc + d,
         )
-        adc = (
-            F.when(F.col("q_id") == int(qid), expr)
-            if adc is None
-            else adc.when(F.col("q_id") == int(qid), expr)
-        )
+
+    adc = None
+    if meta.get("residual"):
+        # residual store: codes quantize x − centroid[cell], so the
+        # ADC table is per (query, cell) — Q·nprobe literal tables,
+        # still driver-sized by the probe contract
+        for qid, cell in probe_rows:
+            qe = qvecs[qid]
+            q_res = [a - b for a, b in zip(qe, centroids[cell])]
+            expr = _table_expr(adc_tables(q_res, codebooks))
+            cond = (F.col("q_id") == int(qid)) & (F.col("cell") == int(cell))
+            adc = F.when(cond, expr) if adc is None else adc.when(cond, expr)
+    else:
+        for qid, qe in qvecs.items():
+            expr = _table_expr(adc_tables(qe, codebooks))
+            adc = (
+                F.when(F.col("q_id") == int(qid), expr)
+                if adc is None
+                else adc.when(F.col("q_id") == int(qid), expr)
+            )
     wa = W.partitionBy("q_id").orderBy("adc", "vec_id")
     short = (
         codes.join(qdf, ["cell"])
