@@ -224,3 +224,36 @@ def test_pq_numpy_encode_and_sampled_train_match_catalyst(spark):
     assert cbs3 == cbs4
     with pytest.raises(ValueError):
         pq_train(_corpus(spark), m=M, ksub=KSUB, sample_limit=3)
+
+
+def test_pq_codes_extend_incrementally_without_reencoding(spark):
+    """The ingest contract pq_train's docstring claims: with FIXED
+    codebooks, encoding arriving batches independently must equal the
+    one-shot encode of the union — so a coded corpus column can be
+    extended batch by batch (exactly how build_ivfpq_store's layout
+    grows under streaming ingest) and ADC results over the union are
+    identical either way."""
+    from indexr_spark.operators.pq import pq_adc_topk
+
+    full = _corpus(spark)
+    cbs, _ = pq_train(full, m=M, ksub=KSUB, iters=2, sample_limit=256)
+    b1 = full.filter("vec_id % 2 = 0")
+    b2 = full.filter("vec_id % 2 = 1")
+    inc = {
+        r["vec_id"]: list(r["pq_code"])
+        for b in (b1, b2)
+        for r in pq_encode(b, cbs).select("vec_id", "pq_code").collect()
+    }
+    one = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(full, cbs).select("vec_id", "pq_code").collect()
+    }
+    assert inc == one
+
+    ids, X = _np_corpus(spark)
+    queries = [(ids[0], list(X[0]))]
+    a = [tuple(r) for r in pq_adc_topk(
+        pq_encode(b1, cbs).unionByName(pq_encode(b2, cbs)), queries, cbs, k=5
+    ).collect()]
+    b = [tuple(r) for r in pq_adc_topk(pq_encode(full, cbs), queries, cbs, k=5).collect()]
+    assert a == b
