@@ -466,3 +466,95 @@ def ivfpq_probe(
         .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
         .orderBy("q_id", "rank")
     )
+
+
+def ivfpq_probe_df(
+    spark: SparkSession,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    rerank_from: int = 32,
+) -> DataFrame:
+    """ivfpq_probe's LARGE-batch sibling (the ivf_probe_df trade):
+    nothing is collected — each query row picks its nprobe cells
+    IN-ROW, the ADC distance is computed per joined (query, candidate)
+    row from code-indexed centroid lookups (per subspace: one F.get
+    into a 2-D codebook literal + one dot fold, so a candidate costs
+    ~one cosine regardless of ksub), and the exact-cosine rerank joins
+    the R-shortlist back to the store on vec_id. What the driver-side
+    collect bought in ivfpq_probe is gone by construction: no static
+    cell pruning (a large batch probes most cells anyway) and no
+    pushed vec_id filter for the rerank scan (the shortlist is
+    distributed — the rerank is a shuffle join instead). Residual
+    stores work unchanged: the query residualizes in-row against the
+    candidate's cell centroid. Output contract is ivfpq_probe's; a
+    full-population shortlist reproduces ivf_probe_df exactly
+    (pytest-pinned)."""
+    from pyspark.sql import Window as W
+
+    if rerank_from < k:
+        raise ValueError(f"rerank_from={rerank_from} < k={k}")
+    with open(os.path.join(store_dir, CENTROIDS_NAME)) as f:
+        centroids = json.load(f)
+    with open(os.path.join(store_dir, PQ_META_NAME)) as f:
+        meta = json.load(f)
+    codebooks, ksub, m = meta["codebooks"], meta["ksub"], meta["m"]
+    dsub = len(codebooks[0][0])
+
+    qn_raw = F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    q = queries.select(
+        "q_id", F.col("embedding").cast("array<double>").alias("qe")
+    ).withColumn("qn", F.coalesce(F.nullif(qn_raw, F.lit(0.0)), F.lit(1.0)))
+    # in-row nprobe cell selection — identical mechanics to ivf_probe_df
+    dots = _dots_2d(F.col("qe"), _unit_scaled(centroids))
+    neg = F.lit([-c for c in range(len(centroids))])
+    cands = F.zip_with(
+        dots, neg, lambda d, nc: F.struct(d.alias("c"), nc.alias("nc"))
+    )
+    top = F.slice(F.reverse(F.array_sort(cands)), 1, nprobe)
+    q = q.withColumn(
+        "cell", F.explode(F.transform(top, lambda s: (-s["nc"]).cast("int")))
+    )
+
+    codes = spark.read.parquet(store_dir).select("vec_id", "cell", "pq_code")
+    joined = codes.join(q, ["cell"]).filter(F.col("vec_id") != F.col("q_id"))
+    qe_eff = F.col("qe")
+    if meta.get("residual"):
+        cmat = F.lit([[float(x) for x in c] for c in centroids])
+        qe_eff = F.zip_with(
+            F.col("qe"), F.get(cmat, F.col("cell")), lambda x, c: x - c
+        )
+    # materialize the (possibly residualized) query vector as a column
+    # before the per-subspace folds consume it — the d22/d31 no-CSE
+    # lesson: raw, the residual zip_with would re-run once per subspace
+    joined = joined.withColumn("_qe_eff", qe_eff)
+    adc = None
+    for j in range(m):
+        cb_j = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        n2_j = F.lit([float(sum(x * x for x in c)) for c in codebooks[j]])
+        code_j = F.get(F.col("pq_code"), j)
+        qj = F.slice(F.col("_qe_eff"), j * dsub + 1, dsub)
+        cj = F.get(cb_j, code_j)
+        dj = _dot(qj, qj) - 2.0 * _dot(qj, cj) + F.get(n2_j, code_j)
+        adc = dj if adc is None else adc + dj
+    wa = W.partitionBy("q_id").orderBy("adc", "vec_id")
+    shortlist = (
+        joined.select("q_id", "vec_id", "qe", "qn", adc.alias("adc"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank_from)
+        .drop("arank")
+    )
+    fat = _prepared(
+        spark.read.parquet(store_dir).select("vec_id", "embedding")
+    ).select("vec_id", "e", "nrm")
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    wx = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        shortlist.join(fat, ["vec_id"])
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(wx))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )

@@ -213,3 +213,39 @@ def test_ivfpq_residual_tightens_adc_on_clustered_data(spark, tmp_path):
     r_raw, r_res = recall(raw_store), recall(res_store)
     assert r_res >= r_raw, (r_raw, r_res)
     assert r_res >= 0.5, (r_raw, r_res)
+
+
+def test_ivfpq_probe_df_matches_collect_path(spark, tmp_path):
+    """The distributed probe must reproduce the collect path exactly —
+    raw AND residual stores, tight shortlist AND full population (the
+    latter transitively pins it to ivf_probe as well). Also the
+    degenerate-R guard."""
+    import pytest as _pytest
+
+    from indexr_spark.sources.vector_store import ivfpq_probe_df
+
+    emb = _emb(spark)
+    q = _queries(spark)
+    n = emb.count()
+    for residual in (False, True):
+        store = str(tmp_path / f"s_{residual}")
+        build_ivfpq_store(
+            spark, emb, store, n_cells=8, m=16, ksub=16, pq_iters=2,
+            residual=residual,
+        )
+        for rr in (12, int(n)):
+            a = [
+                tuple(r)
+                for r in ivfpq_probe(
+                    spark, store, q, k=5, nprobe=2, rerank_from=rr
+                ).collect()
+            ]
+            b = [
+                tuple(r)
+                for r in ivfpq_probe_df(
+                    spark, store, q, k=5, nprobe=2, rerank_from=rr
+                ).collect()
+            ]
+            assert a == b, (residual, rr)
+    with _pytest.raises(ValueError):
+        ivfpq_probe_df(spark, str(tmp_path / "s_False"), q, k=10, rerank_from=2)
