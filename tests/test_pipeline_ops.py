@@ -678,3 +678,70 @@ def test_bigram_logprob_hand_corpus_and_duckdb_replay(spark):
     tot_uni = sum(n * v for n, v in uni.values())
     tot_bi = sum(n * v for n, v in bi.values())
     assert tot_bi < tot_uni, (tot_bi, tot_uni)
+
+
+def test_redact_pii_randomized_three_engine_agreement(spark):
+    """150 generated docs mixing words, emails, IPs, phone-shaped runs,
+    and near-miss decoys (bare @, 5-octet dotted runs, short digit
+    runs) — Spark (Java regex) must agree with a plain-Python `re`
+    replay of the same sequential passes, and with the DuckDB (RE2)
+    oracle, on counts AND redacted text. Three engines, one pattern
+    table: if any engine's regex dialect drifted outside the common
+    subset PII_PATTERNS is held to, this catches it."""
+    import random
+    import re as pyre
+
+    import duckdb
+
+    from indexr_spark.operators.text import (
+        D36_ORACLE_DRAFT,
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rng = random.Random(3608)
+    words = ["alpha", "beta", "gamma", "delta", "sig", "x9", "mail", "at"]
+    emails = ["a.b+c@ex-1.example.org", "q@q.io", "u_1%v@sub.domain.co"]
+    ips = ["10.0.0.1", "255.255.255.255", "8.8.8.8"]
+    phones = ["+1 (555) 123-4567", "020 7946 0958", "555-867-5309"]
+    decoys = ["a@b", "1.2.3.4.5", "call 42 now", "v1.2.3", "50%"]
+    rows = []
+    for i in range(150):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            bucket = rng.random()
+            if bucket < 0.55:
+                parts.append(rng.choice(words))
+            elif bucket < 0.7:
+                parts.append(rng.choice(emails))
+            elif bucket < 0.8:
+                parts.append(rng.choice(ips))
+            elif bucket < 0.9:
+                parts.append(rng.choice(phones))
+            else:
+                parts.append(rng.choice(decoys))
+        rows.append((i, " ".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ip"], r["n_phone"], r["redacted"])
+        for r in redact_pii(docs).collect()
+    }
+
+    def py_redact(text):
+        out, counts = text, []
+        for _name, pat, tok in PII_PATTERNS:
+            counts.append(len(pyre.findall(pat, out)))
+            out = pyre.sub(pat, tok, out)
+        return (*counts, out)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_redact(text), (doc_id, text)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        doc_id: (ne, ni, np_, red)
+        for doc_id, ne, ni, np_, red in con.execute(D36_ORACLE_DRAFT).fetchall()
+    }
+    assert got == oracle
