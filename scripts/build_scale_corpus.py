@@ -207,5 +207,6 @@ def build_rel10x(out: str = "/tmp/sfrel10") -> None:
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
     {"docs10x": build_docs10x, "docs100x": build_docs100x,
+     "docs1000x": lambda: build_docs100x(out="/tmp/sf1x1000", reps=1000),
      "vecs50x": build_vecs50x, "vecs500x": build_vecs500x,
      "rel10x": build_rel10x}[which]()

@@ -355,7 +355,7 @@ def funnel100x(spark) -> None:
             df._jdf.queryExecution(), "formatted"
         )
 
-    sf = "/tmp/sf1x100"
+    sf = os.environ.get("FUNNEL_SCALE_DIR", "/tmp/sf1x100")
     for q in ("d05_exact_dedup", "d30_pipeline_funnel",
               "d28_incremental_dedup", "d31_weighted_sample",
               "d34_bpe_merges"):
