@@ -2686,13 +2686,23 @@ def simhash_pairs(
 # [AES_E_MIN, AES_E_MAX]; scale for a decade is 10^(11-e) (~12
 # significant digits kept). Keys outside the clamp range (|key| below
 # 1e-10 — u within 1e-4 of 1.0 — or above 1e9 — weights under ~2e-8)
-# still rank correctly but with reduced ulp absorption at the clamp
-# scale. Literals like 1e21 are not exact powers of ten in a double,
+# rank with reduced ulp absorption at the clamp scale, and beyond the
+# mantissa saturation bound (|key|·scale > 2^62 — positive weights
+# under ~1e-16 at the AES_E_MAX clamp) they collapse to m = ±2^62 and
+# rank among themselves by doc_id: consistent with A-ES (a vanishing
+# weight is effectively never selected), identical on both engines,
+# and — unlike the unsaturated cast — never an ANSI CAST_OVERFLOW
+# (the r8 ADVICE reproduction: weight = 1e-300 crashed the cast).
+# Literals like 1e21 are not exact powers of ten in a double,
 # but every engine's decimal parser rounds them to the IDENTICAL
 # double (IEEE correctly-rounded parsing), which is the property the
 # cross-engine ranking needs.
 AES_E_MIN = -10
 AES_E_MAX = 8
+# Mantissa saturation bound: 2^62 is exactly representable as a
+# double, fits int64 after round/cast on both engines, and sits far
+# above every in-clamp mantissa (|m| <= 1e12-ish for in-range decades).
+AES_M_SAT = float(2**62)
 
 
 def _aes_scale_table() -> list[tuple[int, float]]:
@@ -2745,7 +2755,11 @@ def weighted_sample(
     kills sub-ulp noise: a cross-engine
     flip now needs k·10^(11-e) within ~1e-4 of a .5 boundary AND that
     doc sitting exactly at the rank-k cut, instead of any last-ulp
-    difference at the cut. Docs with non-positive weight are EXCLUDED
+    difference at the cut. k·scale saturates at ±2^62 before the cast
+    (weights under ~1e-16 would otherwise overflow the bigint under
+    ANSI mode); saturated docs rank by doc_id among themselves — the
+    vanishing-weight regime where A-ES never selects them anyway.
+    Docs with non-positive weight are EXCLUDED
     (the A-ES zero-weight limit: never selected; also avoids the
     engine-dependent ln(u)/0 = null-vs-inf split), and u = 1 (k = 0
     exactly, the maximum key) is pinned to (e, m) = (-10, 0) rather
@@ -2782,8 +2796,18 @@ def weighted_sample(
         scale = F.when(cond, F.lit(lit)) if scale is None else scale.when(
             cond, F.lit(lit)
         )
+    # saturate |k·scale| at 2^62 BEFORE the bigint cast: at the
+    # AES_E_MAX clamp a weight below ~1e-16 puts k·scale outside int64
+    # and ANSI mode throws CAST_OVERFLOW (reproduced with weight
+    # 1e-300). Saturated keys all share m = -2^62 and fall to the
+    # doc_id tiebreak — the A-ES vanishing-weight regime, where "never
+    # selected in practice" is the correct semantics. Mirrored in the
+    # d31 oracle so both engines saturate identically.
+    m_sat = F.greatest(
+        F.least(kcol * scale, F.lit(AES_M_SAT)), F.lit(-AES_M_SAT)
+    )
     base = keyed.withColumn(
-        "_aes_m", F.round(kcol * scale, 0).cast("long")
+        "_aes_m", F.round(m_sat, 0).cast("long")
     ).drop("_aes_key")
     if strata_col is None:
         out = base.orderBy("_aes_e", F.desc("_aes_m"), "doc_id").limit(k)
@@ -2841,7 +2865,9 @@ WITH keyed AS (
   FROM keyed
 ), quantized AS (
   SELECT doc_id, source, n_chars, e,
-         CAST(round(k * ({_aes_scale_case_sql()})) AS BIGINT) AS m
+         CAST(round(GREATEST(LEAST(k * ({_aes_scale_case_sql()}),
+                                   {AES_M_SAT!r}),
+                             -{AES_M_SAT!r})) AS BIGINT) AS m
   FROM decaded
 ), ranked AS (
   SELECT doc_id, source, n_chars,

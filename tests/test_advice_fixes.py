@@ -109,3 +109,43 @@ def test_asof_join_preserves_null_from_latest_right_row(spark):
     # yields that NULL — not the older row's 100.0
     assert len(out) == 1
     assert out[0]["val"] is None
+
+
+# --- weighted_sample: vanishing weights must not overflow the bigint
+# mantissa cast (r8 ADVICE: weight 1e-300 threw ANSI CAST_OVERFLOW
+# because the AES_E_MAX decade clamp left k*scale outside int64) ---
+
+def test_weighted_sample_vanishing_weight_saturates_not_overflows(spark):
+    from indexr_spark.operators.text import weighted_sample
+
+    rows = [
+        (1, "a", 100.0),       # normal weight
+        (2, "a", 50.0),        # normal weight
+        (3, "a", 1e-300),      # vanishing: pre-fix this CRASHED the cast
+        (4, "a", 1e-300),      # two saturated docs -> doc_id tiebreak
+        (5, "a", 0.0),         # non-positive: excluded entirely
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = weighted_sample(d, k=3, weight_col="w", strata_col="source")
+    ids = [r.doc_id for r in got.orderBy("doc_id").collect()]
+    # no crash; doc 5 excluded (w <= 0); the two heavy docs selected;
+    # exactly one saturated doc fills the third slot by doc_id order
+    assert len(ids) == 3
+    assert 5 not in ids
+    assert {1, 2} <= set(ids)
+    assert 3 in ids and 4 not in ids  # doc_id breaks the saturated tie
+
+
+def test_weighted_sample_saturated_docs_rank_below_in_range_docs(spark):
+    from indexr_spark.operators.text import weighted_sample
+
+    # every in-range doc must outrank every saturated doc: the
+    # saturated mantissa is -2^62 at decade e=8, strictly worse than
+    # any in-clamp (e, m)
+    rows = [(i, "s", 10.0 + i) for i in range(1, 9)] + [
+        (100, "s", 1e-300), (101, "s", 1e-200)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = {r.doc_id for r in
+           weighted_sample(d, k=8, weight_col="w", strata_col="source").collect()}
+    assert got == set(range(1, 9))
