@@ -1425,35 +1425,13 @@ def d16_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic boilerplate/spam signals. Entirely in-row over the token
     array (nested higher-order functions — no explode, no shuffle, the
     operator is scan-parallel at any corpus size); ratios of integers,
-    bit-exact on both engines."""
-    d = load_table(spark, sf_dir, "documents")
-    # toks/shs materialized as columns first: the most-frequent-bigram
-    # count references shs INSIDE a lambda, and lambdas get no CSE
-    # (see d22) — raw expressions would rebuild every shingle array
-    # once per distinct bigram.
-    base = d.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", "toks", shingles(F.col("toks"), 2).alias("shs")
-    )
-    toks, shs = F.col("toks"), F.col("shs")
-    top_bigram = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(shs),
-                lambda s: F.size(F.filter(shs, lambda x: x == s)),
-            )
-        ),
-        F.lit(0),
-    )
-    n = F.size(toks)
-    return base.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
-            "dup_token_frac"
-        ),
-        top_bigram.alias("top_bigram_count"),
-        F.round(2.0 * top_bigram / n, 6).alias("top_bigram_token_frac"),
-    ).orderBy("doc_id")
+    bit-exact on both engines.
+
+    Executed body is `_repetition_stats_frame` — the O(n log n)
+    sorted-run form (swapped in r9 per REGISTRY.md after landing
+    library-only in r8, pinned column-for-column identical to the
+    original scan-per-distinct HOF)."""
+    return _repetition_stats_frame(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE["d16_repetition_stats"] = f"""
@@ -1487,11 +1465,12 @@ def _repetition_stats_frame(d: DataFrame) -> DataFrame:
     O(n·n_distinct) per document — harmless on this corpus's
     10–99-token docs, quadratic on the 100k-token documents a real
     pipeline gates BEFORE chunking; this form is O(n log n). Output is
-    column-for-column identical (pytest-pinned against d16 on the
-    corpus plus hand cases); registered to REPLACE d16's executed path
-    in r9 per REGISTRY.md — r8's scoring window has zero spare rows,
-    so the swap would force a changed-code re-score the window cannot
-    hold this round.
+    column-for-column identical (pytest-pinned against the original
+    scan-per-distinct form — kept verbatim in test_pipeline_ops as the
+    reference — plus hand cases and a randomized plain-Python check);
+    d16's executed path since the r9 swap (REGISTRY.md schedule; the
+    DuckDB oracle stays the readable scan-per-distinct SQL, so every
+    driver round independently re-certifies the equivalence).
 
     Run-length mechanics mirror _entropy_profile_frame exactly: sort
     the shingle array, mark run starts (position 0 or value differs

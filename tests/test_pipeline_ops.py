@@ -145,17 +145,50 @@ def test_entropy_profile_long_doc_bounded_time(spark):
     )
 
 
-def test_repetition_stats_sorted_run_form_matches_d16_exactly(spark):
-    """The r9-swap candidate (_repetition_stats_frame, sorted-run
-    top-bigram) must be column-for-column identical to d16's current
-    scan-per-distinct form on the real corpus — this pin is the oracle
-    for the swap, the same contract test_bpe's corpus pin provides for
-    bpe_train rewrites."""
-    from indexr_spark.operators.text import _repetition_stats_frame
+def _repetition_stats_scan_reference(d):
+    """d16's ORIGINAL scan-per-distinct HOF body, kept here verbatim as
+    the reference since the r9 swap made _repetition_stats_frame the
+    executed path (the pin would otherwise be tautological). O(n·n_d)
+    per doc — fine at test scale, which is exactly why it was swapped
+    out of the operator."""
+    from pyspark.sql import functions as F
 
+    from indexr_spark.operators.text import shingles, tokens
+
+    base = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", shingles(F.col("toks"), 2).alias("shs")
+    )
+    toks, shs = F.col("toks"), F.col("shs")
+    top_bigram = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(shs),
+                lambda s: F.size(F.filter(shs, lambda x: x == s)),
+            )
+        ),
+        F.lit(0),
+    )
+    n = F.size(toks)
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+            "dup_token_frac"
+        ),
+        top_bigram.alias("top_bigram_count"),
+        F.round(2.0 * top_bigram / n, 6).alias("top_bigram_token_frac"),
+    ).orderBy("doc_id")
+
+
+def test_repetition_stats_sorted_run_form_matches_d16_exactly(spark):
+    """d16's executed body (_repetition_stats_frame, sorted-run
+    top-bigram — swapped in r9) must be column-for-column identical to
+    the original scan-per-distinct form on the real corpus — this pin
+    is the oracle for the swap, the same contract test_bpe's corpus
+    pin provides for bpe_train rewrites."""
     d = load_table(spark, SMOKE_SF, "documents")
-    old = operators.QUERIES["d16_repetition_stats"](spark, SMOKE_SF).collect()
-    new = _repetition_stats_frame(d).collect()
+    old = _repetition_stats_scan_reference(d).collect()
+    new = operators.QUERIES["d16_repetition_stats"](spark, SMOKE_SF).collect()
     assert len(old) == len(new) and len(old) > 0
     for o, n in zip(old, new):
         assert o.asDict() == n.asDict(), f"mismatch at doc {o['doc_id']}"
