@@ -3300,7 +3300,7 @@ def d34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, n_merges=D34_MERGES).orderBy("rank")
 
 
-# ---- d35 draft (REGISTERS IN r9 — REGISTRY.md window policy) ----
+# ---- d35 (REGISTERED in r9 per the REGISTRY.md window schedule) ----
 # Fixed, corpus-independent merge table for certifying bpe_apply
 # against a SQL oracle: 12 merges chosen to tokenize the corpus's
 # vocabulary nontrivially (chained merges, </w> merges, and merges
@@ -3324,8 +3324,9 @@ D35_MERGES: list[tuple[str, str]] = [
 
 def d35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bpe_apply with the FIXED D35_MERGES table over the documents
-    corpus — (doc_id, bpe_toks). Draft for the r9 registry row; the
-    oracle (D35_ORACLE_DRAFT) replays the same merges in DuckDB.
+    corpus — (doc_id, bpe_toks). Registry certification of the ENCODE
+    half of BPE (d34 certifies training); the oracle replays the same
+    merges in DuckDB.
 
     Why an oracle exists at all for an iterative encoder: (a) joining
     a word's symbol list on a separator turns ONE greedy
@@ -3390,6 +3391,7 @@ ORDER BY doc_id
 
 
 D35_ORACLE_DRAFT = _d35_oracle_sql()
+ORACLE["d35_bpe_encode"] = D35_ORACLE_DRAFT
 
 
 # ---------------------------------------------------------------------------
@@ -3677,4 +3679,5 @@ QUERIES = {
     "d32_simhash_pairs": d32_simhash_pairs,
     "d33_neardup_incremental": d33_neardup_incremental,
     "d34_bpe_merges": d34_bpe_merges,
+    "d35_bpe_encode": d35_bpe_encode,
 }
