@@ -87,6 +87,20 @@ def chunked_self_join(
     the physical plan once (no job runs) and is skipped entirely when
     the caller decided (True/False), so iterative callers that
     measured the exchange harmful keep their exact plan.
+
+    AUTO's limits (known, accepted): the probe inspects the PRE-AQE
+    plan via `df.rdd.getNumPartitions()`, which (a) pays one physical
+    planning pass per call — nontrivial on complex lineages, so hot or
+    iterative callers should pass an explicit True/False (d12's CC
+    loop does); and (b) can disagree with runtime — an
+    AQE-coalesced-to-1 probe is missed, while a planned-1 frame that
+    executes distributed is repartitioned unnecessarily (the measured
+    ~8% tax on d09's capped path, whose anti-join PLANS as 1 partition
+    off a distributed checkpoint — that caller now passes False; see
+    text._lsh_group_pairs). The trade stands because the failure AUTO
+    exists to catch is a silent 4x serialization, and every measured
+    false-positive cost is single-digit percent with a one-argument
+    opt-out at the call site.
     """
     spark = df.sparkSession
     C = n_chunks or spark.sparkContext.defaultParallelism

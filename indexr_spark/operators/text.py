@@ -503,8 +503,23 @@ def _lsh_group_pairs(
     # 1000-executor run needs: without it the largest bucket IS the
     # straggler. Sig rows are thin, so the default C (= cores) costs
     # negligible replicated bytes.
+    # repartition_probe: explicit False in CAPPED mode — the capped
+    # sigs frame descends from the anti-join (planned 1-partition at
+    # small scale, which trips the auto guard) but the pair stream is
+    # dedup-shuffled by the distinct() below and jaccard_pairs-style
+    # consumers respread it again, so the guard's exchange is pure
+    # double-pay here (measured, controlled docs10x A/B: guard-auto
+    # [13.2, 9.3] s vs False [8.7, 8.5] s for the identical 202,872
+    # capped pairs — ~8% steady tax once cold-JIT is excluded).
+    # Uncapped mode keeps the auto default: its probe comes straight
+    # off the distributed checkpoint and the guard stays silent; its
+    # job is catching SILENT serial probes, worth 0.1 s of plan check.
     joined = chunked_self_join(
-        sigs, key_cols=["band", "sig"], order_col="rep", chunk_col="gid"
+        sigs,
+        key_cols=["band", "sig"],
+        order_col="rep",
+        chunk_col="gid",
+        repartition_probe=False if max_bucket is not None else None,
     )
     fwd = F.col("a.rep") < F.col("b.rep")  # restore rep-orientation
     ga = F.when(fwd, F.col("a.gid")).otherwise(F.col("b.gid")).alias("ga")
@@ -854,7 +869,11 @@ def neardup_against_store(
     band signature collides, then the MinHash-estimated Jaccard (the
     share of agreeing seeds — unbiased estimator of J) gates them.
     Returns (doc_id, store_id, est_jaccard). Both inputs are
-    doc_band_sigs frames (the store side persisted; at 100 TB it is a
+    doc_band_sigs frames — 0-based band numbering with every doc
+    carrying a band-0 row, which the mhs re-attach relies on (a
+    row-filtered subset of a doc_band_sigs frame is fine as long as
+    docs keep all their band rows) — (the store side persisted; at
+    100 TB it is a
     snapshot table bucketed on (band, sig), making the store side of
     the candidate join shuffle-free, and the batch side is
     micro-batch-sized — the topology of streaming/dedup.dedup_store_sink
@@ -930,10 +949,19 @@ def neardup_against_store(
         .select("doc_id", "store_id")
         .dropDuplicates(["doc_id", "store_id"])
     )
-    batch_map = batch_sigs.select("doc_id", "mhs").dropDuplicates(["doc_id"])
-    store_map = store_sigs.select(
+    # Re-attach maps via the band-0 slice, NOT dropDuplicates: a
+    # doc_band_sigs frame carries the full mhs array on EVERY band row
+    # and every doc has exactly one band-0 row (posexplode over a
+    # never-empty sigs array), so `band = 0` is already one row per
+    # doc — a pure pushed-down filter. dropDuplicates here compiles to
+    # first(mhs) whose ARRAY buffer falls off hash aggregation: the
+    # r8 10x run showed 4 SortAggregates + their Sorts feeding full
+    # sorts of a 344M-row-adjacent stream (the r8 verdict's named perf
+    # lead). The thin cand dedup above stays a HashAggregate.
+    batch_map = batch_sigs.filter(F.col("band") == 0).select("doc_id", "mhs")
+    store_map = store_sigs.filter(F.col("band") == 0).select(
         F.col("doc_id").alias("store_id"), F.col("mhs").alias("store_mhs")
-    ).dropDuplicates(["store_id"])
+    )
     cand = cand.join(F.broadcast(batch_map), "doc_id").join(store_map, "store_id")
     agree = F.size(
         F.filter(
