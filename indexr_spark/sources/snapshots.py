@@ -738,6 +738,43 @@ def _overlapping_files(
 _PROBE_MIN_FILES = 8
 
 
+def _scoped_touched_files(
+    spark: SparkSession,
+    path: str,
+    live: list[str],
+    updates: DataFrame,
+    key_cols: list[str],
+    ranges: dict,
+) -> list[str]:
+    """The full copy-on-write scoping cascade, cheapest test first:
+    (1) range-only sidecar scoping — pure driver-side metadata, no
+    jobs; (2) per-file membership of the collected distinct key sets
+    (_update_key_values — one distinct+limit job per key column) over
+    the ALREADY-NARROWED candidates, then the exact touched-file probe
+    job (_probe_touched_files).
+
+    Stage 2 is skipped when range scoping was SELECTIVE — candidates
+    below _PROBE_MIN_FILES *and* below the live count — the
+    well-clustered integer-keyed case, where a small delete/merge then
+    pays zero extra jobs (the r8 ADVICE fixed-latency finding). The
+    both-conditions guard matters: hash-like keys overlap every file's
+    range, so a SMALL table's candidates can sit under the probe
+    threshold while range scoping proved nothing (candidates == live);
+    there value scoping still halves-or-better the rewrite set
+    (pinned: 4 files → 2 in the spread-key tests), and its cost — one
+    driver-bounded collect over the small updates frame — is noise
+    next to a file rewrite. Value scoping over the range-narrowed
+    subset equals scoping over `live`: the value test only ever
+    removes files the range test kept."""
+    touched = _overlapping_files(path, live, ranges)
+    if len(touched) < _PROBE_MIN_FILES and len(touched) < len(live):
+        return touched
+    touched = _overlapping_files(
+        path, touched, ranges, _update_key_values(updates, key_cols)
+    )
+    return _probe_touched_files(spark, path, touched, updates, key_cols)
+
+
 def _probe_touched_files(
     spark: SparkSession,
     path: str,
@@ -875,13 +912,10 @@ def delete_matching(
     if any(mn is None for mn, _ in ranges.values()):
         return base
     # hash-like delete keys (canonical hashes) span the whole key
-    # space, so the set's [min,max] alone cannot scope anything —
-    # collect the sorted distinct keys (bounded; see
-    # _update_key_values) and test per-file membership instead
-    touched = _overlapping_files(
-        path, live, ranges, _update_key_values(keys, key_cols)
-    )
-    touched = _probe_touched_files(spark, path, touched, keys, key_cols)
+    # space, so the set's [min,max] alone cannot scope anything; the
+    # cascade escalates to key-set membership + the exact probe only
+    # when range scoping leaves a large candidate set
+    touched = _scoped_touched_files(spark, path, live, keys, key_cols, ranges)
     if not touched:
         return base
     untouched = sorted(set(live) - set(touched))
@@ -921,20 +955,16 @@ def scoped_merge_plan(
     full-table rewrite. A file value-scoped out provably holds no
     update key, so carrying it unchanged is exactly MERGE semantics;
     the inserts ride the rewrite (or the pure-insert branch) either
-    way. Costs one distinct+limit driver-bounded job per key column —
-    a MERGE-job price, which is why append_snapshot (the per-epoch
-    streaming path) has no scoping at all. When the sidecar still
-    leaves many candidates (epoch-fragmented layouts),
-    _probe_touched_files pins the set to the files actually holding a
-    key before any rewrite I/O."""
+    way. The key-set collects (one distinct+limit driver-bounded job
+    per key column) and the exact touched-file probe run only when
+    range scoping leaves >= _PROBE_MIN_FILES candidates
+    (_scoped_touched_files) — small well-clustered merges pay zero
+    extra jobs, which is also why append_snapshot (the per-epoch
+    streaming path) has no scoping at all."""
     live = files_of(path, base)
-    touched = _overlapping_files(
-        path,
-        live,
-        _update_key_ranges(updates, key_cols),
-        _update_key_values(updates, key_cols),
+    touched = _scoped_touched_files(
+        spark, path, live, updates, key_cols, _update_key_ranges(updates, key_cols)
     )
-    touched = _probe_touched_files(spark, path, touched, updates, key_cols)
     untouched = sorted(set(live) - set(touched))
     if touched:
         target = spark.read.parquet(*_scan_paths(path, touched))

@@ -1038,3 +1038,54 @@ def test_probe_narrow_only_and_threshold(spark, tmp_path):
     assert S._probe_touched_files(spark, path, few, keys, ["h"]) == few
     probed = S._probe_touched_files(spark, path, live, keys, ["h"])
     assert set(probed) <= set(live) and len(probed) <= 3
+
+
+def test_small_range_scoped_delete_skips_value_collect_and_probe(
+    spark, tmp_path, monkeypatch
+):
+    """The r9 short-circuit (r8 ADVICE): when range-only scoping
+    already leaves fewer than _PROBE_MIN_FILES candidates — the
+    integer-keyed, well-clustered case — delete_matching/upsert must
+    run NEITHER the per-key-column distinct collects
+    (_update_key_values) nor the probe scan job, since both cost fixed
+    latency every small delete/merge."""
+    from indexr_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    # 4 files, each covering a disjoint k range (clustered writes)
+    for lo in (0, 100, 200, 300):
+        df = spark.range(lo, lo + 100).selectExpr("id AS k", "id * 2 AS v")
+        if lo == 0:
+            S.write_snapshot(df, path, sort_by=["k"])
+        else:
+            S.append_snapshot(df, path, sort_by=["k"])
+
+    calls = {"values": 0, "probe": 0}
+    orig_vals, orig_probe = S._update_key_values, S._probe_touched_files
+
+    def count_vals(*a, **kw):
+        calls["values"] += 1
+        return orig_vals(*a, **kw)
+
+    def count_probe(*a, **kw):
+        calls["probe"] += 1
+        return orig_probe(*a, **kw)
+
+    monkeypatch.setattr(S, "_update_key_values", count_vals)
+    monkeypatch.setattr(S, "_probe_touched_files", count_probe)
+
+    keys = spark.createDataFrame([(150,), (160,)], "k long")
+    v = S.delete_matching(spark, path, keys, ["k"])
+    assert calls == {"values": 0, "probe": 0}, calls
+    got = S.read_snapshot(spark, path, v)
+    assert got.count() == 398
+    assert got.filter("k IN (150, 160)").count() == 0
+
+    # and the same short-circuit on the MERGE plan
+    ups = spark.createDataFrame([(150, -1), (412, -2)], "k long, v long")
+    v2 = S.upsert_snapshot(spark, path, ups, ["k"])
+    assert calls == {"values": 0, "probe": 0}, calls
+    got2 = S.read_snapshot(spark, path, v2)
+    assert got2.filter("k = 150").select("v").head()[0] == -1
+    assert got2.filter("k = 412").count() == 1
+    assert got2.count() == 400  # 398 survivors + re-inserted 150 + new 412
