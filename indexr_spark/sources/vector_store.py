@@ -347,7 +347,12 @@ def ivfpq_probe(
     with rerank_from ≥ the probed cells' population the result is
     IDENTICAL to ivf_probe by construction (residual or not — the
     final ranking is exact). Residual stores (see build_ivfpq_store)
-    get per-(query, cell) ADC tables, read from the store meta."""
+    get per-(query, cell) ADC tables, read from the store meta.
+
+    Sizing `rerank_from`: it must SPAN the corpus's near-dup family
+    size (the measured law — ADC cannot rank within a family of
+    identically-coded siblings); derive it from a d07/d32 pair frame
+    with `suggest_rerank_from` below."""
     from pyspark.sql import Window as W
 
     from indexr_spark.operators.pq import adc_tables
@@ -558,3 +563,52 @@ def ivfpq_probe_df(
         .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
         .orderBy("q_id", "rank")
     )
+
+
+def suggest_rerank_from(
+    pairs: DataFrame,
+    k: int = 3,
+    quantile: float = 0.99,
+    headroom: float = 1.25,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> int:
+    """Size `rerank_from` (the ADC shortlist R) from a measured
+    near-dup pair frame — the suggest_bands pattern applied to the
+    IVF-PQ law COVERAGE.md measured at 1M vectors: ADC cannot rank
+    WITHIN a near-dup family (jitter siblings quantize to identical
+    codes), so the shortlist must SPAN the largest family the corpus
+    actually has or the exact rerank never sees the true neighbours
+    (R=64 → recall 0.08 vs R=1024 → 1.00 on a 500-sibling corpus).
+    d07/d32 output is exactly the family-size distribution a
+    deployment already has in hand — this closes that loop.
+
+    `pairs` is any (a_id, b_id) near-dup pair frame (d07's MinHash-LSH
+    pairs, d32's Hamming pairs, d10's embedding pairs via its id
+    columns). Family size per member is estimated as pair-degree + 1 —
+    exact for the clique a true near-dup family forms under a
+    complete detector, an underestimate only when the detector itself
+    missed intra-family pairs (one more reason for `headroom`). The
+    suggestion is max(k, ceil(quantile(degree+1) * headroom)): spanning
+    the `quantile` family exactly is the floor, `headroom` buys the
+    detector-miss and quantile-tail margin.
+
+    One shuffle on member id + a percentile_approx scalar — runs at
+    any corpus size; an empty pair frame (no measured families) means
+    nothing constrains R beyond k."""
+    if not 0.0 < quantile <= 1.0:
+        raise ValueError(f"quantile must be in (0,1], got {quantile}")
+    if headroom < 1.0:
+        raise ValueError(f"headroom must be >= 1, got {headroom}")
+    deg = (
+        pairs.select(F.col(a_col).alias("id"))
+        .unionAll(pairs.select(F.col(b_col).alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    row = deg.agg(
+        F.percentile_approx(F.col("deg") + 1, F.lit(quantile), F.lit(10_000)).alias("q")
+    ).collect()[0]
+    if row["q"] is None:
+        return k
+    return max(k, math.ceil(float(row["q"]) * headroom))

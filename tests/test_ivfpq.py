@@ -249,3 +249,40 @@ def test_ivfpq_probe_df_matches_collect_path(spark, tmp_path):
             assert a == b, (residual, rr)
     with _pytest.raises(ValueError):
         ivfpq_probe_df(spark, str(tmp_path / "s_False"), q, k=10, rerank_from=2)
+
+
+def test_suggest_rerank_from_spans_the_family(spark):
+    """The R-sizing helper closes the measured COVERAGE.md loop: on a
+    pair frame shaped like the vecs500x corpus (one 500-member jitter
+    family as a clique + background 2-member families), the suggested
+    shortlist must span the big family with headroom — the 1M-vector
+    run showed R below family size (64 < 500) collapses recall to
+    0.08 while R above it recovers 1.00."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.sources.vector_store import suggest_rerank_from
+
+    n = 500
+    fam = (
+        spark.range(n).alias("a")
+        .join(spark.range(n).alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+    # 50 background pairs (ids far above the family's)
+    bg = spark.range(50).select(
+        (F.col("id") * 2 + 10_000).alias("a_id"),
+        (F.col("id") * 2 + 10_001).alias("b_id"),
+    )
+    pairs = fam.unionAll(bg)
+    r = suggest_rerank_from(pairs, k=10, quantile=0.99, headroom=1.25)
+    # 500 members of degree 499 dominate the 0.99 quantile (500 of 600
+    # members) -> family size 500, with headroom -> 625
+    assert r >= n, f"suggested R={r} does not span the 500-family"
+    assert r <= int(n * 1.5), f"suggested R={r} overshoots"
+
+    # background-only corpus: families of 2 -> small R, floored at k
+    assert suggest_rerank_from(bg, k=10) == 10
+
+    # no pairs at all: nothing constrains R beyond k
+    empty = bg.filter(F.lit(False))
+    assert suggest_rerank_from(empty, k=7) == 7
