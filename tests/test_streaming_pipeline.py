@@ -331,3 +331,13 @@ def test_multi_epoch_soak_converges_to_one_batch_result(spark, tmp_path):
         sorted(map(tuple, soak_census.select(CANON_COL, "source").distinct().collect()))
         == sorted(map(tuple, ref_census.select(CANON_COL, "source").distinct().collect()))
     )
+
+    # bounded-census claim end-to-end (r9): compaction at the cycle's
+    # close leaves row count == distinct pair count — the census is
+    # size-bounded by content, not by how many epochs re-sent a doc —
+    # and a second pass is a no-op rewrite (already-distinct input)
+    compact_census(spark, cdir)
+    final = read_snapshot(spark, cdir)
+    n_rows = final.count()
+    assert n_rows == final.distinct().count()
+    assert n_rows == soak_census.select(CANON_COL, "source").distinct().count()
