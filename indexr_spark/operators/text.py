@@ -3553,18 +3553,20 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
     itself, so every bigram is seen by construction (no backoff
     branch to certify).
 
-    The scale shape is deliberately NOT d27's: a bigram LM is
-    |distinct bigrams| rows — never broadcastable — so there is no LM
-    table and no join at all. One in-row explode builds (pos, w,
-    w_next) rows, and the counts ride WINDOW aggregates over that one
-    exploded frame: partition-by-w (unigram + context counts — two
-    aggregates, one shuffle) and partition-by-(w, w_next) (bigram
-    count, second shuffle), then the per-doc rollup (third). T is the
-    one driver scalar (d27's contract). At 100 TB each shuffle keys
-    on token text — the same cardinality any LM build pays — and
-    nothing ever concentrates on a single partition."""
-    from pyspark.sql import Window as W
-
+    The scale shape is deliberately NOT d27's — a bigram LM is
+    |distinct bigrams| rows, too big to PIN as a broadcast — and it is
+    not a token-keyed window either (the r8 ADVICE finding: a window
+    partitioned by token puts every occurrence of a stopword on ONE
+    partition — the classic hot spot at corpus scale). Instead the
+    counts are map-combined GROUP BYs — a hot token collapses to one
+    row per map task before any shuffle — and the scoring stream
+    reduces to per-doc DISTINCT bigram multiplicities on
+    (doc_id, w, w2), a key doc_id keeps spread. The LM tables then
+    join back onto that reduced stream: vocabulary-sized and
+    bigram-vocabulary-sized frames AQE can broadcast when they fit
+    and skew-split when they don't — the standard shuffle-join
+    remedies, none of which exist for a window. T is the one driver
+    scalar (d27's contract)."""
     base = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -3582,24 +3584,42 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
     ex = base.select(
         "doc_id", F.size("toks").alias("n"), F.explode(pairs).alias("x")
     ).select("doc_id", "n", "x.pos", "x.w", "x.w2")
-    ww = W.partitionBy("w")
-    wbg = W.partitionBy("w", "w2")
-    c_uni = F.count("*").over(ww).cast("double")
-    c_ctx = F.count("w2").over(ww).cast("double")
-    c_bg = F.count("*").over(wbg).cast("double")
-    logp = F.when(F.col("pos") == 0, F.log(c_uni / F.lit(t_total))).otherwise(
-        F.lit(0.0)
-    ) + F.when(F.col("w2").isNotNull(), F.log(c_bg / c_ctx)).otherwise(F.lit(0.0))
-    return (
-        ex.select("doc_id", "n", logp.alias("logp"))
-        .groupBy("doc_id", "n")
-        .agg(F.round(-F.sum("logp") / F.col("n"), 6).alias("nll"))
+    # corpus LM tables — partial aggregation makes these skew-immune
+    uni = ex.groupBy("w").agg(
+        F.count("*").alias("c_uni"), F.count("w2").alias("c_ctx")
+    )
+    bigr = ex.filter(F.col("w2").isNotNull())
+    bg = bigr.groupBy("w", "w2").agg(F.count("*").alias("c_bg"))
+    # per-doc distinct-bigram multiplicities: the heavy stream's only
+    # shuffle keys on (doc_id, w, w2) — never on a bare token
+    docbg = bigr.groupBy("doc_id", "w", "w2").agg(F.count("*").alias("m"))
+    bgterm = (
+        docbg.join(bg, ["w", "w2"])
+        .join(uni.select("w", "c_ctx"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("m")
+                * F.log(F.col("c_bg").cast("double") / F.col("c_ctx"))
+            ).alias("lp_bg")
+        )
+    )
+    first = (
+        ex.filter(F.col("pos") == 0)
+        .join(uni.select("w", "c_uni"), "w")
         .select(
             "doc_id",
-            F.col("n").alias("n_tokens"),
-            "nll",
-            F.round(F.exp("nll"), 6).alias("ppl"),
+            "n",
+            F.log(F.col("c_uni").cast("double") / F.lit(t_total)).alias("lp0"),
         )
+    )
+    nll = F.round(
+        -(F.col("lp0") + F.coalesce(F.col("lp_bg"), F.lit(0.0))) / F.col("n"), 6
+    )
+    return (
+        first.join(bgterm, "doc_id", "left")
+        .select("doc_id", F.col("n").alias("n_tokens"), nll.alias("nll"))
+        .withColumn("ppl", F.round(F.exp("nll"), 6))
         .orderBy("doc_id")
     )
 
@@ -3610,6 +3630,10 @@ def d38_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+# The oracle mirrors the m-weighted grouped formulation (NOT a
+# token-partitioned window) so both engines sum the SAME per-doc term
+# list — keeping the float-summation structure aligned under the 6dp
+# round, exactly like the Spark side's skew-robust shape.
 D38_ORACLE_DRAFT = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
@@ -3624,21 +3648,31 @@ WITH t AS (
   FROM t
 ), rows_ AS (
   SELECT doc_id, n, x.pos AS pos, x.w AS w, x.w2 AS w2 FROM ex
-), scored AS (
-  SELECT doc_id, n,
-         CASE WHEN pos = 0
-              THEN ln(CAST(count(*) OVER (PARTITION BY w) AS DOUBLE)
-                      / (SELECT T FROM tot))
-              ELSE 0.0 END
-         + CASE WHEN w2 IS NOT NULL
-                THEN ln(CAST(count(*) OVER (PARTITION BY w, w2) AS DOUBLE)
-                        / CAST(count(w2) OVER (PARTITION BY w) AS DOUBLE))
-                ELSE 0.0 END AS logp
-  FROM rows_
+), uni AS (
+  SELECT w, count(*) AS c_uni, count(w2) AS c_ctx FROM rows_ GROUP BY w
+), bg AS (
+  SELECT w, w2, count(*) AS c_bg FROM rows_
+  WHERE w2 IS NOT NULL GROUP BY w, w2
+), docbg AS (
+  SELECT doc_id, w, w2, count(*) AS m FROM rows_
+  WHERE w2 IS NOT NULL GROUP BY doc_id, w, w2
+), bgterm AS (
+  SELECT d.doc_id,
+         sum(d.m * ln(CAST(bg.c_bg AS DOUBLE) / CAST(uni.c_ctx AS DOUBLE)))
+           AS lp_bg
+  FROM docbg d
+  JOIN bg USING (w, w2)
+  JOIN uni USING (w)
+  GROUP BY d.doc_id
+), first_ AS (
+  SELECT f.doc_id, f.n,
+         ln(CAST(uni.c_uni AS DOUBLE) / (SELECT T FROM tot)) AS lp0
+  FROM (SELECT doc_id, n, w FROM rows_ WHERE pos = 0) f
+  JOIN uni USING (w)
 ), agg AS (
-  SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
-         round(-sum(logp) / n, 6) AS nll
-  FROM scored GROUP BY doc_id, n
+  SELECT f.doc_id, CAST(f.n AS INTEGER) AS n_tokens,
+         round(-(f.lp0 + coalesce(b.lp_bg, 0.0)) / f.n, 6) AS nll
+  FROM first_ f LEFT JOIN bgterm b ON b.doc_id = f.doc_id
 )
 SELECT doc_id, n_tokens, nll, round(exp(nll), 6) AS ppl
 FROM agg ORDER BY doc_id
