@@ -50,80 +50,82 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 # green row — their old row no longer certifies HEAD — plus every
 # never-scored new operator, and (b) the stalest green rows, under the
 # staleness tiers REGISTRY.md defines (<=2 rounds by default, <=3 for
-# frozen-code rows explicitly deferred there). Round-8 window
+# frozen-code rows explicitly deferred there). Round-9 window
 # (exactly 50):
-#   tier-B dues, 2 entries: q03_scalar_expr + q10_intersect (green r5,
-#   relational.py frozen, 3-round ceiling lands this round).
-#   rule (a), 6 entries — every query whose executed path changed in
-#   r8: d31_weighted_sample (ulp-robust quantized A-ES ranking — the
-#   r7 ADVICE structural-flap fix, mirrored in its oracle),
-#   d34_bpe_merges (bpe_train now folds only the slice of words
-#   containing the merge pair — bit-identical output, test_bpe.py
-#   pins it), and d07/d10/d12/d32 (chunked_self_join gained the
-#   1-partition-probe auto guard; their probes are well-partitioned
-#   so their PLANS are unchanged — REGISTRY.md's "when in doubt the
-#   row goes in" still applies at the function level).
-#   rule (b): 42 of the 48 rows last scored r6; the remaining 6
-#   (q40/q42/q43/q44/q45/q47 — relational.py + events.py, both
-#   file-frozen since their r6 rows, full oracle parity in pytest at
-#   HEAD) defer to r9 under tier B, named in REGISTRY.md with their
-#   due round.
-# After this round every registry query is green in r7∪r8 except the
-# six named deferrals (green r6, frozen, due r9).
+#   tier-B dues, 6 entries: q40/q42/q43/q44/q45/q47 (green r6,
+#   relational.py + events.py frozen, 3-round ceiling lands now).
+#   rule (a) re-entries from r8's window, 8 entries: d31 (mantissa
+#   saturation — the r8 ADVICE overflow fix, mirrored in its oracle),
+#   d07/d09/d09r/d12/d20 (_lsh_group_pairs' capped branch now passes
+#   repartition_probe=False — driver plans unchanged since the driver
+#   runs uncapped, but the function changed: "when in doubt the row
+#   goes in"), q17/q19 (the copy-on-write scoping cascade gained the
+#   range-selective short-circuit on their snapshot paths).
+#   rule (2), 1 entry: d35_bpe_encode — registered this round per the
+#   REGISTRY.md schedule.
+#   rule (b): 35 of the 44 rows last scored r7 — including the two
+#   committed r9 changed-code rows d16 (sorted-run swap) and d33
+#   (hash-aggregable re-attach maps), which were already in this base.
+#   The 9 displaced frozen rows (q09/q11/q13/q14/q15/q16/q21/q22/q23 —
+#   relational.py + events.py file-frozen since their r7 greens, full
+#   oracle parity in pytest at HEAD) defer to r10 under tier B, named
+#   in REGISTRY.md with their due round.
 _PRIORITY = [
-    # tier-B dues (green r5, frozen relational.py, ceiling = r8)
-    "q03_scalar_expr",
-    "q10_intersect",
-    # rule (a): code path changed in r8
+    # tier-B dues (green r6, frozen files, ceiling = r9)
+    "q40_array_functions",
+    "q42_window_suite",
+    "q43_null_semantics",
+    "q44_date_functions",
+    "q45_string_functions",
+    "q47_moment_stats",
+    # rule (a): code path changed in r9
     "d31_weighted_sample",
-    "d32_simhash_pairs",
-    "d34_bpe_merges",
     "d07_minhash_lsh",
-    "d10_embedding_neardup",
-    "d12_dup_clusters",
-    # rule (b): last scored r6 (42 of 48; q40/q42-q45/q47 deferred)
     "d09_ngram_jaccard",
+    "d09r_jaccard_recall",
+    "d12_dup_clusters",
+    "d20_cluster_keep_best",
     "q17_union_hybrid",
     "q19_update_column_expr",
-    "q39_pruned_catalog_scan",
-    "d01_token_stats",
-    "d02_lang_id",
-    "d03_quality_score",
-    "d05_exact_dedup",
-    "d06_canonical_dedup",
-    "d09b_jaccard_allpairs",
-    "d09r_jaccard_recall",
-    "d11_bpe_tokens",
-    "d13_stratified_sample",
-    "d17_doc_chunking",
-    "d18_sequence_packing",
-    "d19_source_mixture",
-    "d20_cluster_keep_best",
-    "d21_tfidf_topterms",
-    "d24_quality_filter",
-    "d25_token_budget_sample",
-    "d26_source_regression",
-    "mm01_decode_metadata",
-    "mm02_frame_sample",
-    "mm03_resize_payload",
-    "mm04_feature_extract",
-    "mm05_audio_frames",
-    "q02_filter_scan",
-    "q25_asof_join",
-    "q27_salted_agg",
-    "q33_shipping_priority",
-    "q38_retention",
-    "q41_grouping_sets",
-    "q46_scalar_subquery",
-    "s01_cosine_topk",
-    "s02_embedding_pairs",
-    "s03_label_centroids",
-    "s07_exact_percentiles",
-    "s09_quantize_int8",
-    "s10_ann_recall",
-    "d28_incremental_dedup",
-    "d30_pipeline_funnel",
-    "s12_kmeans_step",
+    # rule (2): registered this round
+    "d35_bpe_encode",
+    # rule (a) within the r7 base: changed code this round
+    "d16_repetition_stats",
+    "d33_neardup_incremental",
+    # rule (b): last scored r7 (33 more of 44; 9 deferred to r10)
+    "d04_fingerprint",
+    "d08_simhash",
+    "d14_normalize_text",
+    "d15_contamination",
+    "d22_bigram_counts",
+    "d23_ngram_contamination",
+    "d27_unigram_logprob",
+    "d29_entropy_profile",
+    "q01_pricing_summary",
+    "q04_agg_having_limit_offset",
+    "q05_distinct_agg",
+    "q06_join_broadcast",
+    "q07_multi_join",
+    "q08_window_topk",
+    "q12_rollup",
+    "q18_sql_embedded",
+    "q20_events_rollup",
+    "q24_events_pivot",
+    "q26_div_zero_compat",
+    "q28_cube",
+    "q29_anti_join",
+    "q30_correlated_avg",
+    "q31_outer_join",
+    "q32_semi_join",
+    "q34_range_join",
+    "q35_moving_avg",
+    "q36_latest_per_user",
+    "q37_funnel",
+    "s04_ann_lsh_topk",
+    "s05_approx_stats",
+    "s06_ivf_topk",
+    "s08_hll_sketch_union",
+    "s11_neardup_numpy",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"
