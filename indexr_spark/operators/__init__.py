@@ -54,19 +54,24 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 # (exactly 50):
 #   tier-B dues, 6 entries: q40/q42/q43/q44/q45/q47 (green r6,
 #   relational.py + events.py frozen, 3-round ceiling lands now).
-#   rule (a) re-entries from r8's window, 8 entries: d31 (mantissa
+#   rule (a) re-entries from r8's window, 9 entries: d31 (mantissa
 #   saturation — the r8 ADVICE overflow fix, mirrored in its oracle),
 #   d07/d09/d09r/d12/d20 (_lsh_group_pairs' capped branch now passes
 #   repartition_probe=False — driver plans unchanged since the driver
 #   runs uncapped, but the function changed: "when in doubt the row
 #   goes in"), q17/q19 (the copy-on-write scoping cascade gained the
-#   range-selective short-circuit on their snapshot paths).
+#   range-selective short-circuit on their snapshot paths), d10 (its
+#   bucket join now passes repartition_probe=False — the r8 bench's
+#   1.57x reading root-caused to the AUTO probe's physical-planning
+#   pass, ~0.9 s per fresh call on d10's join lineage; see
+#   similarity.py and COVERAGE.md r9).
 #   rule (2), 1 entry: d35_bpe_encode — registered this round per the
 #   REGISTRY.md schedule.
-#   rule (b): 35 of the 44 rows last scored r7 — including the two
+#   rule (b): 34 of the 44 rows last scored r7 — including the two
 #   committed r9 changed-code rows d16 (sorted-run swap) and d33
 #   (hash-aggregable re-attach maps), which were already in this base.
-#   The 9 displaced frozen rows (q09/q11/q13/q14/q15/q16/q21/q22/q23 —
+#   The 10 displaced frozen rows (q09/q11/q13/q14/q15/q16/q21/q22/q23
+#   + q26, displaced late-r9 by d10's rule-(a) re-entry —
 #   relational.py + events.py file-frozen since their r7 greens, full
 #   oracle parity in pytest at HEAD) defer to r10 under tier B, named
 #   in REGISTRY.md with their due round.
@@ -87,6 +92,7 @@ _PRIORITY = [
     "d20_cluster_keep_best",
     "q17_union_hybrid",
     "q19_update_column_expr",
+    "d10_embedding_neardup",
     # rule (2): registered this round
     "d35_bpe_encode",
     # rule (a) within the r7 base: changed code this round
@@ -111,7 +117,6 @@ _PRIORITY = [
     "q18_sql_embedded",
     "q20_events_rollup",
     "q24_events_pivot",
-    "q26_div_zero_compat",
     "q28_cube",
     "q29_anti_join",
     "q30_correlated_avg",

@@ -376,7 +376,21 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the corpus so bucket size stays bounded — planes ≈
     # log2(n / target) — this corpus pins ANN_PLANES=4 for oracle
     # comparability.)
-    joined = chunked_self_join(embb, key_cols=["bucket"], order_col="vec_id")
+    # repartition_probe: explicit False — embb comes off the shuffle
+    # join on vec_id, so the probe side is well-partitioned by
+    # construction and the guard can never fire usefully here. What
+    # the AUTO default DOES cost on this lineage is its plan probe:
+    # `.rdd.getNumPartitions()` pays a full physical-planning pass on
+    # the join-plus-hyperplane subtree, measured 0.92 s per fresh
+    # call — ~90% of this query's 1.0 s baseline, and single-threaded
+    # JVM planning that does NOT scale with the machine factor, which
+    # is exactly why the r8 bench read d10 at 1.57x normalized while
+    # every compute-bound row normalized clean (calm interleaved
+    # cal/query A/B r9: d10 1.64 s at machine factor ~1.03 with AUTO
+    # vs 1.0 s baseline; the probe was the whole regression).
+    joined = chunked_self_join(
+        embb, key_cols=["bucket"], order_col="vec_id", repartition_probe=False
+    )
     cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     fwd = F.col("a.vec_id") < F.col("b.vec_id")
     pairs = (
