@@ -3705,6 +3705,241 @@ D37_ORACLE_DRAFT = _d37_oracle_sql()
 # ---- end d35 draft ----
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (d40 draft — library-only until the
+# registration queue allows, the d36/d37 protocol). The Lee et al.
+# 2022 finding ("Deduplicating Training Data Makes Language Models
+# Better"): verbatim substrings repeated ACROSS documents — boiler-
+# plate, licence blocks, templated passages — survive document-level
+# near-dup removal (d07/d09 score whole docs) and are exactly what a
+# model memorizes. The paper builds a corpus-wide suffix array; the
+# Spark-first shape is k-gram anchoring + diagonal islands:
+#
+#   1. every k-token shingle of every doc, with its position;
+#   2. self-join on the shingle hash — two docs sharing any k-gram
+#      produce matched (pos_a, pos_b) anchor points;
+#   3. a shared span of L >= k tokens is exactly a run of L-k+1
+#      consecutive anchors on one DIAGONAL (pos_a - pos_b constant),
+#      so a per-(pair, diagonal) gaps-and-islands pass merges anchors
+#      into maximal spans with no further corpus access.
+#
+# Scale shape: step 1 is one explode (|tokens| rows, thin: hash +
+# two ints); step 2 shuffles on the gram hash through
+# chunked_self_join — the SAME skew valve the LSH joins use, because
+# a boilerplate gram shared by thousands of docs is precisely a hot
+# bucket; step 3 windows on (doc_a, doc_b, diag) — fine-grained keys,
+# no hot partition possible. A production run adds a gram-frequency
+# cap (drop grams with document frequency above a ceiling — the
+# rare-anchor idea implicit in the paper's suffix pruning); the
+# default keeps every gram so the DuckDB oracle replays the contract
+# exactly.
+
+SPAN_KGRAM = 6
+
+
+def dup_spans(
+    d: DataFrame,
+    k: int = SPAN_KGRAM,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (>= `k` tokens).
+
+    Returns one row per maximal span: (doc_a, doc_b, a_start, b_start,
+    span_tokens) with doc_a < doc_b and 1-based token positions. A
+    span of L tokens appears once with span_tokens = L, never as its
+    sub-spans (maximality via diagonal islands). `max_gram_df` is the
+    scale valve: grams occurring at more than that many positions
+    corpus-wide are dropped from anchoring (None = exact contract,
+    what the oracle replays).
+
+    Join key is hash60(gram) — both engines derive it from the same
+    md5 prefix, so even the (negligible) collision behavior is
+    identical on the Spark and DuckDB sides.
+    """
+    toks = spread_scan(d.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    pos = (
+        toks.select(
+            "doc_id", F.posexplode(shingles(F.col("toks"), k)).alias("p0", "gram")
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("int").alias("pos"),
+            hash60(F.col("gram")).alias("gh"),
+        )
+    )
+    if max_gram_df is not None:
+        hot = (
+            pos.groupBy("gh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gh")
+        )
+        pos = pos.join(F.broadcast(hot), "gh", "left_anti")
+    # Unique per-row order key inside a gram bucket; positions are
+    # bounded by document length, far under the 2^20 packing radix.
+    pos = pos.withColumn(
+        "pk", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+    )
+    j = chunked_self_join(pos, key_cols=["gh"], order_col="pk")
+    # Restore orientation (chunked_self_join emits unordered pairs in
+    # arbitrary order) and drop same-doc anchor pairs — within-doc
+    # repetition is d16's contract, not this one's.
+    fwd = F.col("a.doc_id") < F.col("b.doc_id")
+    anchors = (
+        j.filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.when(fwd, F.col("a.doc_id")).otherwise(F.col("b.doc_id")).alias("doc_a"),
+            F.when(fwd, F.col("b.doc_id")).otherwise(F.col("a.doc_id")).alias("doc_b"),
+            F.when(fwd, F.col("a.pos")).otherwise(F.col("b.pos")).alias("ai"),
+            F.when(fwd, F.col("b.pos")).otherwise(F.col("a.pos")).alias("bi"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("ai")
+    isl = anchors.withColumn("diag", F.col("ai") - F.col("bi")).withColumn(
+        "grp", F.col("ai") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("ai").cast("int").alias("a_start"),
+            F.min("bi").cast("int").alias("b_start"),
+            (F.count("*") + F.lit(k - 1)).cast("int").alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )
+
+
+def d40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d40 registry form (NOT registered until the window allows —
+    REGISTRY.md): maximal cross-doc duplicated spans over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return dup_spans(d).orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+
+D40_ORACLE_DRAFT = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS s FROM documents
+), pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         ('0x' || substr(md5(array_to_string(s[i:i+{SPAN_KGRAM}-1], ' ')), 1, 15))::BIGINT AS gh
+  FROM toks, unnest(generate_series(1, len(s) - {SPAN_KGRAM} + 1)) AS t(i)
+  WHERE len(s) >= {SPAN_KGRAM}
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS ai, b.pos AS bi
+  FROM pos a JOIN pos b ON a.gh = b.gh AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, ai - bi AS diag, ai, bi,
+         ai - row_number() OVER (PARTITION BY doc_a, doc_b, ai - bi ORDER BY ai) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b,
+       CAST(min(ai) AS INTEGER) AS a_start,
+       CAST(min(bi) AS INTEGER) AS b_start,
+       CAST(count(*) + {SPAN_KGRAM} - 1 AS INTEGER) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, diag, grp
+ORDER BY doc_a, doc_b, a_start, b_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (d41 draft). d03/d24 are HEURISTIC
+# quality signals (length/punctuation/stopword ratios); the standard
+# production filter is a trained linear text classifier scored over
+# hashed word n-grams (the fastText shape used by CCNet and the GPT-3
+# data work). The SCORING operator is what the pipeline runs at
+# corpus scale, and it is pure per-row compute: hash each unigram and
+# bigram, look up its weight, average, squash. Weights here come from
+# the portable md5 formula (w = (hash32(g) % 2001 - 1000)/1000, the
+# _plane_weights construction) so both engines score with the SAME
+# model and no weight table needs shipping; a real deployment swaps
+# in trained weights as a broadcast map lookup — the plan shape
+# (zero shuffles until the final sort) is identical.
+
+
+def quality_classifier(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hashed linear quality score per document.
+
+    grams = unigrams + bigrams; w(g) = (hash32(g) % 2001 - 1000)/1000;
+    score = sigmoid(mean weight), rounded to 6dp; label = 'keep' iff
+    score >= 0.5 (empty docs have mean 0 → score 0.5 → keep). All
+    in-row HOFs — the corpus never shuffles; whole-stage codegen end
+    to end.
+    """
+    toks = tokens(text_col)
+    d = d.select("*", toks.alias("__t")).select(
+        "*", F.concat(F.col("__t"), shingles(F.col("__t"), 2)).alias("__g")
+    )
+    wsum = F.aggregate(
+        F.transform(
+            F.col("__g"),
+            lambda g: (hash32(g) % F.lit(2001) - F.lit(1000)) / F.lit(1000.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(F.col("__g"))
+    mean = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+    return (
+        d.withColumn("n_grams", n.cast("int"))
+        .withColumn("score", score)
+        .withColumn(
+            "label", F.when(F.col("score") >= 0.5, F.lit("keep")).otherwise(F.lit("drop"))
+        )
+        .drop("__t", "__g")
+    )
+
+
+def d41_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d41 registry form (NOT registered until the window allows —
+    REGISTRY.md): hashed linear quality scores over documents."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        quality_classifier(d)
+        .select("doc_id", "n_grams", "score", "label")
+        .orderBy("doc_id")
+    )
+
+
+D41_ORACLE_DRAFT = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS s FROM documents
+), g AS (
+  SELECT doc_id,
+         list_concat(
+           s,
+           CASE WHEN len(s) >= 2
+                THEN list_transform(generate_series(1, len(s) - 1),
+                                    i -> s[i] || ' ' || s[i + 1])
+                ELSE [] END
+         ) AS gs
+  FROM t
+), sc AS (
+  SELECT doc_id,
+         CAST(len(gs) AS INTEGER) AS n_grams,
+         CASE WHEN len(gs) > 0
+              THEN list_aggregate(
+                     list_transform(gs, x ->
+                       ((('0x' || substr(md5(x), 1, 8))::BIGINT % 2001) - 1000)
+                       / 1000.0),
+                     'sum') / len(gs)
+              ELSE 0.0 END AS m
+  FROM g
+)
+SELECT doc_id, n_grams,
+       round(1.0 / (1.0 + exp(-m)), 6) AS score,
+       CASE WHEN round(1.0 / (1.0 + exp(-m)), 6) >= 0.5
+            THEN 'keep' ELSE 'drop' END AS label
+FROM sc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,

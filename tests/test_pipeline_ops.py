@@ -778,3 +778,194 @@ def test_redact_pii_randomized_three_engine_agreement(spark):
         for doc_id, ne, ni, np_, red in con.execute(D36_ORACLE_DRAFT).fetchall()
     }
     assert got == oracle
+
+
+def test_dup_spans_hand_docs_python_reference(spark):
+    """d40 draft proven before registration (the d36 protocol): maximal
+    duplicated spans on hand docs checked against a plain-Python
+    suffix-free reference (all shared k-gram diagonals, islands merged
+    by hand logic). Exercises: a long shared span, two disjoint spans
+    on different diagonals, a span shared by 3 docs (3 pair rows), a
+    repeated gram INSIDE one doc (multiple diagonals for one pair),
+    same-doc repetition (must NOT appear), and docs shorter than k."""
+    from indexr_spark.operators.text import SPAN_KGRAM, dup_spans
+
+    k = SPAN_KGRAM
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"intro words here {boiler} trailing one"),
+        (2, f"{boiler} completely different ending text follows now"),
+        (3, f"prefix {boiler} suffix and then {boiler} once more"),
+        (4, "too short"),
+        (5, "x " * 40),  # periodic same-doc repetition only
+        (6, "totally unrelated content with no shared grams at all then"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in dup_spans(docs).collect()
+    }
+
+    def py_spans(rows, k):
+        toks = {i: [t for t in s.split(" ") if t] for i, s in rows}
+        grams = {
+            i: {
+                p + 1: " ".join(ts[p : p + k])
+                for p in range(len(ts) - k + 1)
+            }
+            for i, ts in toks.items()
+        }
+        out = set()
+        ids = sorted(grams)
+        for x in ids:
+            for y in ids:
+                if x >= y:
+                    continue
+                pts = {
+                    (pa, pb)
+                    for pa, ga in grams[x].items()
+                    for pb, gb in grams[y].items()
+                    if ga == gb
+                }
+                by_diag = {}
+                for pa, pb in pts:
+                    by_diag.setdefault(pa - pb, []).append(pa)
+                for diag, pas in by_diag.items():
+                    pas.sort()
+                    run_start = pas[0]
+                    prev = pas[0]
+                    for p in pas[1:] + [None]:
+                        if p is not None and p == prev + 1:
+                            prev = p
+                            continue
+                        out.add(
+                            (x, y, run_start, run_start - diag, prev - run_start + k)
+                        )
+                        if p is not None:
+                            run_start = prev = p
+        return out
+
+    want = py_spans([(i, t.strip()) for i, t in rows], k)
+    assert got == want
+    # structural spot-pins independent of the reference
+    assert any(a == 1 and b == 2 for a, b, *_ in got), "boilerplate span missed"
+    pair_13 = [r for r in got if r[0] == 1 and r[1] == 3]
+    assert len(pair_13) >= 2, "doc 3 repeats the boilerplate twice"
+    assert not any(a == b for a, b, *_ in got)
+    assert not any(5 in (a, b) for a, b, *_ in got), "same-doc repetition leaked"
+    assert not any(4 in (a, b) or 6 in (a, b) for a, b, *_ in got)
+
+
+def test_dup_spans_corpus_duckdb_parity_and_maximality(spark):
+    """d40 registry form vs the draft oracle on the real table, plus
+    the maximality invariant: no span is a sub-diagonal of another."""
+    import duckdb
+
+    from indexr_spark.operators.text import D40_ORACLE_DRAFT, d40_dup_spans
+
+    got = [tuple(r) for r in d40_dup_spans(spark, SMOKE_SF).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(D40_ORACLE_DRAFT).fetchall()]
+    assert got == oracle
+    assert got, "corpus has no duplicated spans — vacuous test"
+    spans = {}
+    for doc_a, doc_b, a0, b0, n in got:
+        spans.setdefault((doc_a, doc_b, a0 - b0), []).append((a0, n))
+    for (_, _, _diag), ss in spans.items():
+        ss.sort()
+        for (a0, n), (a1, _n1) in zip(ss, ss[1:]):
+            assert a0 + n - 1 < a1 + 5, "adjacent runs on one diagonal not merged"
+
+
+def test_dup_spans_max_gram_df_valve(spark):
+    """The scale valve drops hot grams from anchoring: with the cap at
+    1 every anchor dies (any cross-doc match means df >= 2), and the
+    capped pair set is a subset of the exact one at permissive caps."""
+    from indexr_spark.operators.text import dup_spans
+    from indexr_spark.tables import load_table
+
+    d = load_table(spark, SMOKE_SF, "documents")
+    assert dup_spans(d, max_gram_df=1).count() == 0
+    exact = {tuple(r) for r in dup_spans(d).collect()}
+    # a cap above the hottest gram's df is a no-op (same plan contract)
+    assert {tuple(r) for r in dup_spans(d, max_gram_df=10**9).collect()} == exact
+    # a binding cap may shrink spans but never invents them: every
+    # capped span must sit on some exact span's (pair, diagonal) and
+    # inside its extent
+    capped = {tuple(r) for r in dup_spans(d, max_gram_df=5).collect()}
+    for doc_a, doc_b, a0, b0, n in capped:
+        assert any(
+            xa == doc_a
+            and xb == doc_b
+            and a0 - b0 == ea - eb
+            and ea <= a0
+            and a0 + n <= ea + en
+            for (xa, xb, ea, eb, en) in exact
+        ), (doc_a, doc_b, a0, b0, n)
+
+
+def test_quality_classifier_python_reference_and_duckdb_parity(spark):
+    """d41 draft proven before registration: scores on hand docs match
+    a plain-Python md5 reference bit-for-bit at 6dp, empty/one-token
+    edges hold, and the registry form matches the DuckDB oracle on the
+    real table end-to-end."""
+    import duckdb
+    import hashlib
+    import math
+
+    from indexr_spark.operators.text import (
+        D41_ORACLE_DRAFT,
+        d41_quality_classifier,
+        quality_classifier,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha"),
+        (3, ""),
+        (4, "zz " * 30),
+        (5, "the rate of change of momentum equals applied force"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.score, r.label)
+        for r in quality_classifier(docs).collect()
+    }
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().split(" ") if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        m = (
+            math.fsum((h32(g) % 2001 - 1000) / 1000.0 for g in grams) / len(grams)
+            if grams
+            else 0.0
+        )
+        score = round(1.0 / (1.0 + math.exp(-m)), 6)
+        label = "keep" if score >= 0.5 else "drop"
+        n, s, lab = got[doc_id]
+        assert n == len(grams)
+        assert abs(s - score) < 1e-9, (doc_id, s, score)
+        assert lab == label
+    assert got[3] == (0, 0.5, "keep")  # empty doc: mean 0 -> sigmoid(0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.execute(D41_ORACLE_DRAFT).fetchall()]
+    corpus = [tuple(r) for r in d41_quality_classifier(spark, SMOKE_SF).collect()]
+    assert corpus == oracle
+    labels = {lab for *_, lab in corpus}
+    assert labels == {"keep", "drop"}, "corpus scores all one-sided — vacuous"
