@@ -165,6 +165,7 @@ HEADLINE = [
     "d32_simhash_pairs",
     "d33_neardup_incremental",
     "d34_bpe_merges",
+    "d35_bpe_encode",
     "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",
