@@ -286,3 +286,108 @@ def test_suggest_rerank_from_spans_the_family(spark):
     # no pairs at all: nothing constrains R beyond k
     empty = bg.filter(F.lit(False))
     assert suggest_rerank_from(empty, k=7) == 7
+
+
+# ---------------------------------------------------------------------------
+# s14 draft: fixed-model full-probe certification (REGISTRY.md)
+
+
+def _s14_numpy_reference(sf_dir):
+    """The whole probe re-derived in numpy from the model FORMULAS —
+    shares the constants but none of the expression machinery with
+    the Spark side (no _argmax_cell, no pq_encode, no adc_tables)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from indexr_spark.operators.pq import s13_codebooks
+    from indexr_spark.sources.vector_store import (
+        S14_K,
+        S14_NPROBE,
+        S14_R,
+        s14_centroids,
+        s14_queries,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = np.asarray(t["vec_id"])
+    X = np.array([list(v) for v in t["embedding"].to_pylist()], dtype=np.float64)
+    C = np.array(s14_centroids(), dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in s13_codebooks()]
+    m, dsub = len(books), books[0].shape[1]
+
+    # coarse assign: cosine argmax, ties -> lower cell (argmax is
+    # first-occurrence on ties)
+    sims = (X @ C.T) / (
+        np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+    )
+    cell = np.argmax(sims, axis=1)
+    # residual PQ encode: argmin L2 == argmax 2*dot - |c|^2
+    R = X - C[cell]
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        sub = R[:, j * dsub : (j + 1) * dsub]
+        score = 2.0 * (sub @ books[j].T) - (books[j] ** 2).sum(axis=1)
+        codes[:, j] = np.argmax(score, axis=1)
+
+    out = []
+    for qid, qv in enumerate(s14_queries()):
+        q = np.array(qv, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        csim = (C @ q) / (np.linalg.norm(C, axis=1) * qn)
+        probed = np.argsort(-csim, kind="stable")[:S14_NPROBE]
+        cand = np.flatnonzero(np.isin(cell, probed))
+        # ADC from per-(cell, j, code) tables over the query residual
+        adc = np.empty(len(cand))
+        for i, ci in enumerate(cand):
+            qr = q - C[cell[ci]]
+            adc[i] = sum(
+                ((qr[j * dsub : (j + 1) * dsub] - books[j][codes[ci, j]]) ** 2).sum()
+                for j in range(m)
+            )
+        order = sorted(range(len(cand)), key=lambda i: (adc[i], vec_ids[cand[i]]))
+        short = [cand[i] for i in order[:S14_R]]
+        cos = [
+            (float(X[i] @ q / (np.linalg.norm(X[i]) * qn)), int(vec_ids[i]), i)
+            for i in short
+        ]
+        cos.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cv, vid, i) in enumerate(cos[:S14_K], 1):
+            out.append((qid, rank, vid, int(cell[i])))
+    return out
+
+
+def test_s14_spark_matches_numpy_reference(spark):
+    """Ranking columns (q_id, rank, vec_id, cell) must agree with the
+    independent numpy replay of the whole probe; adc/cosine values are
+    checked loosely (the numpy sums associate differently)."""
+    from indexr_spark.sources.vector_store import s14_ivfpq_probe
+
+    got = [tuple(r) for r in s14_ivfpq_probe(spark, SMOKE_SF).collect()]
+    want = _s14_numpy_reference(SMOKE_SF)
+    assert [(q, r, v, c) for q, r, v, c, *_ in got] == want
+    assert all(a >= 0 for *_, a, _c in got)
+
+
+def test_s14_duckdb_parity_and_structure(spark, duck_smoke):
+    """The draft-protocol pin: registry form vs generated oracle,
+    frame-exact, plus structural invariants (K rows per query, probed
+    cells only, rerank ordering)."""
+    from indexr_spark.sources.vector_store import (
+        S14_K,
+        S14_ORACLE_DRAFT,
+        _s14_probe_rows,
+        s14_ivfpq_probe,
+    )
+
+    got = [tuple(r) for r in s14_ivfpq_probe(spark, SMOKE_SF).collect()]
+    want = [tuple(r) for r in duck_smoke.execute(S14_ORACLE_DRAFT).fetchall()]
+    assert got == want
+    probed = {(q, c) for q, c, *_ in _s14_probe_rows()}
+    by_q = {}
+    for q, rank, vid, cell, adc, cos in got:
+        assert (q, cell) in probed
+        by_q.setdefault(q, []).append((rank, cos))
+    for q, rows in by_q.items():
+        assert [r for r, _ in rows] == list(range(1, S14_K + 1))
+        coss = [c for _, c in rows]
+        assert coss == sorted(coss, reverse=True)
