@@ -3940,6 +3940,103 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (d42 draft). CCNet's defining corpus
+# operation: score every document's LM perplexity, split the corpus
+# into head/middle/tail, and report the per-source bucket mix that
+# drives the final sampling decision. The scale-honest form applies
+# FIXED thresholds (CCNet computes its cutoffs once on a sample per
+# language, then applies them as constants at corpus scale — a global
+# exact ntile would be a single-partition sort of every doc, the
+# precise shape the d38 reshape removed); `suggest_ppl_thresholds`
+# below is the offline half, the suggest_bands pattern's third
+# application. Bucket decisions compare the 6dp-ROUNDED ppl both
+# engines already agree on bit-for-bit (the proven d38 parity), so
+# threshold boundaries carry no cross-engine float risk.
+
+PPL_T1, PPL_T2 = 29.2, 29.93
+
+
+def perplexity_bucket(
+    d: DataFrame, t1: float = PPL_T1, t2: float = PPL_T2
+) -> DataFrame:
+    """Per-document CCNet bucket label over the d38 bigram-LM score:
+    head (ppl < t1), middle (ppl < t2), tail (rest)."""
+    if not t1 < t2:
+        raise ValueError(f"thresholds must increase, got {t1}, {t2}")
+    return bigram_logprob(d).withColumn(
+        "bucket",
+        F.when(F.col("ppl") < t1, F.lit("head"))
+        .when(F.col("ppl") < t2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def suggest_ppl_thresholds(
+    scored: DataFrame, fractions: tuple = (1 / 3, 2 / 3)
+) -> tuple:
+    """The offline cutoff computation: approximate ppl quantiles at
+    the requested corpus fractions (CCNet's head/middle split). One
+    percentile_approx scalar — runs at any corpus size; feed the
+    result to perplexity_bucket as literals."""
+    lo, hi = fractions
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"fractions must satisfy 0 < lo < hi < 1, got {fractions}")
+    row = scored.agg(
+        F.percentile_approx(
+            "ppl", F.lit([float(lo), float(hi)]), F.lit(10_000)
+        ).alias("q")
+    ).first()
+    t1, t2 = (float(x) for x in row["q"])
+    return t1, t2
+
+
+def d42_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d42 registry form (NOT registered until the window allows —
+    REGISTRY.md): per-(source, bucket) doc counts, token counts, and
+    within-source token shares — the CCNet mixing report. The heavy
+    work is d38's skew-robust scoring plan; everything after it is
+    a doc-count-sized join plus a (sources × 3)-row aggregate, so the
+    share window runs on a frame that fits in one hand."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    b = perplexity_bucket(d).join(d.select("doc_id", "source"), "doc_id")
+    agg = b.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    share = F.round(
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(W.partitionBy("source")),
+        6,
+    )
+    return agg.select(
+        "source", "bucket", "n_docs", "n_tokens", share.alias("token_share")
+    ).orderBy("source", "bucket")
+
+
+D42_ORACLE_DRAFT = f"""
+WITH scored AS ({D38_ORACLE_DRAFT}),
+b AS (
+  SELECT s.doc_id, s.n_tokens, d.source,
+         CASE WHEN s.ppl < {PPL_T1!r} THEN 'head'
+              WHEN s.ppl < {PPL_T2!r} THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+), agg AS (
+  SELECT source, bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM b GROUP BY source, bucket
+)
+SELECT source, bucket, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             / sum(n_tokens) OVER (PARTITION BY source), 6) AS token_share
+FROM agg ORDER BY source, bucket
+"""
+
+
 QUERIES = {
     "d01_token_stats": d01_token_stats,
     "d02_lang_id": d02_lang_id,

@@ -969,3 +969,60 @@ def test_quality_classifier_python_reference_and_duckdb_parity(spark):
     assert corpus == oracle
     labels = {lab for *_, lab in corpus}
     assert labels == {"keep", "drop"}, "corpus scores all one-sided — vacuous"
+
+
+def test_perplexity_bucket_duckdb_parity_and_invariants(spark, duck_smoke):
+    """d42 draft proven before registration: frame-exact DuckDB parity
+    on the real table, per-source share/count invariants, boundary
+    semantics, and the suggest helper's contract. The LM scores
+    underneath are d38's, already pinned by their own python
+    reference — this pin certifies the bucketing + mixing layer."""
+    from indexr_spark.operators.text import (
+        D42_ORACLE_DRAFT,
+        d42_perplexity_bucket,
+        perplexity_bucket,
+        suggest_ppl_thresholds,
+    )
+    got = [tuple(r) for r in d42_perplexity_bucket(spark, SMOKE_SF).collect()]
+    want = [tuple(r) for r in duck_smoke.execute(D42_ORACLE_DRAFT).fetchall()]
+    assert got == want
+    assert {b for _, b, *_ in got} == {"head", "middle", "tail"}, "vacuous split"
+
+    d = load_table(spark, SMOKE_SF, "documents")
+    per_source = {}
+    for source, _b, n_docs, _nt, share in got:
+        per_source.setdefault(source, [0, 0.0])
+        per_source[source][0] += n_docs
+        per_source[source][1] += share
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for source, (nd, sh) in per_source.items():
+        assert nd == counts[source]
+        assert abs(sh - 1.0) < 1e-5, (source, sh)
+
+    # boundary semantics: ppl == t1 is NOT head (strict <); pin by
+    # setting t1 to an observed rounded ppl value
+    scored = perplexity_bucket(d)
+    one = scored.first()
+    relabeled = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_bucket(d, t1=one["ppl"], t2=one["ppl"] + 1.0)
+        .filter(F.col("doc_id") == one["doc_id"])
+        .collect()
+    }
+    assert relabeled[one["doc_id"]] == "middle"
+
+    t1, t2 = suggest_ppl_thresholds(scored)
+    assert t1 < t2
+    sug = perplexity_bucket(d, t1=t1, t2=t2)
+    assert {r["bucket"] for r in sug.select("bucket").distinct().collect()} == {
+        "head", "middle", "tail"
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        perplexity_bucket(d, t1=2.0, t2=1.0)
+    with pytest.raises(ValueError):
+        suggest_ppl_thresholds(scored, fractions=(0.9, 0.1))
