@@ -315,6 +315,122 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# mm06 draft (register when the window allows — REGISTRY.md):
+# perceptual-hash near-duplicate detection over binary payloads — the
+# image-dedup stage every multimodal corpus pipeline runs (pHash/aHash
+# over decoded pixels, then a Hamming join). The hash itself must come
+# out of the DECODE pass (a real pHash is a DCT over pixels — never a
+# Catalyst expression), so `payload_phash` computes it inside the same
+# Arrow mapInPandas boundary as mm01's codec: here the deterministic
+# stand-in is a simhash over the decoded payload's distinct char
+# 4-grams — genuinely locality-sensitive (near-identical payloads →
+# Hamming-near hashes), which is the property the downstream join
+# exists to exploit, and exactly replayable in SQL. Everything after
+# the hash is d32's machinery UNCHANGED: simhash_pairs' pigeonhole
+# banding + chunked bucket join + in-row popcount verify — the
+# multimodal dedup at 100 TB is "one decode pass adds a 64-bit
+# column; the join never touches the payload again."
+
+MM06_MAX_HAMMING = 3
+MM06_GRAM = 4
+
+
+def payload_phash(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, simhash): the perceptual-hash
+    stand-in, computed where a real one must live — inside the Arrow
+    decode pass (self-contained closure, the mm01 lesson). Per-gram
+    md5 in a Python loop is the honest cost model for a codec-side
+    transform (a real pHash is C-speed per image; the Spark-side
+    economics — one narrow long column out, payload never re-read —
+    are identical). Payloads shorter than MM06_GRAM chars yield no
+    grams and are dropped, mirroring a codec rejecting a truncated
+    file."""
+    out_schema = "doc_id long, simhash long"
+
+    def make_phash_batches():
+        def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib as _hashlib
+
+            import pandas as _pd
+
+            def phash(payload: bytes) -> "int | None":
+                s = bytes(payload).decode("utf-8")
+                grams = {s[i : i + 4] for i in range(len(s) - 3)}
+                if not grams:
+                    return None
+                counts = [0] * 32
+                for g in grams:
+                    hv = int(_hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    for j in range(32):
+                        counts[j] += 1 if (hv >> j) & 1 else -1
+                return sum(1 << j for j in range(32) if counts[j] >= 0)
+
+            for pdf in batches:
+                out = _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "simhash": [phash(p) for p in pdf["payload"]],
+                    }
+                )
+                yield out[out["simhash"].notna()]
+
+        return phash_batches
+
+    return df.select("doc_id", "payload").mapInPandas(
+        make_phash_batches(), out_schema
+    )
+
+
+def mm06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mm06 registry form (NOT registered until the window allows):
+    all payload pairs within Hamming distance MM06_MAX_HAMMING of each
+    other's perceptual hash — (a_id, b_id, hamming)."""
+    from indexr_spark.operators.text import simhash_pairs
+
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    ph = payload_phash(d)
+    return simhash_pairs(
+        ph, max_hamming=MM06_MAX_HAMMING, bands=MM06_MAX_HAMMING + 1
+    ).orderBy("a_id", "b_id")
+
+
+# Brute-force all-pairs replay (the d32 oracle pattern): DuckDB
+# re-derives the same char-4-gram simhash from the text (payload bytes
+# are the text's UTF-8; both sides shingle the DECODED string, so the
+# replay is unicode-safe) and scans every pair.
+MM06_ORACLE_DRAFT = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(text) - {MM06_GRAM - 1}),
+           i -> substr(text, i, {MM06_GRAM})))) AS gram
+  FROM documents WHERE len(text) >= {MM06_GRAM}
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM g
+), bits AS (
+  SELECT doc_id, unnest(range(0, 32)) AS bit, h FROM h
+), contrib AS (
+  SELECT doc_id, bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM bits
+), sums AS (
+  SELECT doc_id, bit, sum(contrib) AS s FROM contrib GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.simhash, b.simhash)) <= {MM06_MAX_HAMMING}
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "mm01_decode_metadata": mm01_decode_metadata,
     "mm02_frame_sample": mm02_frame_sample,

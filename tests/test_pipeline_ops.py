@@ -1026,3 +1026,58 @@ def test_perplexity_bucket_duckdb_parity_and_invariants(spark, duck_smoke):
         perplexity_bucket(d, t1=2.0, t2=1.0)
     with pytest.raises(ValueError):
         suggest_ppl_thresholds(scored, fractions=(0.9, 0.1))
+
+
+def test_payload_phash_properties_and_mm06_duckdb_parity(spark, duck_smoke):
+    """mm06 draft proven before registration: the decode-pass phash is
+    locality-sensitive (identical payloads collide at hamming 0, a
+    one-char edit stays near), truncated payloads are rejected like a
+    codec would, unicode survives the byte round-trip, and the
+    registry form matches the brute-force DuckDB replay on the real
+    corpus pair-for-pair."""
+    import hashlib
+
+    from indexr_spark.operators.multimodal import (
+        MM06_ORACLE_DRAFT,
+        mm06_phash_neardup,
+        payload_phash,
+        with_binary_payload,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "abc"),                                           # < 4 chars
+        (5, "naïve café blß " * 4),                           # unicode
+        (6, "completely different content about spark plans"),
+    ]
+    d = with_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r["doc_id"]: r["simhash"] for r in payload_phash(d).collect()}
+
+    def py_phash(s):
+        grams = {s[i : i + 4] for i in range(len(s) - 3)}
+        counts = [0] * 32
+        for g in grams:
+            hv = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                counts[j] += 1 if (hv >> j) & 1 else -1
+        return sum(1 << j for j in range(32) if counts[j] >= 0)
+
+    assert 4 not in got, "truncated payload must be rejected"
+    for doc_id, text in rows:
+        if doc_id == 4:
+            continue
+        assert got[doc_id] == py_phash(text), doc_id
+    assert got[1] == got[2]
+    near = bin(got[1] ^ got[3]).count("1")
+    far = bin(got[1] ^ got[6]).count("1")
+    assert near < far, (near, far)
+
+    corpus = [tuple(r) for r in mm06_phash_neardup(spark, SMOKE_SF).collect()]
+    oracle = [tuple(r) for r in duck_smoke.execute(MM06_ORACLE_DRAFT).fetchall()]
+    assert corpus == oracle
+    assert corpus, "corpus has no phash near-dups — vacuous test"
+    assert all(h <= 3 for *_, h in corpus)
