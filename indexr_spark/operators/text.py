@@ -3941,6 +3941,104 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (d43 draft) — the second half of Lee et al.
+# 2022: d40 finds the maximal cross-doc duplicated spans; this
+# operator applies the edit, excising every duplicated occurrence
+# EXCEPT the first (the pair orientation doc_a < doc_b makes "first"
+# deterministic: a span is removed from the b side, so chains
+# (1,2),(2,3) keep exactly doc 1's copy). The edit is formulated as a
+# POSITION SET, not interval arithmetic: each span explodes to its
+# (doc, pos) cells, distinct unions overlapping spans for free, and a
+# left-anti join drops exactly those tokens — three engine-agnostic
+# relational steps where interval-merge islands would be a second
+# window stack. Scale shape: the position stream is O(total span
+# tokens) keyed by doc_id (fine-grained — no hot partition), and the
+# rebuild's per-doc position sort is work a reassembly inherently
+# needs (the one array-valued aggregate; at corpus scale rebuild
+# output is written straight back to storage, d33's map-fix lesson
+# does not apply because the doc IS the output here).
+
+
+def dedup_spans_apply(
+    d: DataFrame,
+    k: int = SPAN_KGRAM,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Remove duplicated spans (d40's output) from each pair's later
+    doc: (doc_id, n_tokens, n_removed, text_clean), every input doc
+    present, text rebuilt single-spaced from the kept tokens."""
+    spans = dup_spans(d, k=k, max_gram_df=max_gram_df)
+    rm = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("b_start"), F.col("b_start") + F.col("span_tokens") - 1
+            )
+        ).alias("pos"),
+    ).distinct()
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "tok")
+    kept = toks.join(rm, ["doc_id", "pos"], "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    base = d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    return (
+        base.join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_after"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def d43_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d43 registry form (NOT registered until the window allows —
+    REGISTRY.md): dup-span removal over the documents table."""
+    return dedup_spans_apply(load_table(spark, sf_dir, "documents"))
+
+
+D43_ORACLE_DRAFT = f"""
+WITH spans AS ({D40_ORACLE_DRAFT}),
+rm AS (
+  SELECT DISTINCT doc_b AS doc_id, CAST(p AS INTEGER) AS pos
+  FROM spans,
+       unnest(generate_series(b_start, b_start + span_tokens - 1)) AS u(p)
+), toks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, s[i] AS tok
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS s FROM documents),
+       unnest(generate_series(1, len(s))) AS t(i)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t ANTI JOIN rm USING (doc_id, pos)
+), reb AS (
+  SELECT doc_id, count(*) AS n_after,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - coalesce(r.n_after, 0) AS INTEGER) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM base b LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNet perplexity bucketing (d42 draft). CCNet's defining corpus
 # operation: score every document's LM perplexity, split the corpus
 # into head/middle/tail, and report the per-source bucket mix that

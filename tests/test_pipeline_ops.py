@@ -1081,3 +1081,40 @@ def test_payload_phash_properties_and_mm06_duckdb_parity(spark, duck_smoke):
     assert corpus == oracle
     assert corpus, "corpus has no phash near-dups — vacuous test"
     assert all(h <= 3 for *_, h in corpus)
+
+
+def test_dedup_spans_apply_hand_docs_and_duckdb_parity(spark, duck_smoke):
+    """d43 draft proven before registration: hand docs with literal
+    expected outputs — the span is excised from each pair's LATER doc
+    (chains keep exactly the first copy), overlapping removals union
+    via the position set, a full-duplicate empties out, sub-k overlaps
+    are untouched — plus frame-exact DuckDB parity on the corpus."""
+    from indexr_spark.operators.text import (
+        D43_ORACLE_DRAFT,
+        d43_dedup_spans_apply,
+        dedup_spans_apply,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e f g y"),
+        (3, "a b c d e f q r s t u v"),
+        (4, "a b c d e f g h"),
+        (5, "m n o p q r s t u"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+           for r in dedup_spans_apply(d).collect()}
+    assert got == {
+        1: (8, 0, "a b c d e f g h"),      # never the later doc
+        2: (9, 7, "x y"),                  # 7-token span excised
+        3: (12, 6, "q r s t u v"),         # overlapping removals union
+        4: (8, 8, ""),                     # exact dup fully removed
+        5: (9, 0, "m n o p q r s t u"),    # 5-token overlap < k stays
+    }
+
+    corpus = [tuple(r) for r in d43_dedup_spans_apply(spark, SMOKE_SF).collect()]
+    oracle = [tuple(r) for r in duck_smoke.execute(D43_ORACLE_DRAFT).fetchall()]
+    assert corpus == oracle
+    assert sum(r[2] for r in corpus) > 0, "corpus removed nothing — vacuous"
+    assert len(corpus) == 500, "every input doc must appear"
