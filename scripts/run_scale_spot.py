@@ -530,13 +530,63 @@ def bpe500(spark) -> None:
         run(f"wide,{tag}", wdocs, inc, slice_fold)
 
 
+def drafts10x(spark) -> None:
+    """The late-r9 draft operators at 10x (the d31-d34 protocol's
+    scale point): d42 rides d38's reshaped group-join LM plan, d43
+    embeds d40's span finder plus the position-set excision, mm06 is
+    one Python decode pass plus d32's banded join. All on the
+    committed /tmp/sf1x10 corpus, so pair/row counts are comparable
+    round over round."""
+    from indexr_spark.operators.multimodal import mm06_phash_neardup
+    from indexr_spark.operators.text import (
+        d42_perplexity_bucket,
+        d43_dedup_spans_apply,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/tmp/sf1x10"
+    _run(spark, "d42_perplexity_bucket",
+         lambda: d42_perplexity_bucket(spark, sf))
+    # d43 must be timed through its COMPUTED columns: count() on the
+    # final left join lets Catalyst eliminate the whole excision
+    # pipeline (the rebuild side is an aggregate with a unique join
+    # key, so the join provably cannot change the row count — the
+    # optimizer scans only `documents` and the "measurement" is a
+    # metadata count). Measured: 1.6 s eliminated vs 22.6 s real.
+    t0 = time.time()
+    row = d43_dedup_spans_apply(spark, sf).agg(
+        F.count("*").alias("docs"), F.sum("n_removed").alias("removed")
+    ).collect()[0]
+    print(f"d43_dedup_spans_apply  {time.time() - t0:.1f}s  "
+          f"rows={row['docs']}  removed={row['removed']}  spin={_spin()}",
+          flush=True)
+    _run(spark, "mm06_phash_neardup", lambda: mm06_phash_neardup(spark, sf))
+
+
+def s14_50x(spark) -> None:
+    """s14's fixed-model probe at 100k vectors (vecs50x corpus): the
+    candidate stream is in-row until the two q_id windows, whose
+    WindowGroupLimit prunes to top-R map-side before the single
+    exchange — the property this spot-run exists to time. Two runs:
+    the first carries residual JIT (harness warm-up warms s06's IVF
+    kernel, not the PQ encode expressions)."""
+    from indexr_spark.sources.vector_store import s14_ivfpq_probe
+
+    sf = "/tmp/sfvec50"
+    for i in range(2):
+        _run(spark, f"s14_ivfpq_probe[{i}]", lambda: s14_ivfpq_probe(spark, sf))
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
            "pipeline10x": "/tmp/sf1x10/documents.parquet",
            "bpe500": "/tmp/sf1x10/documents.parquet",
            "funnel100x": "/tmp/sf1x100/documents.parquet",
-           "ivfpq1m": "/tmp/sfvec500/embeddings.parquet"}
+           "ivfpq1m": "/tmp/sfvec500/embeddings.parquet",
+           "drafts10x": "/tmp/sf1x10/documents.parquet",
+           "s14_50x": "/tmp/sfvec50/embeddings.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -570,7 +620,9 @@ if __name__ == "__main__":
                 "pipeline10x": "d30_pipeline_funnel",
                 "bpe500": "d34_bpe_merges",
                 "funnel100x": "d30_pipeline_funnel",
-                "ivfpq1m": "s04_ann_lsh_topk"}[which]
+                "ivfpq1m": "s04_ann_lsh_topk",
+                "drafts10x": "d32_simhash_pairs",
+                "s14_50x": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -584,5 +636,6 @@ if __name__ == "__main__":
               flush=True)
     {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
      "pipeline10x": pipeline10x, "bpe500": bpe500,
-     "funnel100x": funnel100x, "ivfpq1m": ivfpq1m}[which](spark)
+     "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
+     "drafts10x": drafts10x, "s14_50x": s14_50x}[which](spark)
     spark.stop()
