@@ -1261,3 +1261,162 @@ ORDER BY s.cell
 """
 
 QUERIES["s12_kmeans_step"] = s12_kmeans_step
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (s15 draft — library-only until the registration queue
+# allows, the d36/d37 protocol; REGISTRY.md). Abbas et al. 2023
+# ("SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication") — the embedding-space dedup stage BETWEEN exact/
+# near-dup text matching (d05/d07/d32: same or almost-same bytes) and
+# topical balancing (d19): semantically redundant documents whose
+# surface forms share nothing. The published algorithm: k-means the
+# embeddings, and WITHIN each cluster prune every item that is
+# tau-cosine-close to an item kept before it, keeping the items
+# LEAST similar to their centroid (the paper's keep-outliers
+# finding). Cluster-scoping is what makes it tractable: pairwise
+# similarity runs inside cells of corpus/K items, never across the
+# full n^2 space — the IVF idea applied to dedup instead of search.
+#
+# Scale shape: cell assignment and centroid similarity are in-row
+# over a literal centroid matrix (zero shuffles); the per-cell rank
+# is one window whose partition count is NLIST (production K is
+# thousands — LAION SemDeDup used 11k clusters — so cells stay
+# bounded and no partition is hot); the within-cell pair join rides
+# chunked_self_join, the same skew valve every banded join here
+# uses. A production run swaps the formula centroids for
+# kmeans_fit(s12) output broadcast as literals — the plan shape is
+# identical (the s13/s14 fixed-model protocol makes the draft
+# oracle-certifiable).
+
+S15_NLIST = 4
+S15_TAU = PAIR_THRESHOLD  # one corpus-wide near-dup threshold (s02's)
+
+
+def s15_centroids() -> list[list[float]]:
+    """Coarse centroids[S15_NLIST][64] from a deterministic integer
+    formula (quarter-valued, exactly representable — the s14
+    convention, different constants so the two models stay
+    independent). On this corpus the four cells are balanced
+    (102-152 members of 500 at sf0.01)."""
+    return [
+        [((((c + 3) * (d + 5)) % 11) - 5) / 4.0 for d in range(64)]
+        for c in range(S15_NLIST)
+    ]
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    tau: float = S15_TAU,
+) -> DataFrame:
+    """SemDeDup keep/prune decisions: (vec_id, cell, csim, keep).
+
+    Within each cell, items rank by (round(csim, 6) ASC, vec_id ASC) —
+    centroid-similarity ascending, so the survivor of a duplicate set
+    is the item FARTHEST from the centroid, the paper's keep-outliers
+    policy — and an item is pruned iff some earlier-ranked cellmate
+    has round(cos, 6) >= tau with it. Both ranking key and threshold
+    compare 6dp-rounded values so the decision boundary carries no
+    cross-engine float risk beyond the rounding the s01/s02 rows
+    already certify. Survivor invariant: no two kept items in one
+    cell are tau-close (earlier survivors are a subset of earlier
+    items).
+    """
+    cents = centroids or s15_centroids()
+    spark = vectors.sparkSession
+    e = _as_double(F.col("embedding"))
+    # CPU-bound math on tiny input bytes: spread rows across cores
+    # explicitly (the _with_norm idiom; at real scale the scan
+    # supplies the parallelism and AQE coalesces).
+    prep = (
+        vectors.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", e.alias("e"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .withColumn("cell", _argmax_cell(cents).cast("int"))
+    )
+    cmat = F.lit([[float(x) for x in c] for c in cents])
+    cnorms = F.lit([sum(x * x for x in c) ** 0.5 for c in cents])
+    csim = _dot(F.col("e"), F.get(cmat, F.col("cell"))) / (
+        F.col("nrm") * F.get(cnorms, F.col("cell"))
+    )
+    ranked = prep.withColumn("csim", F.round(csim, 6)).withColumn(
+        "rk", F.row_number().over(W.partitionBy("cell").orderBy("csim", "vec_id"))
+    )
+    # Probe side arrives off the rank window's shuffle on cell —
+    # already distributed on the join key, so AUTO's planning probe
+    # would be pure tax here (the d10 lesson): decide explicitly.
+    j = chunked_self_join(
+        ranked.select("cell", "vec_id", "rk", "e", "nrm"),
+        key_cols=["cell"],
+        order_col="vec_id",
+        repartition_probe=False,
+    )
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    pruned = (
+        j.withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(tau))
+        .select(
+            F.when(F.col("a.rk") > F.col("b.rk"), F.col("a.vec_id"))
+            .otherwise(F.col("b.vec_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("__pruned", F.lit(1))
+    )
+    return ranked.join(pruned, "vec_id", "left").select(
+        "vec_id", "cell", "csim", F.col("__pruned").isNull().alias("keep")
+    )
+
+
+def s15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s15 registry form (NOT registered until the window allows —
+    REGISTRY.md): SemDeDup keep/prune decisions over the embeddings
+    table under the fixed formula centroids."""
+    return semdedup(load_table(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+def _s15_oracle_sql() -> str:
+    """DuckDB replay generated from the SAME Python centroid values
+    (repr round-trip — the s14 generator pattern). Assignment ties
+    break to the lower cell id on both sides; ranking and the tau
+    comparison run on the 6dp-rounded values both engines agree on."""
+    cents = s15_centroids()
+    vals = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], "
+        f"{sum(x * x for x in cv) ** 0.5!r})"
+        for c, cv in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, cv, cn) AS (VALUES {vals}),
+n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT n.vec_id, n.e, n.nrm, c.cell,
+         list_dot_product(n.e, c.cv) / (n.nrm * c.cn) AS ccos
+  FROM n CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, e, nrm, CAST(cell AS INTEGER) AS cell, round(ccos, 6) AS csim
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+        FROM scored)
+  WHERE rn = 1
+), ranked AS (
+  SELECT vec_id, e, nrm, cell, csim,
+         row_number() OVER (PARTITION BY cell ORDER BY csim, vec_id) AS rk
+  FROM assigned
+), pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b ON a.cell = b.cell AND a.rk < b.rk
+  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {S15_TAU!r}
+)
+SELECT r.vec_id, r.cell, r.csim, (p.vec_id IS NULL) AS keep
+FROM ranked r LEFT JOIN pruned p ON r.vec_id = p.vec_id
+ORDER BY r.vec_id
+"""
+
+
+S15_ORACLE_DRAFT = _s15_oracle_sql()

@@ -1118,3 +1118,78 @@ def test_dedup_spans_apply_hand_docs_and_duckdb_parity(spark, duck_smoke):
     assert corpus == oracle
     assert sum(r[2] for r in corpus) > 0, "corpus removed nothing — vacuous"
     assert len(corpus) == 500, "every input doc must appear"
+
+
+def test_semdedup_policy_reference_and_duckdb_parity(spark, duck_smoke):
+    """s15 draft proven before registration (the d36/d37 protocol):
+    the keep-outliers policy on crafted vectors, an independent numpy
+    replay of the whole decision on the real corpus, survivor/pruned
+    invariants, and frame-exact DuckDB parity at sf0.001."""
+    import numpy as np
+
+    from indexr_spark.operators.similarity import (
+        S15_ORACLE_DRAFT,
+        S15_TAU,
+        s15_centroids,
+        s15_semdedup,
+        semdedup,
+    )
+
+    cents = s15_centroids()
+    c0, c1 = cents[0], cents[1]
+    # a near-dup trio along c0's direction (pairwise cos ~1 >= tau)
+    # with distinct centroid similarities, plus a singleton near c1
+    eps = [0.3 if d % 2 else -0.3 for d in range(64)]
+    rows = [
+        (1, [float(x) for x in c0]),                    # csim = 1.0
+        (2, [2.0 * x for x in c0]),                     # csim = 1.0, later rank
+        (3, [x + e for x, e in zip(c0, eps)]),          # csim < 1.0 -> ranked first
+        (4, [float(x) for x in c1]),                    # alone in its cell
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["keep"] for r in semdedup(d).collect()}
+    # the LEAST centroid-similar member of the trio survives (the
+    # paper's keep-outliers policy); its tau-close cellmates are
+    # pruned; the singleton keeps trivially
+    assert got == {1: False, 2: False, 3: True, 4: True}
+
+    # independent numpy replay on the real corpus
+    eng = s15_semdedup(spark, SMOKE_SF).collect()
+    emb = load_table(spark, SMOKE_SF, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    nrm = np.linalg.norm(V, axis=1)
+    C = np.array(cents)
+    csim_all = (V @ C.T) / np.outer(nrm, np.linalg.norm(C, axis=1))
+    cell = csim_all.argmax(1)  # np argmax ties -> first = lower cell id
+    csr = np.round(csim_all[np.arange(len(ids)), cell], 6)
+    S = np.round((V / nrm[:, None]) @ (V / nrm[:, None]).T, 6)
+    ref = {}
+    for c in set(cell):
+        idx = sorted(np.where(cell == c)[0], key=lambda i: (csr[i], ids[i]))
+        for j, i in enumerate(idx):
+            ref[int(ids[i])] = (
+                int(c),
+                float(csr[i]),
+                not any(S[idx[p], i] >= S15_TAU for p in range(j)),
+            )
+    assert {r["vec_id"]: (r["cell"], r["csim"], r["keep"]) for r in eng} == ref
+    kept = [r["vec_id"] for r in eng if r["keep"]]
+    pruned = [r["vec_id"] for r in eng if not r["keep"]]
+    assert kept and pruned, "decision is vacuous on this corpus"
+
+    # survivor invariant: no two kept items in one cell are tau-close
+    pos = {int(v): i for i, v in enumerate(ids)}
+    by_cell = {}
+    for r in eng:
+        if r["keep"]:
+            by_cell.setdefault(r["cell"], []).append(pos[r["vec_id"]])
+    for members in by_cell.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                assert S[members[x], members[y]] < S15_TAU
+
+    # frame-exact DuckDB parity
+    got_rows = [tuple(r) for r in s15_semdedup(spark, SMOKE_SF).collect()]
+    oracle = [tuple(r) for r in duck_smoke.execute(S15_ORACLE_DRAFT).fetchall()]
+    assert got_rows == oracle
