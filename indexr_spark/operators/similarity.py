@@ -1309,6 +1309,7 @@ def semdedup(
     vectors: DataFrame,
     centroids: list[list[float]] | None = None,
     tau: float = S15_TAU,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """SemDeDup keep/prune decisions: (vec_id, cell, csim, keep).
 
@@ -1322,6 +1323,18 @@ def semdedup(
     already certify. Survivor invariant: no two kept items in one
     cell are tau-close (earlier survivors are a subset of earlier
     items).
+
+    `checkpoint=True` materializes the assignment pass (`ranked`)
+    before the pair join: its lineage — scan + K-centroid argmax +
+    rank window — is otherwise evaluated THREE times (both sides of
+    the self-join plus the final output), and the argmax is K*dim
+    multiplies per row — a real but not dominant share (measured
+    1.34x end-to-end at 100k vectors / K=128; the within-cell pair
+    join holds the larger half — COVERAGE.md). Default
+    False so the oracle-certified registry plan stays lazy; a
+    production run materializes assignment as its own pass anyway
+    (the paper runs clustering as a separate job), which is this
+    valve's posture without the eager call.
     """
     cents = centroids or s15_centroids()
     spark = vectors.sparkSession
@@ -1343,6 +1356,8 @@ def semdedup(
     ranked = prep.withColumn("csim", F.round(csim, 6)).withColumn(
         "rk", F.row_number().over(W.partitionBy("cell").orderBy("csim", "vec_id"))
     )
+    if checkpoint:
+        ranked = ranked.localCheckpoint()
     # Probe side arrives off the rank window's shuffle on cell —
     # already distributed on the join key, so AUTO's planning probe
     # would be pure tax here (the d10 lesson): decide explicitly.

@@ -578,6 +578,53 @@ def s14_50x(spark) -> None:
         _run(spark, f"s14_ivfpq_probe[{i}]", lambda: s14_ivfpq_probe(spark, sf))
 
 
+def s15_50x(spark) -> None:
+    """SemDeDup at 100k vectors (vecs50x: 50-replica near-dup families
+    jittered ±0.005). The scale law this spot-run demonstrates: the
+    within-cell pair cost is n²/K, so K MUST grow with the corpus
+    (the paper ran 11k clusters on LAION) — the fixed 4-cell oracle
+    model would be 1.25B pairs here, K=128 is ~39M. Centroids come
+    from the md5 formula (the _plane_weights idiom) passed through
+    semdedup's centroids parameter — the oracle-certified plan shape
+    is unchanged, only the literal matrix is bigger. Family check:
+    every replica family is mutually tau-close, so survivors should
+    collapse to ~1 per (family, cell-split)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.similarity import semdedup
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    cents = [
+        [(h32(f"s15_{c}_{d}") % 2001 - 1000) / 1000.0 for d in range(64)]
+        for c in range(128)
+    ]
+    vecs = spark.read.parquet("/tmp/sfvec50/embeddings.parquet")
+    kept_by_variant = {}
+    for ck in (False, True):
+        t0 = time.time()
+        out = semdedup(vecs, centroids=cents, checkpoint=ck).localCheckpoint()
+        kept = out.filter("keep").count()
+        total = out.count()
+        kept_by_variant[ck] = kept
+        print(f"s15_semdedup[K=128,checkpoint={ck}]  {time.time() - t0:.1f}s  "
+              f"rows={total}  kept={kept}  spin={_spin()}", flush=True)
+    assert kept_by_variant[False] == kept_by_variant[True], kept_by_variant
+    # no-cartesian guard: the within-cell join must be keyed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "cartesian product in s15 plan"
+    # family collapse: survivors per base family (vec_id % 100000
+    # recovers the base id) should be far under the 50 replicas
+    fam = (out.filter("keep")
+              .groupBy((F.col("vec_id") % 100000).alias("base"))
+              .count())
+    mx = fam.agg(F.max("count").alias("m"), F.avg("count").alias("a")).collect()[0]
+    print(f"  survivors/family: max={mx['m']}  avg={mx['a']:.2f}", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
@@ -586,7 +633,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "funnel100x": "/tmp/sf1x100/documents.parquet",
            "ivfpq1m": "/tmp/sfvec500/embeddings.parquet",
            "drafts10x": "/tmp/sf1x10/documents.parquet",
-           "s14_50x": "/tmp/sfvec50/embeddings.parquet"}
+           "s14_50x": "/tmp/sfvec50/embeddings.parquet",
+           "s15_50x": "/tmp/sfvec50/embeddings.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -622,7 +670,8 @@ if __name__ == "__main__":
                 "funnel100x": "d30_pipeline_funnel",
                 "ivfpq1m": "s04_ann_lsh_topk",
                 "drafts10x": "d32_simhash_pairs",
-                "s14_50x": "s06_ivf_topk"}[which]
+                "s14_50x": "s06_ivf_topk",
+                "s15_50x": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -637,5 +686,6 @@ if __name__ == "__main__":
     {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
      "pipeline10x": pipeline10x, "bpe500": bpe500,
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
-     "drafts10x": drafts10x, "s14_50x": s14_50x}[which](spark)
+     "drafts10x": drafts10x, "s14_50x": s14_50x,
+     "s15_50x": s15_50x}[which](spark)
     spark.stop()
