@@ -3350,11 +3350,37 @@ D35_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _d35_encode_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-form encode — (doc_id, bpe_toks array<string>).
+    Library form, pinned by test_d35_draft_... against both the DuckDB
+    replay and a plain-Python min-rank-first encoder. The REGISTERED
+    row (d35_bpe_encode) flattens this to a space-joined string — the
+    r9 driver row went red on SHAPE, not values: the harness
+    canonicalizer sorts the result frame before hashing, and pandas
+    sort_values over numpy-array cells throws `unhashable type`.
+    Registry convention since r10: driver-row outputs are scalar
+    columns only (see operators/__init__.py)."""
+    merge_rows = [
+        {"left": lt, "right": rt} for lt, rt in D35_MERGES
+    ]
+    # spread_scan: the per-word Python encode is per-row CPU and the
+    # small corpus file scans as one task (the d09 lesson — measured:
+    # d37's aggregate over this encode 1.26 s serial vs 1.00 s spread
+    # at sf0.1; the gap widens with merge-table size, and D35's fixed
+    # 12-rank table is the cheap end of that curve).
+    d = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return bpe_apply(d, merge_rows).select("doc_id", "bpe_toks")
+
+
 def d35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bpe_apply with the FIXED D35_MERGES table over the documents
-    corpus — (doc_id, bpe_toks). Registry certification of the ENCODE
+    corpus — (doc_id, bpe_toks) with the token array space-joined to
+    ONE scalar string per doc. Registry certification of the ENCODE
     half of BPE (d34 certifies training); the oracle replays the same
-    merges in DuckDB.
+    merges in DuckDB. The join is lossless: tokens come from words
+    split on ' ', so no token can contain a space.
 
     Why an oracle exists at all for an iterative encoder: (a) joining
     a word's symbol list on a separator turns ONE greedy
@@ -3367,19 +3393,10 @@ def d35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — so after rank k is applied exhaustively, no pair of rank
     <= k can ever reappear. The replay is a rank-indexed recursive
     CTE of depth len(D35_MERGES)."""
-    merge_rows = [
-        {"left": lt, "right": rt} for lt, rt in D35_MERGES
-    ]
-    # spread_scan: the per-word Python encode is per-row CPU and the
-    # small corpus file scans as one task (the d09 lesson — measured:
-    # d37's aggregate over this encode 1.26 s serial vs 1.00 s spread
-    # at sf0.1; the gap widens with merge-table size, and D35's fixed
-    # 12-rank table is the cheap end of that curve).
-    d = spread_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
-    return bpe_apply(d, merge_rows).select("doc_id", "bpe_toks").orderBy(
-        "doc_id"
+    return (
+        _d35_encode_frame(spark, sf_dir)
+        .select("doc_id", F.array_join("bpe_toks", " ").alias("bpe_toks"))
+        .orderBy("doc_id")
     )
 
 
@@ -3419,7 +3436,15 @@ ORDER BY doc_id
 
 
 D35_ORACLE_DRAFT = _d35_oracle_sql()
-ORACLE["d35_bpe_encode"] = D35_ORACLE_DRAFT
+# The registered oracle mirrors the Spark side's array_join — the
+# inner array-form replay stays intact because d37's oracle aggregates
+# it (len(bpe_toks)) and the pytest pin compares it token-for-token.
+D35_ORACLE = f"""
+WITH d35_inner AS ({D35_ORACLE_DRAFT})
+SELECT doc_id, array_to_string(bpe_toks, ' ') AS bpe_toks
+FROM d35_inner ORDER BY doc_id
+"""
+ORACLE["d35_bpe_encode"] = D35_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -3493,13 +3518,16 @@ D36_ORACLE_DRAFT = _d36_oracle_sql()
 
 
 def d36_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The d36 registry form (NOT registered until the window allows —
-    REGISTRY.md): redact_pii over the documents table, projected to
-    the oracle's column set."""
+    """The d36 registry form (REGISTERED r10 per the REGISTRY.md
+    queue): redact_pii over the documents table, projected to the
+    oracle's column set."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return redact_pii(d).select(
         "doc_id", "n_email", "n_ip", "n_phone", "redacted"
     ).orderBy("doc_id")
+
+
+ORACLE["d36_redact_pii"] = D36_ORACLE_DRAFT
 
 
 # ---------------------------------------------------------------------------
@@ -3702,6 +3730,7 @@ ORDER BY d.source
 
 
 D37_ORACLE_DRAFT = _d37_oracle_sql()
+ORACLE["d37_tokenizer_fertility"] = D37_ORACLE_DRAFT
 # ---- end d35 draft ----
 
 
@@ -4172,4 +4201,6 @@ QUERIES = {
     "d33_neardup_incremental": d33_neardup_incremental,
     "d34_bpe_merges": d34_bpe_merges,
     "d35_bpe_encode": d35_bpe_encode,
+    "d36_redact_pii": d36_redact_pii,
+    "d37_tokenizer_fertility": d37_tokenizer_fertility,
 }

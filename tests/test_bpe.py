@@ -157,14 +157,22 @@ def test_d35_draft_fixed_table_encode_matches_duckdb_replay(spark):
     from indexr_spark.operators.text import (
         D35_MERGES,
         D35_ORACLE_DRAFT,
+        _d35_encode_frame,
         d35_bpe_encode,
     )
     from indexr_spark.tables import load_table
 
     got = {
         r["doc_id"]: list(r["bpe_toks"])
+        for r in _d35_encode_frame(spark, SMOKE_SF).collect()
+    }
+    # The REGISTERED row (scalar output — the r10 shape fix) must be
+    # exactly the array form space-joined: the reshape is cosmetic.
+    joined = {
+        r["doc_id"]: r["bpe_toks"]
         for r in d35_bpe_encode(spark, SMOKE_SF).collect()
     }
+    assert joined == {k: " ".join(v) for k, v in got.items()}
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
@@ -177,6 +185,13 @@ def test_d35_draft_fixed_table_encode_matches_duckdb_replay(spark):
     assert set(got) == set(oracle)
     for doc_id in got:
         assert got[doc_id] == oracle[doc_id], doc_id
+
+    # and the registered (scalar) oracle must match the registered row
+    # cell-for-cell — this is the comparison the driver actually runs.
+    from indexr_spark.operators.text import D35_ORACLE
+
+    oracle_joined = dict(con.execute(D35_ORACLE).fetchall())
+    assert joined == oracle_joined
 
     # independent cross-check: the reference encoder (min-rank-first)
     rank_of = {p: i for i, p in enumerate(D35_MERGES)}
