@@ -329,8 +329,8 @@ ORDER BY doc_id, frame_idx
 # exists to exploit, and exactly replayable in SQL. Everything after
 # the hash is d32's machinery UNCHANGED: simhash_pairs' pigeonhole
 # banding + chunked bucket join + in-row popcount verify — the
-# multimodal dedup at 100 TB is "one decode pass adds a 64-bit
-# column; the join never touches the payload again."
+# multimodal dedup at 100 TB is "one decode pass adds a 32-bit hash
+# in a long column; the join never touches the payload again."
 
 MM06_MAX_HAMMING = 3
 MM06_GRAM = 4
@@ -348,6 +348,11 @@ def payload_phash(df: DataFrame) -> DataFrame:
     file."""
     out_schema = "doc_id long, simhash long"
 
+    # captured by value into the closure so the Spark side can never
+    # silently desync from the MM06_GRAM the DuckDB oracle is built
+    # with (the r9 ADVICE finding: the width was hardcoded here)
+    gram = MM06_GRAM
+
     def make_phash_batches():
         def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import hashlib as _hashlib
@@ -356,7 +361,7 @@ def payload_phash(df: DataFrame) -> DataFrame:
 
             def phash(payload: bytes) -> "int | None":
                 s = bytes(payload).decode("utf-8")
-                grams = {s[i : i + 4] for i in range(len(s) - 3)}
+                grams = {s[i : i + gram] for i in range(len(s) - gram + 1)}
                 if not grams:
                     return None
                 counts = [0] * 32

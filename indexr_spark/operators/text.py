@@ -3806,10 +3806,27 @@ def dup_spans(
             .select("gh")
         )
         pos = pos.join(F.broadcast(hot), "gh", "left_anti")
-    # Unique per-row order key inside a gram bucket; positions are
-    # bounded by document length, far under the 2^20 packing radix.
+    # Unique per-row order key inside a gram bucket. Radix 2^28 splits
+    # the long as doc_id:35 bits / pos:28 bits — ~34B docs at ~268M
+    # tokens each, the right balance for a 100 TB corpus (the r9
+    # ADVICE finding: the old 2^20 radix would silently alias pk
+    # across docs past ~1M tokens). Out-of-range rows now fail LOUDLY
+    # instead of corrupting the pair-uniqueness invariant.
     pos = pos.withColumn(
-        "pk", F.col("doc_id") * F.lit(1 << 20) + F.col("pos")
+        "pk",
+        F.when(
+            (F.col("pos") < F.lit(1 << 28))
+            & (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < F.lit(1 << 34)),
+            F.col("doc_id") * F.lit(1 << 28) + F.col("pos"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "dup_spans: pk radix overflow — pos >= 2^28 or "
+                    "doc_id outside [0, 2^34)"
+                )
+            )
+        ),
     )
     j = chunked_self_join(pos, key_cols=["gh"], order_col="pk")
     # Restore orientation (chunked_self_join emits unordered pairs in

@@ -1,53 +1,44 @@
 #!/bin/bash
-# Calm-bench watcher (r9): poll for a calm multicore phase, then fire
-# one full bench capture. The machine shows host-level multicore
-# throttle phases (single-thread spin calm while the 64-task
-# calibration job runs 2-14x slower); only a capture whose own
-# recorded machine_factor is ~1 may refresh baseline rows, so this
-# watcher probes cheaply and only pays the full bench when a probe
-# says the phase is calm.
+# Calm-bench watcher (r10): repeatedly arm scripts/calm_capture.py —
+# the ONE calm instrument (in-session min-of-3 multicore cal gate,
+# bench chained immediately behind a passing probe) — until a capture
+# lands at or under TARGET_MF, keeping the best candidate seen either
+# way. The r9 ADVICE flagged that this watcher and calm_capture.py
+# used different probe statistics (min-of-last-2 vs min-of-3) and
+# different gates (2.45 vs 2.35); since r10 the watcher delegates the
+# probe AND the gate to calm_capture.py, so captures are admitted by
+# a single criterion. The r9 hunt showed calm windows are
+# minute-scale flickers, hence fire-until-it-sticks rather than
+# probe-then-hope.
 #
 # Usage: bash scripts/calm_bench_watch.sh  (run in background)
-# Output: /root/repo/bench_calm_candidate.json on success + watcher log lines.
+#   WATCH_BUDGET_SEC  total hunt budget (default 5h)
+#   TARGET_MF         accept threshold   (default 1.05 — the r9
+#                     verdict's true-calm bar)
+# Output: /root/repo/bench_calm_candidate.json = best capture so far
+# (by machine factor); exit 0 the moment one reads <= TARGET_MF.
 set -u
 cd /root/repo
-DEADLINE=$(( $(date +%s) + 18000 ))   # give up after 5h
+DEADLINE=$(( $(date +%s) + ${WATCH_BUDGET_SEC:-18000} ))
+TARGET_MF=${TARGET_MF:-1.05}
+BEST=999
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  LOAD=$(cut -d' ' -f1 /proc/loadavg)
-  if python -c "import sys; sys.exit(0 if float('$LOAD') < 1.0 else 1)"; then
-    CAL=$(timeout 300 python - <<'EOF'
-import sys, time
-sys.path.insert(0, '.')
-from indexr_spark.session import get_spark
-from pyspark.sql import functions as F
-spark = get_spark()
-runs = []
-for _ in range(3):
-    t0 = time.time()
-    spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-    runs.append(time.time() - t0)
-print(round(min(runs[1:]), 3))
-EOF
-)
-    CAL=$(echo "$CAL" | tail -1)
-    echo "$(date +%H:%M:%S) probe cal=$CAL load=$LOAD"
-    # baseline cal is 2.189; accept <= 2.45 (factor ~1.12)
-    if python -c "import sys; sys.exit(0 if 0 < float('$CAL' or 0) <= 2.45 else 1)" 2>/dev/null; then
-      echo "$(date +%H:%M:%S) CALM PHASE — running full bench"
-      timeout 3600 python bench.py > /tmp/calm_bench_stdout.txt 2>&1
-      MF=$(python -c "import json; print(json.load(open('bench_out.json'))['machine_factor_vs_baseline'])")
-      cp bench_out.json "bench_calm_candidate.json"
-      echo "$(date +%H:%M:%S) capture done machine_factor=$MF"
-      if python -c "import sys; sys.exit(0 if float('$MF') <= 1.15 else 1)"; then
-        echo "CALM CAPTURE ACCEPTED (machine_factor=$MF)"
-        exit 0
-      fi
-      echo "capture not calm enough (mf=$MF), continuing watch"
+  if timeout 4000 python scripts/calm_capture.py /tmp/bench_calm.json; then
+    MF=$(python -c "import json; print([json.loads(l)['machine_factor_vs_baseline'] for l in open('/tmp/bench_calm.json') if 'machine_factor_vs_baseline' in l][0])")
+    echo "$(date +%H:%M:%S) capture mf=$MF (best so far $BEST)"
+    if python -c "import sys; sys.exit(0 if float('$MF') < float('$BEST') else 1)"; then
+      BEST=$MF
+      cp /tmp/bench_calm.json bench_calm_candidate.json
+      echo "$(date +%H:%M:%S) new best candidate (mf=$MF)"
+    fi
+    if python -c "import sys; sys.exit(0 if float('$MF') <= float('$TARGET_MF') else 1)"; then
+      echo "CALM CAPTURE ACCEPTED (machine_factor=$MF)"
+      exit 0
     fi
   else
-    echo "$(date +%H:%M:%S) busy load=$LOAD, skipping probe"
+    echo "$(date +%H:%M:%S) calm_capture found no window in its budget; re-arming"
   fi
-  sleep 600
+  sleep 60
 done
-echo "watcher deadline reached without a calm capture"
+echo "watcher deadline reached; best mf seen: $BEST"
 exit 2

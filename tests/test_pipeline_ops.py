@@ -910,6 +910,38 @@ def test_dup_spans_max_gram_df_valve(spark):
         ), (doc_a, doc_b, a0, b0, n)
 
 
+def test_dup_spans_pk_radix_overflow_fails_loudly(spark):
+    """The r9 ADVICE fix: a doc_id outside the 2^34 packing range must
+    raise, not silently alias pk across docs and corrupt the
+    chunked_self_join pair-uniqueness invariant. (The pos >= 2^28 arm
+    shares the same raise_error branch; a 268M-token doc is not
+    constructible in a unit test.)"""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from indexr_spark.operators.text import dup_spans
+
+    big = 1 << 34
+    d = spark.createDataFrame(
+        [
+            (big, "alpha beta gamma delta epsilon zeta eta theta"),
+            (big + 1, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="radix overflow"):
+        dup_spans(d).collect()
+    # and in-range ids on the same frame shape still work
+    ok = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    assert dup_spans(ok).count() == 1
+
+
 def test_quality_classifier_python_reference_and_duckdb_parity(spark):
     """d41 draft proven before registration: scores on hand docs match
     a plain-Python md5 reference bit-for-bit at 6dp, empty/one-token
