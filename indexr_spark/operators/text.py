@@ -3828,7 +3828,18 @@ def dup_spans(
             )
         ),
     )
-    j = chunked_self_join(pos, key_cols=["gh"], order_col="pk")
+    # repartition_probe: explicit False (the d10 lesson, r10 audit) —
+    # pos descends from spread_scan's repartition in exact mode and
+    # from the hot-gram anti-join's shuffle side in capped mode, so
+    # the probe side is distributed by construction and AUTO's
+    # planning probe is pure driver tax on this lineage: measured
+    # first-touch .rdd.getNumPartitions() 0.9 s (exact) / 2.18 s
+    # (capped, the anti-join subtree) at sf0.1, single-threaded and
+    # machine-factor-invariant — the exact shape that made d10 read
+    # 1.57x in r8. COVERAGE.md r10 carries the full call-site table.
+    j = chunked_self_join(
+        pos, key_cols=["gh"], order_col="pk", repartition_probe=False
+    )
     # Restore orientation (chunked_self_join emits unordered pairs in
     # arbitrary order) and drop same-doc anchor pairs — within-doc
     # repetition is d16's contract, not this one's.
