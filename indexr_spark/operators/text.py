@@ -3753,15 +3753,18 @@ ORACLE["d37_tokenizer_fertility"] = D37_ORACLE_DRAFT
 #      into maximal spans with no further corpus access.
 #
 # Scale shape: step 1 is one explode (|tokens| rows, thin: hash +
-# two ints); step 2 shuffles on the gram hash through
-# chunked_self_join — the SAME skew valve the LSH joins use, because
-# a boilerplate gram shared by thousands of docs is precisely a hot
-# bucket; step 3 windows on (doc_a, doc_b, diag) — fine-grained keys,
-# no hot partition possible. A production run adds a gram-frequency
-# cap (drop grams with document frequency above a ceiling — the
-# rare-anchor idea implicit in the paper's suffix pruning); the
-# default keeps every gram so the DuckDB oracle replays the contract
-# exactly.
+# two ints); step 2 is a PLAIN self-join on the gram hash — millions
+# of distinct keys with typical df 1-2, so hashing the keys across
+# tasks spreads the work by itself (the chunk valve the LSH joins use
+# is for the opposite, few-bucket regime, and its ~C/2 shuffle
+# replication cost 49x here — see the join comment and COVERAGE.md
+# r10 spans100x); the boilerplate hot gram — thousands of docs
+# sharing one gram, a quadratic join-OUTPUT blowup no input-byte
+# skew handling can see — is removed BEFORE the join by the
+# gram-frequency cap (`max_gram_df`, the rare-anchor idea implicit
+# in the paper's suffix pruning); step 3 windows on (doc_a, doc_b,
+# diag) — fine-grained keys, no hot partition possible. The default
+# keeps every gram so the DuckDB oracle replays the contract exactly.
 
 SPAN_KGRAM = 6
 
@@ -3828,17 +3831,29 @@ def dup_spans(
             )
         ),
     )
-    # repartition_probe: explicit False (the d10 lesson, r10 audit) —
-    # pos descends from spread_scan's repartition in exact mode and
-    # from the hot-gram anti-join's shuffle side in capped mode, so
-    # the probe side is distributed by construction and AUTO's
-    # planning probe is pure driver tax on this lineage: measured
-    # first-touch .rdd.getNumPartitions() 0.9 s (exact) / 2.18 s
-    # (capped, the anti-join subtree) at sf0.1, single-threaded and
-    # machine-factor-invariant — the exact shape that made d10 read
-    # 1.57x in r8. COVERAGE.md r10 carries the full call-site table.
-    j = chunked_self_join(
-        pos, key_cols=["gh"], order_col="pk", repartition_probe=False
+    # PLAIN self-join, NOT chunked_self_join (r10 spans100x finding).
+    # The chunk valve exists for joins with FEW distinct keys (d07's
+    # 16 LSH buckets, d32's 2^width band values) where one bucket's
+    # quadratic pair generation would serialize into one task; it
+    # pays for that by replicating the left side ~C/2 times through
+    # the shuffle. dup_spans is the opposite regime: |distinct grams|
+    # is ~|corpus positions| (millions of keys, typical df 1-2), so
+    # hashing the keys across tasks already spreads the work, and the
+    # valve's 16x shuffle replication dominated the wall — measured
+    # on the salted 500k-doc corpus: 489.6 s valved vs 9.9 s plain
+    # for the identical 28,500-span output (49x), with linear growth
+    # 1x/10x/100x = 1.7/4.2/9.9 s. The hot-gram risk a plain join
+    # does retain (a boilerplate gram's C(df,2) output explodes in
+    # one SMJ task — AQE skew split keys on INPUT partition bytes and
+    # cannot see join-output blowup) is exactly what `max_gram_df`
+    # removes BEFORE the join: with a cap, per-key output is bounded
+    # by C(cap,2); without one, exact mode is the oracle-parity
+    # contract for corpora small enough to enumerate every pair
+    # anyway. pk ordering keeps chunked_self_join's emission
+    # contract: each unordered pair of distinct rows exactly once.
+    j = pos.alias("a").join(
+        pos.alias("b"),
+        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.pk") < F.col("b.pk")),
     )
     # Restore orientation (chunked_self_join emits unordered pairs in
     # arbitrary order) and drop same-doc anchor pairs — within-doc

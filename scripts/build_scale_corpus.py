@@ -107,6 +107,44 @@ def build_docs100x(out: str = "/tmp/sf1x100", reps: int = 100) -> None:
     print(f"wrote {out}/documents.parquet ({reps}x)")
 
 
+def build_docsalt100x(out: str = "/tmp/sfsalt100", reps: int = 100) -> None:
+    """100x documents (500k docs) with per-replica TOKEN SALTING — the
+    span-dedup scale corpus (r10).
+
+    docs100x's replica scheme makes every k-gram's document frequency
+    grow with the replica count (even-id docs are exact copies, and an
+    odd-id suffix token only perturbs the last k-1 shingles), so any
+    pair-forming operator sees Θ(reps²) blowup per gram — a property
+    of the GENERATOR, not the engine (the same argument that keeps
+    d07/d09/d32 measured at 10x). Here every token of replica r>0 is
+    prefixed `r{r}x`, making replica vocabularies pairwise DISJOINT:
+    each replica reproduces sf0.1's natural duplication structure
+    exactly, and no gram crosses replicas. That is the honest shape of
+    "100x more data at the same duplication density" — what a 100 TB
+    crawl shard looks like relative to a 1 TB one — and it carries an
+    EXACT oracle: every span statistic must be precisely 100x the
+    sf0.1 value (replica 0 is sf0.1 verbatim; salting is a bijection
+    on each other replica's token stream, so gram equality structure
+    is preserved within a replica and impossible across them, modulo
+    ~2^-60 hash collisions)."""
+    spark = get_spark(app_name="build-docsalt100x")
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    r = F.col("rep")
+    salted = F.regexp_replace(
+        F.col("text"),
+        F.lit(r"(\S+)"),
+        F.concat(F.lit("r"), r.cast("string"), F.lit("x$1")),
+    )
+    alld = (
+        d.crossJoin(spark.range(reps).select(F.col("id").cast("int").alias("rep")))
+        .withColumn("text", F.when(r > 0, salted).otherwise(F.col("text")))
+        .withColumn("doc_id", F.col("doc_id") + r.cast("long") * 10000)
+        .drop("rep")
+    )
+    alld.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    print(f"wrote {out}/documents.parquet ({reps}x, token-salted)")
+
+
 def build_vecs50x(out: str = "/tmp/sfvec50") -> None:
     spark = get_spark(app_name="build-vecs50x")
     e = spark.read.parquet(f"{SRC}/embeddings.parquet")
@@ -208,5 +246,6 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "docs10x"
     {"docs10x": build_docs10x, "docs100x": build_docs100x,
      "docs1000x": lambda: build_docs100x(out="/tmp/sf1x1000", reps=1000),
+     "docsalt100x": build_docsalt100x,
      "vecs50x": build_vecs50x, "vecs500x": build_vecs500x,
      "rel10x": build_rel10x}[which]()

@@ -564,6 +564,106 @@ def drafts10x(spark) -> None:
     _run(spark, "mm06_phash_neardup", lambda: mm06_phash_neardup(spark, sf))
 
 
+def spans100x(spark) -> None:
+    """100x scale point for the span-dedup family (r10 verdict task:
+    d40/d43 were the newest quadratic-risk ops, measured only at 10x).
+
+    Three arms, each with the no-cartesian pre-execution assertion:
+
+    1. d40 exact on the token-salted 500k-doc corpus (docsalt100x) —
+       the honest "100x data, same dup density" shape. The corpus
+       carries an EXACT oracle: spans must be precisely 100x sf0.1's
+       count with an identical span_tokens total per replica, so this
+       arm is a correctness check at scale, not just a wall time.
+    2. The same query on the corpus's 10x prefix (doc_id < 100000 —
+       replicas 0-9 by construction), for the in-session growth
+       exponent with no cross-corpus comparability caveat.
+    3. The valve arm on the UNSALTED docs100x (every gram's df
+       multiplied ~100x by replication — the pathological boilerplate
+       shape): with family size F=100, any cap >= F readmits
+       Θ(F²)≈5000 pairs per gram (~2.5B pairs from this corpus), so
+       the production cap sits BELOW the family blowup; here cap=90
+       bounds the job to the linear census+anti-join cost at ~57M
+       positions and drops every anchor. Production posture for such
+       a corpus is document-level dedup FIRST (d05/d07), then span
+       dedup on survivors — the d30 funnel ordering; the valve exists
+       so a missed boilerplate family degrades to a bounded census,
+       never an unbounded pair join.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.text import dup_spans
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def _cal() -> float:
+        # min-of-3 multicore cal (bench.py's instrument) — this box's
+        # throttle phases steal CORES, which single-thread spin cannot
+        # see (r9 calm-hunt finding); every row below brackets its
+        # wall with cal so readings are attributable post-hoc.
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    salt = spark.read.parquet("/tmp/sfsalt100/documents.parquet")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    # reference: the 1x span stats (cheap, also JIT-warms the path)
+    ref = dup_spans(base).agg(
+        F.count("*").alias("n"), F.sum("span_tokens").alias("tok")
+    ).collect()[0]
+    print(f"1x reference: spans={ref['n']} span_tokens={ref['tok']}  cal={_cal()}",
+          flush=True)
+
+    for tag, d, mult in (("10x-prefix", salt.filter(F.col("doc_id") < 100000), 10),
+                         ("100x", salt, 100)):
+        q = dup_spans(d).agg(
+            F.count("*").alias("n"), F.sum("span_tokens").alias("tok")
+        )
+        assert "CartesianProduct" not in _explain(q), f"{tag} went cartesian"
+        t0 = time.time()
+        row = q.collect()[0]
+        w = time.time() - t0
+        ok = row["n"] == mult * ref["n"] and row["tok"] == mult * ref["tok"]
+        print(f"d40 exact {tag}  {w:.1f}s  spans={row['n']} "
+              f"span_tokens={row['tok']}  exact-{mult}x-oracle={'PASS' if ok else 'FAIL'}"
+              f"  cal={_cal()}", flush=True)
+        assert ok, f"{tag}: span stats are not exactly {mult}x the 1x reference"
+
+    hot = spark.read.parquet("/tmp/sf1x100/documents.parquet")
+    q = dup_spans(hot, max_gram_df=90).agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("span_tokens"), F.lit(0)).alias("tok")
+    )
+    assert "CartesianProduct" not in _explain(q), "valve arm went cartesian"
+    t0 = time.time()
+    row = q.collect()[0]
+    w = time.time() - t0
+    # companion census: how many positions the valve dropped
+    from indexr_spark.functions.text import shingles, tokens as _toks, hash60
+    from indexr_spark.tables import spread_scan
+    pos = spread_scan(hot.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(shingles(_toks("text"), 6)).alias("p0", "gram")
+    ).select(hash60(F.col("gram")).alias("gh"))
+    t1 = time.time()
+    census = pos.groupBy("gh").count().agg(
+        F.count("*").alias("grams"),
+        F.sum(F.when(F.col("count") > 90, F.col("count"))).alias("dropped_positions"),
+        F.sum("count").alias("positions"),
+    ).collect()[0]
+    print(f"d40 valve(cap=90) on unsalted 100x  {w:.1f}s  spans={row['n']}  "
+          f"census[{time.time()-t1:.1f}s]: positions={census['positions']} "
+          f"grams={census['grams']} dropped_positions={census['dropped_positions']}"
+          f"  cal={_cal()}", flush=True)
+
+
 def s14_50x(spark) -> None:
     """s14's fixed-model probe at 100k vectors (vecs50x corpus): the
     candidate stream is in-row until the two q_id windows, whose
@@ -633,6 +733,7 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "funnel100x": "/tmp/sf1x100/documents.parquet",
            "ivfpq1m": "/tmp/sfvec500/embeddings.parquet",
            "drafts10x": "/tmp/sf1x10/documents.parquet",
+           "spans100x": "/tmp/sfsalt100/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet"}
 
@@ -670,6 +771,7 @@ if __name__ == "__main__":
                 "funnel100x": "d30_pipeline_funnel",
                 "ivfpq1m": "s04_ann_lsh_topk",
                 "drafts10x": "d32_simhash_pairs",
+                "spans100x": "d32_simhash_pairs",  # d40 is draft-only; its own path is warmed by the in-family 1x reference row
                 "s14_50x": "s06_ivf_topk",
                 "s15_50x": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
@@ -686,6 +788,6 @@ if __name__ == "__main__":
     {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
      "pipeline10x": pipeline10x, "bpe500": bpe500,
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
-     "drafts10x": drafts10x, "s14_50x": s14_50x,
+     "drafts10x": drafts10x, "spans100x": spans100x, "s14_50x": s14_50x,
      "s15_50x": s15_50x}[which](spark)
     spark.stop()
