@@ -166,6 +166,8 @@ HEADLINE = [
     "d33_neardup_incremental",
     "d34_bpe_merges",
     "d35_bpe_encode",
+    "d36_redact_pii",
+    "d37_tokenizer_fertility",
     "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",

@@ -346,4 +346,8 @@ def _rmdir_if_empty(path: str) -> None:
     try:
         os.rmdir(path)
     except OSError:
+        # non-empty (a concurrent ingest won the race and wrote a new
+        # batch dir) or already gone — both mean "leave it be", which
+        # is the function's contract; never escalate cleanup failure
+        # into an ingest failure.
         pass

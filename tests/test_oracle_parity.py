@@ -36,6 +36,23 @@ def _normalize(rows, colnames):
 @pytest.mark.parametrize("name", sorted(operators.ORACLE))
 def test_oracle_parity(spark, duck_smoke, name):
     sdf = operators.QUERIES[name](spark, SMOKE_SF)
+    # Registry convention (r10, the d35 lesson — see operators/__init__):
+    # driver-row outputs are SCALAR columns only. The driver's
+    # canonicalizer pandas-sorts the frame before hashing; an
+    # array/map/struct cell makes a row permanently red regardless of
+    # values, so catch the contract violation here, the round the
+    # operator is written, not in the driver.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: non-scalar output columns {nested} would break the "
+        "driver canonicalizer — fold to scalars (array_join / explode "
+        "with a pos column / size) in both the query and the oracle"
+    )
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
