@@ -910,6 +910,36 @@ def test_dup_spans_max_gram_df_valve(spark):
         ), (doc_a, doc_b, a0, b0, n)
 
 
+def test_dup_spans_plan_shape_plain_join(spark):
+    """Pin the r10 join-shape finding (COVERAGE.md spans100x): the
+    anchor join must be a PLAIN self-join on the gram hash — no chunk
+    valve (its ~C/2 left-side replication cost 49x at 500k docs in a
+    millions-of-tiny-buckets regime) and no cartesian. The valve's
+    plan signature is its __chunk_* columns; their absence plus a
+    single equi-join is the shape this test freezes."""
+    from indexr_spark.operators.text import dup_spans
+    from indexr_spark.tables import load_table
+
+    q = dup_spans(load_table(spark, SMOKE_SF, "documents"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "__chunk_" not in plan, (
+        "dup_spans regressed to the chunked valve join — see the "
+        "spans100x scale section before undoing the plain join"
+    )
+    import re
+
+    # node headers only — the formatted plan repeats each operator
+    # name in its detail section
+    n_joins = len(re.findall(
+        r"^\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        plan, re.M,
+    ))
+    assert n_joins == 1, f"expected exactly one anchor join, saw {n_joins}"
+
+
 def test_dup_spans_pk_radix_overflow_fails_loudly(spark):
     """The r9 ADVICE fix: a doc_id outside the 2^34 packing range must
     raise, not silently alias pk across docs and corrupt the
