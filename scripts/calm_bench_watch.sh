@@ -15,15 +15,20 @@
 #   WATCH_BUDGET_SEC  total hunt budget (default 5h)
 #   TARGET_MF         accept threshold   (default 1.05 — the r9
 #                     verdict's true-calm bar)
+#   GATE_CAL          calm_capture gate (default 2.35; tighten to
+#                     ~2.25 when shallow flickers keep admitting
+#                     mf-2 captures that burn 5 min each — the r10
+#                     hunt's pattern)
 # Output: /root/repo/bench_calm_candidate.json = best capture so far
 # (by machine factor); exit 0 the moment one reads <= TARGET_MF.
 set -u
 cd /root/repo
 DEADLINE=$(( $(date +%s) + ${WATCH_BUDGET_SEC:-18000} ))
 TARGET_MF=${TARGET_MF:-1.05}
+GATE_CAL=${GATE_CAL:-2.35}
 BEST=999
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  if timeout 4000 python scripts/calm_capture.py /tmp/bench_calm.json; then
+  if timeout 4000 python scripts/calm_capture.py /tmp/bench_calm.json "$GATE_CAL"; then
     MF=$(python -c "import json; print([json.loads(l)['machine_factor_vs_baseline'] for l in open('/tmp/bench_calm.json') if 'machine_factor_vs_baseline' in l][0])")
     echo "$(date +%H:%M:%S) capture mf=$MF (best so far $BEST)"
     if python -c "import sys; sys.exit(0 if float('$MF') < float('$BEST') else 1)"; then
