@@ -26,7 +26,16 @@ cd /root/repo
 DEADLINE=$(( $(date +%s) + ${WATCH_BUDGET_SEC:-18000} ))
 TARGET_MF=${TARGET_MF:-1.05}
 GATE_CAL=${GATE_CAL:-2.35}
-BEST=999
+# Seed BEST from the standing candidate so a fresh hunt can only
+# improve it — a new watcher starting at 999 would clobber a prior
+# hunt's better capture with its own first mediocre one.
+BEST=$(python -c "
+import json, sys
+try:
+    print(json.loads(open('bench_calm_candidate.json').readline())['machine_factor_vs_baseline'])
+except Exception:
+    print(999)
+")
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if timeout 4000 python scripts/calm_capture.py /tmp/bench_calm.json "$GATE_CAL"; then
     MF=$(python -c "import json; print([json.loads(l)['machine_factor_vs_baseline'] for l in open('/tmp/bench_calm.json') if 'machine_factor_vs_baseline' in l][0])")
