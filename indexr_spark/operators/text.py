@@ -3855,9 +3855,13 @@ def dup_spans(
         pos.alias("b"),
         (F.col("a.gh") == F.col("b.gh")) & (F.col("a.pk") < F.col("b.pk")),
     )
-    # Restore orientation (chunked_self_join emits unordered pairs in
-    # arbitrary order) and drop same-doc anchor pairs — within-doc
-    # repetition is d16's contract, not this one's.
+    # Orient pairs and drop same-doc anchors — within-doc repetition
+    # is d16's contract, not this one's. With the plain a.pk < b.pk
+    # join and doc_id packed in pk's high bits, cross-doc pairs
+    # already arrive with a.doc_id < b.doc_id (fwd is always true);
+    # the explicit when() is kept as a join-form-independent guard so
+    # orientation stays correct if the join ever reverts to an
+    # unordered emitter (chunked_self_join's contract).
     fwd = F.col("a.doc_id") < F.col("b.doc_id")
     anchors = (
         j.filter(F.col("a.doc_id") != F.col("b.doc_id"))
