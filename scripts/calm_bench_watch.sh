@@ -39,7 +39,20 @@ except Exception:
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if timeout 4000 python scripts/calm_capture.py /tmp/bench_calm.json "$GATE_CAL"; then
     MF=$(python -c "import json; print([json.loads(l)['machine_factor_vs_baseline'] for l in open('/tmp/bench_calm.json') if 'machine_factor_vs_baseline' in l][0])")
-    echo "$(date +%H:%M:%S) capture mf=$MF (best so far $BEST)"
+    # A capture that straddles a load transition can read a LOW mf
+    # (the min-of-bracket cal catches the calm end) while its late
+    # queries ran loaded — the bench's own regression gate flags
+    # exactly those rows. regressions != {} means NOT a calm capture,
+    # whatever the mf says; never promote one over a clean capture
+    # (observed live: an mf-1.114 capture with two load-flagged rows
+    # clobbering a clean mf-1.369 one).
+    CLEAN=$(python -c "import json; print(0 if [json.loads(l)['regressions'] for l in open('/tmp/bench_calm.json') if 'machine_factor_vs_baseline' in l][0] else 1)")
+    echo "$(date +%H:%M:%S) capture mf=$MF clean=$CLEAN (best so far $BEST)"
+    if [ "$CLEAN" != "1" ]; then
+      echo "$(date +%H:%M:%S) capture carries regression flags; discarded"
+      sleep 60
+      continue
+    fi
     if python -c "import sys; sys.exit(0 if float('$MF') < float('$BEST') else 1)"; then
       BEST=$MF
       cp /tmp/bench_calm.json bench_calm_candidate.json
