@@ -664,6 +664,113 @@ def spans100x(spark) -> None:
           f"  cal={_cal()}", flush=True)
 
 
+def lsh100x(spark) -> None:
+    """100x scale point for the MinHash-LSH dedup family (d07
+    candidate pairs, d09 Jaccard-verified pairs) on the token-salted
+    500k-doc corpus (docsalt100x).
+
+    The family had been measured only at 10x because the unsalted
+    replica corpora multiply every shingle's document frequency by the
+    replica count — a Θ(reps²)-pairs-per-gram property of the
+    GENERATOR, not the engine. The salted corpus (built r10 for the
+    span family) removes that objection: replica vocabularies are
+    pairwise disjoint, so each replica reproduces sf0.1's natural
+    duplication density exactly and no signature can collide across
+    replicas except by ~2^-60 hash accident.
+
+    The oracle is necessarily weaker than the span family's exact-Nx,
+    and the split is the point: salting preserves JACCARD within a
+    replica (injective token map) and zeroes it across replicas, but
+    minhash SIGNATURES hash the salted token strings, so band
+    collisions are a fresh random realization per replica. Hence:
+      - EXACT: no emitted pair may cross replicas (cross-replica
+        J = 0; d09's exact verify kills even an accidental band
+        collision). Asserted at zero.
+      - APPROX: totals land near Nx the 1x reference with per-replica
+        hash variance. On THIS corpus true pairs sit far above the
+        4x4 crossover (COVERAGE r6: two different bandings find the
+        IDENTICAL 256 J>=0.5 pairs at sf0.1), so the band is tight —
+        asserted within [0.95, 1.01]·Nx.
+    Both arms run UNCAPPED (the docs10x env-clearing idiom) so counts
+    are cap-policy-free; the 10x point comes from a doc_id<100000
+    prefix (replicas 0-9) materialized once, giving an in-session
+    growth exponent with no cross-corpus caveat.
+    """
+    from pyspark.sql import functions as F
+
+    from indexr_spark import operators
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def _cal() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    prefix_dir = "/tmp/sfsalt10"
+    if not os.path.exists(f"{prefix_dir}/documents.parquet"):
+        (spark.read.parquet("/tmp/sfsalt100/documents.parquet")
+              .filter(F.col("doc_id") < 100000)
+              .repartition(8)
+              .write.mode("overwrite")
+              .parquet(f"{prefix_dir}/documents.parquet"))
+
+    saved = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
+    try:
+        ref = {}
+        for qname in ("d07_minhash_lsh", "d09_ngram_jaccard"):
+            t0 = time.time()
+            ref[qname] = operators.QUERIES[qname](
+                spark, "/root/testdata/sf0.1"
+            ).count()
+            print(f"{qname} 1x reference  {time.time() - t0:.1f}s  "
+                  f"pairs={ref[qname]}  cal={_cal()}", flush=True)
+
+        for tag, sf, mult in ((("10x-prefix"), prefix_dir, 10),
+                              (("100x"), "/tmp/sfsalt100", 100)):
+            for qname in ("d07_minhash_lsh", "d09_ngram_jaccard"):
+                q = operators.QUERIES[qname](spark, sf)
+                assert "CartesianProduct" not in _explain(q), (
+                    f"{qname} {tag} went cartesian"
+                )
+                t0 = time.time()
+                cross = (q.filter(
+                    (F.col("a_id") / 10000).cast("long")
+                    != (F.col("b_id") / 10000).cast("long")
+                ).count())
+                n = q.count()
+                w = time.time() - t0
+                lo, hi = 0.95 * mult * ref[qname], 1.01 * mult * ref[qname]
+                print(f"{qname} {tag}  {w:.1f}s  pairs={n} "
+                      f"({n / (mult * ref[qname]):.3f}x of exact-{mult}x)  "
+                      f"cross_replica={cross}  cal={_cal()}", flush=True)
+                assert cross == 0, f"{qname} {tag}: cross-replica pairs"
+                assert lo <= n <= hi, (
+                    f"{qname} {tag}: {n} outside [{lo:.0f}, {hi:.0f}]"
+                )
+        # per-replica dispersion of the verified pairs — how much the
+        # per-replica hash realization actually moves the count
+        d = operators.QUERIES["d09_ngram_jaccard"](spark, "/tmp/sfsalt100")
+        disp = (d.groupBy((F.col("a_id") / 10000).cast("long").alias("rep"))
+                 .count()
+                 .agg(F.min("count").alias("mn"), F.avg("count").alias("av"),
+                      F.max("count").alias("mx"), F.count("*").alias("reps"))
+                 .collect()[0])
+        print(f"d09 per-replica verified pairs: min={disp['mn']} "
+              f"avg={disp['av']:.1f} max={disp['mx']} over {disp['reps']} "
+              f"replicas (1x reference {ref['d09_ngram_jaccard']})",
+              flush=True)
+    finally:
+        if saved is not None:
+            os.environ["INDEXR_LSH_MAX_BUCKET"] = saved
+
+
 def s14_50x(spark) -> None:
     """s14's fixed-model probe at 100k vectors (vecs50x corpus): the
     candidate stream is in-row until the two q_id windows, whose
@@ -734,6 +841,7 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "ivfpq1m": "/tmp/sfvec500/embeddings.parquet",
            "drafts10x": "/tmp/sf1x10/documents.parquet",
            "spans100x": "/tmp/sfsalt100/documents.parquet",
+           "lsh100x": "/tmp/sfsalt100/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet"}
 
@@ -772,6 +880,7 @@ if __name__ == "__main__":
                 "ivfpq1m": "s04_ann_lsh_topk",
                 "drafts10x": "d32_simhash_pairs",
                 "spans100x": "d32_simhash_pairs",  # d40 is draft-only; its own path is warmed by the in-family 1x reference row
+                "lsh100x": "d07_minhash_lsh",  # the 1x reference rows then run warm
                 "s14_50x": "s06_ivf_topk",
                 "s15_50x": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
@@ -788,6 +897,6 @@ if __name__ == "__main__":
     {"docs10x": docs10x, "vecs50x": vecs50x, "rel10x": rel10x,
      "pipeline10x": pipeline10x, "bpe500": bpe500,
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
-     "drafts10x": drafts10x, "spans100x": spans100x, "s14_50x": s14_50x,
-     "s15_50x": s15_50x}[which](spark)
+     "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
+     "s14_50x": s14_50x, "s15_50x": s15_50x}[which](spark)
     spark.stop()
