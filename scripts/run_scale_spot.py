@@ -683,18 +683,31 @@ def lsh100x(spark) -> None:
     replica (injective token map) and zeroes it across replicas, but
     minhash SIGNATURES hash the salted token strings, so band
     collisions are a fresh random realization per replica. Hence:
+      - EXACT: replica 0 is sf0.1 VERBATIM (the builder salts only
+        r > 0), so the output restricted to replica-0 pairs must be
+        COUNT-IDENTICAL to the 1x reference run — same tokens, same
+        hashes, same buckets. Asserted.
       - EXACT: no emitted pair may cross replicas (cross-replica
         J = 0; d09's exact verify kills even an accidental band
-        collision). Asserted at zero.
-      - APPROX: totals land near Nx the 1x reference with per-replica
-        hash variance. On THIS corpus true pairs sit far above the
-        4x4 crossover (COVERAGE r6: two different bandings find the
-        IDENTICAL 256 J>=0.5 pairs at sf0.1), so the band is tight —
-        asserted within [0.95, 1.01]·Nx.
+        collision, and band signatures over disjoint vocabularies
+        collide with ~2^-60 probability). Asserted at zero.
+      - MEASURED, not assumed: totals are a per-replica hash-variance
+        distribution — the first run of this harness showed d07's
+        candidate count at 1.114x of naive-exact-10x (the sf0.1
+        realization is one draw; borderline-J pairs detect with
+        steeply J-dependent probability), so the harness REPORTS the
+        distribution (min/avg/max per replica) and asserts only a
+        structural sanity band [0.5, 2.0]·Nx that catches quadratic
+        blowup or mass pair loss without pretending precision the
+        instrument doesn't have.
     Both arms run UNCAPPED (the docs10x env-clearing idiom) so counts
     are cap-policy-free; the 10x point comes from a doc_id<100000
     prefix (replicas 0-9) materialized once, giving an in-session
-    growth exponent with no cross-corpus caveat.
+    growth exponent with no cross-corpus caveat. Each arm is ONE
+    execution: a groupBy over (replica_a, replica_b) yields the
+    total, the cross-replica count, replica-0 parity, and the
+    dispersion in a single pass (a bare .count() per statistic would
+    re-run the whole LSH pipeline per statistic).
     """
     from pyspark.sql import functions as F
 
@@ -740,32 +753,36 @@ def lsh100x(spark) -> None:
                     f"{qname} {tag} went cartesian"
                 )
                 t0 = time.time()
-                cross = (q.filter(
-                    (F.col("a_id") / 10000).cast("long")
-                    != (F.col("b_id") / 10000).cast("long")
-                ).count())
-                n = q.count()
-                w = time.time() - t0
-                lo, hi = 0.95 * mult * ref[qname], 1.01 * mult * ref[qname]
-                print(f"{qname} {tag}  {w:.1f}s  pairs={n} "
-                      f"({n / (mult * ref[qname]):.3f}x of exact-{mult}x)  "
-                      f"cross_replica={cross}  cal={_cal()}", flush=True)
-                assert cross == 0, f"{qname} {tag}: cross-replica pairs"
-                assert lo <= n <= hi, (
-                    f"{qname} {tag}: {n} outside [{lo:.0f}, {hi:.0f}]"
+                by_rep = (
+                    q.groupBy(
+                        F.floor(F.col("a_id") / 10000).alias("ra"),
+                        F.floor(F.col("b_id") / 10000).alias("rb"),
+                    )
+                    .count()
+                    .collect()
                 )
-        # per-replica dispersion of the verified pairs — how much the
-        # per-replica hash realization actually moves the count
-        d = operators.QUERIES["d09_ngram_jaccard"](spark, "/tmp/sfsalt100")
-        disp = (d.groupBy((F.col("a_id") / 10000).cast("long").alias("rep"))
-                 .count()
-                 .agg(F.min("count").alias("mn"), F.avg("count").alias("av"),
-                      F.max("count").alias("mx"), F.count("*").alias("reps"))
-                 .collect()[0])
-        print(f"d09 per-replica verified pairs: min={disp['mn']} "
-              f"avg={disp['av']:.1f} max={disp['mx']} over {disp['reps']} "
-              f"replicas (1x reference {ref['d09_ngram_jaccard']})",
-              flush=True)
+                w = time.time() - t0
+                n = sum(r["count"] for r in by_rep)
+                cross = sum(r["count"] for r in by_rep if r["ra"] != r["rb"])
+                rep0 = next(
+                    (r["count"] for r in by_rep if r["ra"] == 0 and r["rb"] == 0),
+                    0,
+                )
+                diag = sorted(r["count"] for r in by_rep if r["ra"] == r["rb"])
+                print(f"{qname} {tag}  {w:.1f}s  pairs={n} "
+                      f"({n / (mult * ref[qname]):.3f}x of naive-{mult}x)  "
+                      f"cross_replica={cross}  rep0={rep0}  "
+                      f"per-replica min/med/max="
+                      f"{diag[0]}/{diag[len(diag) // 2]}/{diag[-1]}  "
+                      f"cal={_cal()}", flush=True)
+                assert cross == 0, f"{qname} {tag}: cross-replica pairs"
+                assert rep0 == ref[qname], (
+                    f"{qname} {tag}: replica-0 count {rep0} != 1x "
+                    f"reference {ref[qname]} (verbatim-replica parity)"
+                )
+                assert 0.5 * mult * ref[qname] <= n <= 2.0 * mult * ref[qname], (
+                    f"{qname} {tag}: {n} outside the structural sanity band"
+                )
     finally:
         if saved is not None:
             os.environ["INDEXR_LSH_MAX_BUCKET"] = saved
