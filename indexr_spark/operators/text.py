@@ -2689,6 +2689,141 @@ def simhash_pairs(
     )
 
 
+# ---- wide-simhash production path (the ≥10^5-doc regime) -----------
+#
+# simhash_pairs above is certified at SIMHASH_BITS=32 against the
+# brute-force DuckDB oracle (d32, mm06's draft). 32 bits with bands=4
+# means 8-bit band values: buckets average corpus_size/256 docs, so
+# the candidate stream grows Θ(n²·bands/2^width) from pure hash
+# saturation no matter how duplicate-free the corpus is — at 500k
+# docs that is ~2×10⁹ candidate pairs (measured, with the bucket
+# census matching the law: COVERAGE.md "simhash100x"). The production
+# posture at that scale is a WIDER hash, not a bigger valve: 60 bits
+# over 4 bands = 15-bit band values = 32768 buckets per band, which
+# shrinks the saturation floor by 2^7. These live as separate
+# functions rather than a `bits` kwarg on the certified bodies so the
+# oracle-scored 32-bit expressions stay byte-identical; the one
+# expression-level change the width forces is the bit test — the
+# floor-div trick above is exact only below 2^53, so the wide path
+# tests bits with `bit_get`, which (unlike shiftright) accepts a
+# lambda-variable position.
+
+
+def simhash_frame_wide(d: DataFrame, bits: int = 60) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash): token SimHash at `bits`
+    width. Semantics match simhash_frame — per-bit majority over
+    distinct-token md5-prefix hashes, ties set the bit — and at
+    bits=32 the output is IDENTICAL to simhash_frame's (pinned in
+    tests/test_simhash_wide.py), making this a strict generalization.
+    bits must be a multiple of 4 (whole md5 hex chars) and ≤ 60
+    (hash60's exactly-representable-long bound)."""
+    if not (4 <= bits <= 60 and bits % 4 == 0):
+        raise ValueError(f"bits={bits} must be a multiple of 4 in [4, 60]")
+    nhex = bits // 4
+    d = d.select(
+        "doc_id",
+        F.transform(
+            distinct_tokens("text"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    hashes = F.col("hs")
+    n = F.size(hashes)
+
+    def bit_set(j):
+        ones = F.size(F.filter(hashes, lambda h: F.bit_get(h, j) == 1))
+        return 2 * ones >= n  # ⇔ sum of +1/-1 contributions >= 0
+
+    # 2^j is a power of two, exact in a double for j ≤ 59
+    bitvals = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.when(bit_set(j), F.pow(F.lit(2.0), j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(bitvals, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "simhash"
+        ),
+    )
+
+
+def simhash_pairs_wide(
+    sim_df: DataFrame,
+    bits: int = 60,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """simhash_pairs at `bits` width: same pigeonhole banding (bands >
+    max_hamming ⇒ recall 1.0 by construction), same chunked bucket
+    join, same in-row first-match-band dedup — see the block comment
+    above for why this is a separate function and when to prefer it.
+    Returns (a_id, b_id, hamming), a_id < b_id, each pair once."""
+    bands = bands if bands is not None else max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole completeness guarantee"
+        )
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    width = bits // bands
+    # narrow pin before the join — same 20x-tax rationale as
+    # simhash_pairs (the hash chain must not re-derive per candidate)
+    sim_df = sim_df.select("doc_id", "simhash").localCheckpoint()
+    mask = (1 << width) - 1
+    # explode side: band index b is a Python int here, so the literal
+    # shiftright is available (and exact — longs, not doubles)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+            for b in range(bands)
+        ]
+    )
+    ex = sim_df.select("doc_id", "simhash", F.explode(slices).alias("s")).select(
+        "doc_id", "simhash", F.col("s.band").alias("band"), F.col("s.v").alias("v")
+    )
+    j = chunked_self_join(
+        ex, ["band", "v"], order_col="doc_id", repartition_probe=True
+    )
+    pairs = j.select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        F.col("a.band").alias("band"),  # == b.band (the join key)
+        F.col("a.simhash").alias("a_sh"),
+        F.col("b.simhash").alias("b_sh"),
+    )
+
+    def _slice(col, jj):
+        # (col >> jj·width) & mask with a COLUMN shift amount:
+        # recombine the band's bits from bit_get tests — exact at any
+        # width ≤ 60, where the 32-bit path's floor-div hits 2^53
+        lo = jj * width
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.bit_get(col, p + lo) * F.pow(F.lit(2.0), p).cast("long"),
+        )
+
+    lower_all_differ = F.when(F.col("band") == 0, F.lit(True)).otherwise(
+        F.forall(
+            F.sequence(F.lit(0), F.col("band") - 1),
+            lambda jj: _slice(F.col("a_sh"), jj) != _slice(F.col("b_sh"), jj),
+        )
+    )
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter((F.col("hamming") <= max_hamming) & lower_all_differ)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 # A-ES quantized-rank decade clamp: e = floor(log10(-key)) clamped to
 # [AES_E_MIN, AES_E_MAX]; scale for a decade is 10^(11-e) (~12
 # significant digits kept). Keys outside the clamp range (|key| below

@@ -788,6 +788,195 @@ def lsh100x(spark) -> None:
             os.environ["INDEXR_LSH_MAX_BUCKET"] = saved
 
 
+def simhash100x(spark) -> None:
+    """100x scale point for the simhash banding family — d32's
+    pigeonhole join, the machinery mm06's draft shares — on the
+    token-salted 500k-doc corpus, paired with the wide-hash posture
+    measurement (simhash_pairs_wide, 60 bits).
+
+    The oracle design is WEAKER than lsh100x's, and the difference is
+    the finding: minhash's verify is a function of gram SETS (token
+    bijections preserve it), but a simhash VALUE depends on the hash
+    realization of every token string, so salting makes each replica
+    an INDEPENDENT 32-bit draw of sf0.1's token relation. Hence:
+      - EXACT: replica 0 is sf0.1 verbatim — its pair count AND its
+        hamming-sum checksum must equal the in-session 1x reference.
+      - ANALYTIC, reported: cross-replica pairs are chance hamming
+        collisions between hashes of disjoint vocabularies. Uniform
+        independence predicts E = cross_doc_pairs · Σ_{h≤3} C(32,h)/2^32
+        (~1.278e-6), but the corpus's ~40-word template vocabulary
+        concentrates each replica's simhashes near a per-replica
+        centroid, so the ≤3 tail is a LUMPY small-sample draw around
+        the 4950 centroid-pair distances (first run measured 0.19x of
+        uniform E at 10x) — the uniform model bounds neither side
+        tightly. Only the blowup side is structural: cross ≤ 50E
+        catches corpus-wide hash correlation (a shared-vocabulary
+        leak would read thousands of E); a dead banding is already
+        caught exactly by replica-0 parity.
+      - THE LAW, asserted: a (band, value) census taken BEFORE the
+        pair run predicts the candidate stream Σ C(bucket, 2); the
+        uniform floor is n²·bands/2^(width+1). At 32 bits / 4 bands
+        (width 8) that floor is ~1.95e9 candidates at 500k docs —
+        pure hash saturation, corpus-independent — while 60 bits
+        (width 15) floors at ~1.5e7. The census is printed first so
+        the saturation evidence survives even an abandoned pair arm.
+    Both hash widths run the same uncapped chunked join; walls are
+    comparable only within this session (cal printed per row)."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark import operators
+    from indexr_spark.operators.text import (
+        SIMHASH_BITS,
+        simhash_frame,
+        simhash_frame_wide,
+        simhash_pairs,
+        simhash_pairs_wide,
+    )
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def _cal() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    def census(sim, bits, bands):
+        """Σ C(bucket,2) over (band, slice-value) buckets — the exact
+        candidate count the banded join will generate (before the
+        first-match-band dedup), from one cheap aggregation."""
+        width = bits // bands
+        mask = (1 << width) - 1
+        slices = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width)
+                 .bitwiseAND(F.lit(mask)).alias("v"),
+            ) for b in range(bands)
+        ])
+        row = (
+            sim.select(F.explode(slices).alias("s"))
+            .groupBy("s.band", "s.v").count()
+            .agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand"),
+                F.max("count").alias("hottest"),
+                F.count("*").alias("buckets"),
+            ).collect()[0]
+        )
+        return int(row["cand"]), int(row["hottest"]), int(row["buckets"])
+
+    def pair_stats(pairs_df, tag, mult):
+        """One execution: total / cross-replica / replica-0 count and
+        hamming checksum, via a single (replica_a, replica_b) rollup."""
+        assert "CartesianProduct" not in _explain(pairs_df), f"{tag} cartesian"
+        t0 = time.time()
+        by_rep = (
+            pairs_df.groupBy(
+                F.floor(F.col("a_id") / 10000).alias("ra"),
+                F.floor(F.col("b_id") / 10000).alias("rb"),
+            )
+            .agg(F.count("*").alias("n"), F.sum("hamming").alias("hsum"))
+            .collect()
+        )
+        w = time.time() - t0
+        n = sum(r["n"] for r in by_rep)
+        cross = sum(r["n"] for r in by_rep if r["ra"] != r["rb"])
+        rep0 = next(
+            ((r["n"], r["hsum"]) for r in by_rep
+             if r["ra"] == 0 and r["rb"] == 0),
+            (0, 0),
+        )
+        diag = sorted(r["n"] for r in by_rep if r["ra"] == r["rb"]) or [0]
+        print(f"{tag}  {w:.1f}s  pairs={n}  cross_replica={cross}  "
+              f"rep0={rep0[0]} (hsum={rep0[1]})  per-replica min/med/max="
+              f"{diag[0]}/{diag[len(diag) // 2]}/{diag[-1]}  cal={_cal()}",
+              flush=True)
+        return n, cross, rep0, w
+
+    # in-session 1x references (count + hamming checksum), warm path
+    docs1x = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet").select("doc_id", "text")
+    refs = {}
+    for tag, frame, pairer in (
+        ("32bit", simhash_frame(docs1x),
+         lambda s: simhash_pairs(s)),
+        ("60bit", simhash_frame_wide(docs1x, bits=60),
+         lambda s: simhash_pairs_wide(s, bits=60)),
+    ):
+        t0 = time.time()
+        r = pairer(frame).agg(
+            F.count("*").alias("n"), F.sum("hamming").alias("hsum")
+        ).collect()[0]
+        refs[tag] = (int(r["n"]), int(r["hsum"] or 0))
+        print(f"{tag} 1x reference  {time.time() - t0:.1f}s  "
+              f"pairs={refs[tag][0]} hsum={refs[tag][1]}  cal={_cal()}",
+              flush=True)
+
+    prefix_dir = "/tmp/sfsalt10"
+    if not os.path.exists(f"{prefix_dir}/documents.parquet"):
+        (spark.read.parquet("/tmp/sfsalt100/documents.parquet")
+              .filter(F.col("doc_id") < 100000)
+              .repartition(8)
+              .write.mode("overwrite")
+              .parquet(f"{prefix_dir}/documents.parquet"))
+
+    P32 = sum(__import__("math").comb(SIMHASH_BITS, h)
+              for h in range(4)) / 2 ** SIMHASH_BITS
+
+    for tag, sf, mult in (("10x-prefix", prefix_dir, 10),
+                          ("100x", "/tmp/sfsalt100", 100)):
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        ndocs = docs.count()
+        within = mult * 5000 * 4999 / 2
+        crossp = ndocs * (ndocs - 1) / 2 - within
+
+        # 32-bit arm: census first (the saturation evidence), then pairs
+        sim32 = simhash_frame(docs).localCheckpoint()
+        t0 = time.time()
+        cand, hottest, buckets = census(sim32, SIMHASH_BITS, 4)
+        floor = ndocs * ndocs * 4 / (2 * 2 ** (SIMHASH_BITS // 4))
+        print(f"32bit {tag} census  {time.time() - t0:.1f}s  "
+              f"candidates={cand} (uniform floor {floor:.3g}, "
+              f"{cand / floor:.2f}x)  hottest_bucket={hottest}  "
+              f"buckets={buckets}  cal={_cal()}", flush=True)
+        n, cross, rep0, _ = pair_stats(
+            simhash_pairs(sim32), f"32bit {tag} pairs", mult)
+        e_cross = crossp * P32
+        print(f"32bit {tag} cross-replica vs uniform-chance: {cross} vs "
+              f"E={e_cross:.0f} ({cross / e_cross:.2f}x)", flush=True)
+        assert rep0 == refs["32bit"], (
+            f"32bit {tag}: replica-0 (count,hsum) {rep0} != 1x "
+            f"{refs['32bit']}")
+        assert cross <= 50 * e_cross, (
+            f"32bit {tag}: cross-replica {cross} reads as corpus-wide "
+            f"hash correlation (>50x uniform E={e_cross:.0f})")
+
+        # 60-bit arm: the posture that removes the saturation
+        sim60 = simhash_frame_wide(docs, bits=60).localCheckpoint()
+        t0 = time.time()
+        cand60, hottest60, buckets60 = census(sim60, 60, 4)
+        floor60 = ndocs * ndocs * 4 / (2 * 2 ** 15)
+        print(f"60bit {tag} census  {time.time() - t0:.1f}s  "
+              f"candidates={cand60} (uniform floor {floor60:.3g}, "
+              f"{cand60 / floor60:.2f}x)  hottest_bucket={hottest60}  "
+              f"buckets={buckets60}  cal={_cal()}", flush=True)
+        n60, cross60, rep060, _ = pair_stats(
+            simhash_pairs_wide(sim60, bits=60), f"60bit {tag} pairs", mult)
+        assert rep060 == refs["60bit"], (
+            f"60bit {tag}: replica-0 (count,hsum) {rep060} != 1x "
+            f"{refs['60bit']}")
+        # 60-bit chance P(h<=3) ~ 8.3e-13: E<1 pair even at 100x
+        assert cross60 <= 10, (
+            f"60bit {tag}: {cross60} cross-replica pairs where chance "
+            "predicts ~0 — correlated hashes")
+
+
 def s14_50x(spark) -> None:
     """s14's fixed-model probe at 100k vectors (vecs50x corpus): the
     candidate stream is in-row until the two q_id windows, whose
@@ -859,6 +1048,7 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "drafts10x": "/tmp/sf1x10/documents.parquet",
            "spans100x": "/tmp/sfsalt100/documents.parquet",
            "lsh100x": "/tmp/sfsalt100/documents.parquet",
+           "simhash100x": "/tmp/sfsalt100/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet"}
 
@@ -898,6 +1088,7 @@ if __name__ == "__main__":
                 "drafts10x": "d32_simhash_pairs",
                 "spans100x": "d32_simhash_pairs",  # d40 is draft-only; its own path is warmed by the in-family 1x reference row
                 "lsh100x": "d07_minhash_lsh",  # the 1x reference rows then run warm
+                "simhash100x": "d32_simhash_pairs",
                 "s14_50x": "s06_ivf_topk",
                 "s15_50x": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
@@ -915,5 +1106,6 @@ if __name__ == "__main__":
      "pipeline10x": pipeline10x, "bpe500": bpe500,
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
      "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
+     "simhash100x": simhash100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x}[which](spark)
     spark.stop()

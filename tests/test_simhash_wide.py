@@ -1,0 +1,105 @@
+"""simhash_frame_wide / simhash_pairs_wide — the ≥10^5-doc posture.
+
+The wide path exists because 32-bit band values saturate
+(candidates Θ(n²·bands/2^width) — COVERAGE.md "simhash100x"); these
+pins prove it is a strict generalization of the certified 32-bit
+bodies, not a fork with drifted semantics:
+
+1. at bits=32 the wide frame reproduces simhash_frame EXACTLY and
+   the wide pair join reproduces simhash_pairs EXACTLY;
+2. at bits=60 the banded join reproduces the brute-force all-pairs
+   answer (the same exhaustive-equality pin d32 carries at 32);
+3. the md5-prefix + majority construction matches an independent
+   plain-Python reference (so a regression in conv/bit_get/pow
+   expression plumbing cannot hide inside a Spark-vs-Spark compare).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from indexr_spark.operators.text import (
+    simhash_frame,
+    simhash_frame_wide,
+    simhash_pairs,
+    simhash_pairs_wide,
+)
+from tests.conftest import SMOKE_SF
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SMOKE_SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_bits32_reproduces_certified_frame(spark):
+    wide = {r["doc_id"]: r["simhash"]
+            for r in simhash_frame_wide(_docs(spark), bits=32).collect()}
+    cert = {r["doc_id"]: r["simhash"]
+            for r in simhash_frame(_docs(spark)).collect()}
+    assert wide == cert
+
+
+def test_bits32_pairs_reproduce_certified_pairs(spark):
+    sim = simhash_frame(_docs(spark))
+    wide = {tuple(r) for r in simhash_pairs_wide(sim, bits=32).collect()}
+    cert = {tuple(r) for r in simhash_pairs(sim).collect()}
+    assert wide == cert
+    assert wide, "corpus should contain at least one hamming<=3 pair"
+
+
+def test_wide60_pairs_match_bruteforce(spark):
+    sim = simhash_frame_wide(_docs(spark), bits=60).localCheckpoint()
+    got = {tuple(r) for r in simhash_pairs_wide(sim, bits=60).collect()}
+    a, b = sim.alias("a"), sim.alias("b")
+    brute = {
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_wide_frame_matches_python_reference(spark):
+    rows = [(0, "alpha beta gamma alpha"), (1, "delta eps"), (2, "zzz")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_frame_wide(d, bits=60).collect()}
+
+    def pyhash(tok: str, nhex: int) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:nhex], 16)
+
+    def pysim(text: str, bits: int = 60) -> int:
+        hs = [pyhash(t, bits // 4) for t in set(text.split())]
+        v = 0
+        for j in range(bits):
+            if 2 * sum((h >> j) & 1 for h in hs) >= len(hs):
+                v |= 1 << j
+        return v
+
+    assert got == {i: pysim(t) for i, t in rows}
+
+
+def test_width_validation(spark):
+    d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_frame_wide(d, bits=61)
+    with pytest.raises(ValueError):
+        simhash_frame_wide(d, bits=0)
+    sim = simhash_frame_wide(d, bits=60)
+    with pytest.raises(ValueError):
+        simhash_pairs_wide(sim, bits=60, max_hamming=3, bands=3)
+    with pytest.raises(ValueError):
+        simhash_pairs_wide(sim, bits=60, bands=7)
