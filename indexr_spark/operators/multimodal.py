@@ -336,7 +336,7 @@ MM06_MAX_HAMMING = 3
 MM06_GRAM = 4
 
 
-def payload_phash(df: DataFrame) -> DataFrame:
+def payload_phash(df: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, payload) → (doc_id, simhash): the perceptual-hash
     stand-in, computed where a real one must live — inside the Arrow
     decode pass (self-contained closure, the mm01 lesson). Per-gram
@@ -345,13 +345,24 @@ def payload_phash(df: DataFrame) -> DataFrame:
     economics — one narrow long column out, payload never re-read —
     are identical). Payloads shorter than MM06_GRAM chars yield no
     grams and are dropped, mirroring a codec rejecting a truncated
-    file."""
+    file.
+
+    `bits` (default 32, the MM06 oracle's width) widens the hash for
+    the ≥10^5-payload regime, where 32-bit band values saturate the
+    downstream banded join (text.py's wide-simhash block comment;
+    measured in COVERAGE.md "simhash100x") — pair the wide hash with
+    simhash_pairs_wide(bits=...). Multiple of 4, ≤ 60 (the md5-prefix
+    long bound)."""
+    if not (4 <= bits <= 60 and bits % 4 == 0):
+        raise ValueError(f"bits={bits} must be a multiple of 4 in [4, 60]")
     out_schema = "doc_id long, simhash long"
 
     # captured by value into the closure so the Spark side can never
     # silently desync from the MM06_GRAM the DuckDB oracle is built
     # with (the r9 ADVICE finding: the width was hardcoded here)
     gram = MM06_GRAM
+    nbits = bits
+    nhex = bits // 4
 
     def make_phash_batches():
         def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -364,12 +375,12 @@ def payload_phash(df: DataFrame) -> DataFrame:
                 grams = {s[i : i + gram] for i in range(len(s) - gram + 1)}
                 if not grams:
                     return None
-                counts = [0] * 32
+                counts = [0] * nbits
                 for g in grams:
-                    hv = int(_hashlib.md5(g.encode()).hexdigest()[:8], 16)
-                    for j in range(32):
+                    hv = int(_hashlib.md5(g.encode()).hexdigest()[:nhex], 16)
+                    for j in range(nbits):
                         counts[j] += 1 if (hv >> j) & 1 else -1
-                return sum(1 << j for j in range(32) if counts[j] >= 0)
+                return sum(1 << j for j in range(nbits) if counts[j] >= 0)
 
             for pdf in batches:
                 out = _pd.DataFrame(

@@ -2798,24 +2798,28 @@ def simhash_pairs_wide(
         F.col("b.simhash").alias("b_sh"),
     )
 
-    def _slice(col, jj):
-        # (col >> jj·width) & mask with a COLUMN shift amount:
-        # recombine the band's bits from bit_get tests — exact at any
-        # width ≤ 60, where the 32-bit path's floor-div hits 2^53
-        lo = jj * width
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(width - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc
-            + F.bit_get(col, p + lo) * F.pow(F.lit(2.0), p).cast("long"),
-        )
+    # First-match-band dedup as a literal CASE over the band domain —
+    # `bands` is a small Python int, so every lower-band comparison
+    # can be spelled with LITERAL shifts and stay inside whole-stage
+    # codegen. The first version recombined slices with an
+    # aggregate-of-bit_get higher-order function (lambda positions
+    # can't feed shiftright) and HOF lambdas are INTERPRETED per row:
+    # on the 500k-doc corpus it cost 37.6 s for 306M candidates while
+    # the 32-bit arm's codegen'd floor-div slices did 2.96e9
+    # candidates in 19.3 s (COVERAGE.md "simhash100x") — ~20x per
+    # candidate for the same logic.
+    def _band_slice(col, j: int):
+        return F.shiftright(col, j * width).bitwiseAND(F.lit(mask))
 
-    lower_all_differ = F.when(F.col("band") == 0, F.lit(True)).otherwise(
-        F.forall(
-            F.sequence(F.lit(0), F.col("band") - 1),
-            lambda jj: _slice(F.col("a_sh"), jj) != _slice(F.col("b_sh"), jj),
-        )
-    )
+    cases = F.when(F.col("band") == 0, F.lit(True))
+    for b in range(1, bands):
+        differs = F.lit(True)
+        for j in range(b):
+            differs = differs & (
+                _band_slice(F.col("a_sh"), j) != _band_slice(F.col("b_sh"), j)
+            )
+        cases = cases.when(F.col("band") == b, differs)
+    lower_all_differ = cases.otherwise(F.lit(False))  # band ∈ [0, bands)
     ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (
         pairs.withColumn("hamming", ham.cast("int"))

@@ -92,6 +92,37 @@ def test_wide_frame_matches_python_reference(spark):
     assert got == {i: pysim(t) for i, t in rows}
 
 
+def test_payload_phash_wide_matches_python_reference(spark):
+    """The Arrow-side wide phash (mm06's decode-pass hash at bits>32)
+    against an independent plain-Python replay, plus the default-width
+    guarantee that bits=32 is the byte-identical MM06 construction."""
+    from indexr_spark.operators.multimodal import MM06_GRAM, payload_phash
+
+    rows = [(0, "the quick brown fox jumps"), (1, "abcd"), (2, "xy")]
+    d = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def pyphash(s: str, bits: int) -> int | None:
+        grams = {s[i:i + MM06_GRAM] for i in range(len(s) - MM06_GRAM + 1)}
+        if not grams:
+            return None
+        counts = [0] * bits
+        for g in grams:
+            hv = int(hashlib.md5(g.encode()).hexdigest()[:bits // 4], 16)
+            for j in range(bits):
+                counts[j] += 1 if (hv >> j) & 1 else -1
+        return sum(1 << j for j in range(bits) if counts[j] >= 0)
+
+    for bits in (32, 60):
+        got = {r["doc_id"]: r["simhash"]
+               for r in payload_phash(d, bits=bits).collect()}
+        want = {i: pyphash(t, bits) for i, t in rows if pyphash(t, bits) is not None}
+        assert got == want, f"bits={bits}"
+    with pytest.raises(ValueError):
+        payload_phash(d, bits=61)
+
+
 def test_width_validation(spark):
     d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
