@@ -977,6 +977,114 @@ def simhash100x(spark) -> None:
             "predicts ~0 — correlated hashes")
 
 
+def mm06_100x(spark) -> None:
+    """mm06's scale rungs ahead of its r14 registration: the Arrow
+    decode pass (payload_phash) at 1x/10x/100x — the one stage
+    simhash100x does NOT cover — plus end-to-end walls for both hash
+    widths at 100x.
+
+    Corpus caveat, stated up front: token salting is NOT a char-gram
+    bijection (token INTERIORS are unchanged — "hello" inside
+    "r5xhello" shares grams with every replica), so cross-replica
+    char-gram simhashes are correlated and cross-replica near-dups
+    are REAL generator artifacts here, not errors: they are REPORTED,
+    never asserted. What IS exact: replica 0 is sf0.1 verbatim and
+    pair emission is pair-local (first-match-band dedup sees only the
+    two hashes on the row), so the pairs with both ids < 10000 must
+    match the 1x reference count + hamming checksum bit-for-bit, for
+    both widths. Decode-pass row counts are asserted exactly against
+    a len(text) >= MM06_GRAM scan."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.multimodal import (
+        MM06_GRAM,
+        MM06_MAX_HAMMING,
+        payload_phash,
+        with_binary_payload,
+    )
+    from indexr_spark.operators.text import simhash_pairs, simhash_pairs_wide
+    from indexr_spark.tables import load_table
+
+    def _explain(df) -> str:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def _cal() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    def rollup(pairs_df, tag):
+        assert "CartesianProduct" not in _explain(pairs_df), f"{tag} cartesian"
+        t0 = time.time()
+        by_rep = (
+            pairs_df.groupBy(
+                F.floor(F.col("a_id") / 10000).alias("ra"),
+                F.floor(F.col("b_id") / 10000).alias("rb"),
+            )
+            .agg(F.count("*").alias("n"), F.sum("hamming").alias("hsum"))
+            .collect()
+        )
+        w = time.time() - t0
+        n = sum(r["n"] for r in by_rep)
+        cross = sum(r["n"] for r in by_rep if r["ra"] != r["rb"])
+        rep0 = next(
+            ((r["n"], r["hsum"]) for r in by_rep
+             if r["ra"] == 0 and r["rb"] == 0),
+            (0, 0),
+        )
+        print(f"{tag}  {w:.1f}s  pairs={n}  cross_replica={cross} "
+              f"(real generator artifacts here — see docstring)  "
+              f"rep0={rep0[0]} (hsum={rep0[1]})  cal={_cal()}", flush=True)
+        return rep0
+
+    corpora = (("1x", "/root/testdata/sf0.1", 5_000),
+               ("10x", "/tmp/sfsalt10", 50_000),
+               ("100x", "/tmp/sfsalt100", 500_000))
+    if not os.path.exists("/tmp/sfsalt10/documents.parquet"):
+        (spark.read.parquet("/tmp/sfsalt100/documents.parquet")
+              .filter(F.col("doc_id") < 100000)
+              .repartition(8)
+              .write.mode("overwrite")
+              .parquet("/tmp/sfsalt10/documents.parquet"))
+
+    # decode rungs: the Python-loop Arrow pass is the honest codec
+    # cost model; the claim on trial is LINEAR wall in docs
+    for tag, sf, ndocs in corpora:
+        d = with_binary_payload(load_table(spark, sf, "documents"))
+        expect = d.filter(F.length("text") >= MM06_GRAM).count()
+        t0 = time.time()
+        got = payload_phash(d).count()
+        w = time.time() - t0
+        print(f"payload_phash {tag} ({ndocs} docs)  {w:.1f}s  "
+              f"rows={got}  spin={_spin()}", flush=True)
+        assert got == expect, f"decode {tag}: {got} != {expect}"
+
+    # end-to-end at 1x (references) and 100x, both widths
+    refs = {}
+    for tag, sf, _ in (corpora[0], corpora[2]):
+        d = with_binary_payload(load_table(spark, sf, "documents"))
+        for width, pairer in (
+            ("32bit", lambda ph: simhash_pairs(
+                ph, max_hamming=MM06_MAX_HAMMING,
+                bands=MM06_MAX_HAMMING + 1)),
+            ("60bit", lambda ph: simhash_pairs_wide(
+                ph, bits=60, max_hamming=MM06_MAX_HAMMING)),
+        ):
+            ph = payload_phash(d, bits=32 if width == "32bit" else 60)
+            rep0 = rollup(pairer(ph), f"mm06 {width} {tag} end-to-end")
+            if tag == "1x":
+                refs[width] = rep0
+            else:
+                assert rep0 == refs[width], (
+                    f"mm06 {width} {tag}: replica-0 {rep0} != 1x "
+                    f"{refs[width]}")
+
+
 def s14_50x(spark) -> None:
     """s14's fixed-model probe at 100k vectors (vecs50x corpus): the
     candidate stream is in-row until the two q_id windows, whose
@@ -1049,6 +1157,7 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "spans100x": "/tmp/sfsalt100/documents.parquet",
            "lsh100x": "/tmp/sfsalt100/documents.parquet",
            "simhash100x": "/tmp/sfsalt100/documents.parquet",
+           "mm06_100x": "/tmp/sfsalt100/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet"}
 
@@ -1089,6 +1198,7 @@ if __name__ == "__main__":
                 "spans100x": "d32_simhash_pairs",  # d40 is draft-only; its own path is warmed by the in-family 1x reference row
                 "lsh100x": "d07_minhash_lsh",  # the 1x reference rows then run warm
                 "simhash100x": "d32_simhash_pairs",
+                "mm06_100x": "d32_simhash_pairs",
                 "s14_50x": "s06_ivf_topk",
                 "s15_50x": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
@@ -1106,6 +1216,6 @@ if __name__ == "__main__":
      "pipeline10x": pipeline10x, "bpe500": bpe500,
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
      "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
-     "simhash100x": simhash100x,
+     "simhash100x": simhash100x, "mm06_100x": mm06_100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x}[which](spark)
     spark.stop()
