@@ -1146,6 +1146,60 @@ def s15_50x(spark) -> None:
     print(f"  survivors/family: max={mx['m']}  avg={mx['a']:.2f}", flush=True)
 
 
+def s15_500k(spark) -> None:
+    """SemDeDup at 500k vectors (the first 250 replicas of vecs500x)
+    with the K dial on trial: the scale law is wall ∝ n·cell_size,
+    NOT n², because K grows with the corpus to hold the within-cell
+    pair budget Σ C(n_c, 2) ≈ n²/2K at a constant per-cell size —
+    the paper's own posture (11k clusters on LAION). Two arms, K=512
+    (cells ~977) and K=1024 (cells ~488), both through the
+    checkpoint=True valve (the production posture: assignment
+    materializes as its own pass, as the s15 A/B measured). The
+    centroid model stays the oracle-certified ONE-2-D-literal argmax
+    (a K×64 float literal is 512 KB at K=1024 — still a driver-sized
+    model by the codebook-means contract; at paper scale — 11k×768 —
+    the literal is ~68 MB and the model graduates from expression to
+    broadcast-joined table, which is the IVF store path's job).
+    Family sanity: 250 jittered replicas per base vector are mutually
+    tau-close, so survivors per (base % 100000) family must collapse
+    far below 250."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.similarity import semdedup
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    vecs = (spark.read.parquet("/tmp/sfvec500/embeddings.parquet")
+                 .filter(F.col("vec_id") < 250 * 100000)
+                 .localCheckpoint())
+    n = vecs.count()
+    print(f"corpus prefix: {n} vectors (250 replicas)", flush=True)
+    for K in (512, 1024):
+        cents = [
+            [(h32(f"s15_{c}_{d}") % 2001 - 1000) / 1000.0 for d in range(64)]
+            for c in range(K)
+        ]
+        t0 = time.time()
+        out = semdedup(vecs, centroids=cents, checkpoint=True).localCheckpoint()
+        kept = out.filter("keep").count()
+        total = out.count()
+        w = time.time() - t0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, "cartesian in s15_500k plan"
+        cells = out.select("cell").distinct().count()
+        fam = (out.filter("keep")
+                  .groupBy((F.col("vec_id") % 100000).alias("base"))
+                  .count())
+        mx = fam.agg(F.max("count").alias("m"),
+                     F.avg("count").alias("a")).collect()[0]
+        print(f"s15_semdedup[K={K},checkpoint=True]  {w:.1f}s  rows={total}  "
+              f"kept={kept}  cells_used={cells}  survivors/family max={mx['m']} "
+              f"avg={mx['a']:.2f}  spin={_spin()}", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
@@ -1159,7 +1213,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "simhash100x": "/tmp/sfsalt100/documents.parquet",
            "mm06_100x": "/tmp/sfsalt100/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
-           "s15_50x": "/tmp/sfvec50/embeddings.parquet"}
+           "s15_50x": "/tmp/sfvec50/embeddings.parquet",
+           "s15_500k": "/tmp/sfvec500/embeddings.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -1200,7 +1255,8 @@ if __name__ == "__main__":
                 "simhash100x": "d32_simhash_pairs",
                 "mm06_100x": "d32_simhash_pairs",
                 "s14_50x": "s06_ivf_topk",
-                "s15_50x": "s06_ivf_topk"}[which]
+                "s15_50x": "s06_ivf_topk",
+                "s15_500k": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -1217,5 +1273,5 @@ if __name__ == "__main__":
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
      "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
-     "s14_50x": s14_50x, "s15_50x": s15_50x}[which](spark)
+     "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k}[which](spark)
     spark.stop()

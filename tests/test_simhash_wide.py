@@ -123,6 +123,17 @@ def test_payload_phash_wide_matches_python_reference(spark):
         payload_phash(d, bits=61)
 
 
+def test_wide_pairs_plan_never_cartesian(spark):
+    """The banded join must stay keyed on (band, v) at any width —
+    the same no-cartesian guarantee the 32-bit path's plan carries."""
+    sim = simhash_frame_wide(_docs(spark), bits=60)
+    plan = (
+        simhash_pairs_wide(sim, bits=60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_width_validation(spark):
     d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
