@@ -1200,6 +1200,72 @@ def s15_500k(spark) -> None:
               f"avg={mx['a']:.2f}  spin={_spin()}", flush=True)
 
 
+def lm100x(spark) -> None:
+    """The bigram-LM family (d38, r11 slot; d42 rides its plan, r13)
+    at 10x/100x on the token-salted corpus — the last drafts without
+    a ≥100x point.
+
+    d38 carries an EXACT analytic sub-oracle here, better than
+    replica parity: salting is a token bijection with pairwise
+    disjoint replica vocabularies, so every LM conditional
+    c_bg/c_ctx is replica-pure and UNCHANGED from 1x, while the
+    position-0 unigram term ln(c_uni/T) shifts by exactly -ln(mult)
+    (c_uni replica-pure, T global). Hence for every replica-0 doc:
+        nll_Nx == nll_1x + ln(mult)/n_tokens
+    to 6dp rounding slack. Asserted per doc. d42's fixed thresholds
+    make bucket membership legitimately shift under that ln(mult)/n
+    drift, so its arm reports wall + bucket mass only."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.text import bigram_logprob, d42_perplexity_bucket
+    from indexr_spark.tables import load_table
+
+    ref = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in bigram_logprob(
+            load_table(spark, "/root/testdata/sf0.1", "documents")
+        ).collect()
+    }
+    print(f"d38 1x reference  {len(ref)} docs  spin={_spin()}", flush=True)
+
+    if not os.path.exists("/tmp/sfsalt10/documents.parquet"):
+        (spark.read.parquet("/tmp/sfsalt100/documents.parquet")
+              .filter(F.col("doc_id") < 100000)
+              .repartition(8)
+              .write.mode("overwrite")
+              .parquet("/tmp/sfsalt10/documents.parquet"))
+
+    for tag, sf, mult in (("10x-prefix", "/tmp/sfsalt10", 10),
+                          ("100x", "/tmp/sfsalt100", 100)):
+        t0 = time.time()
+        out = bigram_logprob(
+            load_table(spark, sf, "documents")).localCheckpoint()
+        n = out.count()
+        w = time.time() - t0
+        print(f"d38_bigram_logprob {tag}  {w:.1f}s  rows={n}  "
+              f"spin={_spin()}", flush=True)
+        shift = math.log(mult)
+        bad = 0
+        for r in out.filter(F.col("doc_id") < 10000).collect():
+            n_tok, nll1 = ref[r["doc_id"]]
+            assert n_tok == r["n_tokens"], r["doc_id"]
+            if abs(r["nll"] - (nll1 + shift / n_tok)) > 2e-6:
+                bad += 1
+        assert bad == 0, f"d38 {tag}: {bad} replica-0 docs off the ln-shift law"
+        print(f"  replica-0 ln({mult})-shift law: exact on all 5000 docs",
+              flush=True)
+
+        t0 = time.time()
+        hist = (d42_perplexity_bucket(spark, sf)
+                .agg(F.sum("n_docs").alias("m"), F.count("*").alias("rows"))
+                .collect()[0])
+        print(f"d42_perplexity_bucket {tag}  {time.time() - t0:.1f}s  "
+              f"buckets={hist['rows']}  docs_bucketed={hist['m']}  "
+              f"spin={_spin()}", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
@@ -1214,7 +1280,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "mm06_100x": "/tmp/sfsalt100/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet",
-           "s15_500k": "/tmp/sfvec500/embeddings.parquet"}
+           "s15_500k": "/tmp/sfvec500/embeddings.parquet",
+           "lm100x": "/tmp/sfsalt100/documents.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -1256,7 +1323,8 @@ if __name__ == "__main__":
                 "mm06_100x": "d32_simhash_pairs",
                 "s14_50x": "s06_ivf_topk",
                 "s15_50x": "s06_ivf_topk",
-                "s15_500k": "s06_ivf_topk"}[which]
+                "s15_500k": "s06_ivf_topk",
+                "lm100x": "d30_pipeline_funnel"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -1273,5 +1341,6 @@ if __name__ == "__main__":
      "funnel100x": funnel100x, "ivfpq1m": ivfpq1m,
      "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
-     "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k}[which](spark)
+     "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
+     "lm100x": lm100x}[which](spark)
     spark.stop()
