@@ -1266,6 +1266,59 @@ def lm100x(spark) -> None:
               f"spin={_spin()}", flush=True)
 
 
+def row_ops100x(spark) -> None:
+    """The per-row linear operators at 100x: the round's two
+    registrations (d36 redact_pii, d37 tokenizer fertility) and the
+    d41 draft. No pair joins here — the measurement is the linear
+    wall plus EXACT replica-0 row parity for the per-doc ops (their
+    outputs are per-doc-pure functions of the text, and replica 0 is
+    sf0.1 verbatim). d37 aggregates per SOURCE over all replicas, and
+    salted tokens legitimately re-segment under the fixed merge table
+    (the salt prefix adds subwords), so its exact check is the count
+    law (n_docs and n_words exactly 100x per source — tokens() counts
+    are salt-invariant) with fertility drift reported, not asserted."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark import operators
+    from indexr_spark.operators.text import d41_quality_classifier
+
+    sf1, sf100 = "/root/testdata/sf0.1", "/tmp/sfsalt100"
+
+    # d41 is a draft (not in the registry dict until its r12 window)
+    fns = {**operators.QUERIES, "d41_quality_classifier": d41_quality_classifier}
+    for q, cols in (("d36_redact_pii",
+                     ("n_email", "n_ip", "n_phone", "redacted")),
+                    ("d41_quality_classifier",
+                     ("n_grams", "score", "label"))):
+        ref = {r["doc_id"]: tuple(r[c] for c in cols)
+               for r in fns[q](spark, sf1).collect()}
+        t0 = time.time()
+        out = fns[q](spark, sf100).localCheckpoint()
+        n = out.count()
+        w = time.time() - t0
+        rep0 = {r["doc_id"]: tuple(r[c] for c in cols)
+                for r in out.filter(F.col("doc_id") < 10000).collect()}
+        assert rep0 == ref, f"{q}: replica-0 rows differ from 1x"
+        print(f"{q} 100x  {w:.1f}s  rows={n}  replica-0 parity exact "
+              f"({len(ref)} docs, all columns)  spin={_spin()}", flush=True)
+
+    ref37 = {r["source"]: r for r in operators.QUERIES[
+        "d37_tokenizer_fertility"](spark, sf1).collect()}
+    t0 = time.time()
+    out37 = operators.QUERIES["d37_tokenizer_fertility"](
+        spark, sf100).collect()
+    w = time.time() - t0
+    for r in out37:
+        b = ref37[r["source"]]
+        assert r["n_docs"] == 100 * b["n_docs"], r["source"]
+        assert r["n_words"] == 100 * b["n_words"], r["source"]
+        print(f"  d37 {r['source']}: n_docs/n_words exactly 100x; "
+              f"fertility {b['fertility']} -> {r['fertility']} "
+              "(salt-prefix drift, reported)", flush=True)
+    print(f"d37_tokenizer_fertility 100x  {w:.1f}s  "
+          f"sources={len(out37)}  spin={_spin()}", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
@@ -1281,7 +1334,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "s14_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_500k": "/tmp/sfvec500/embeddings.parquet",
-           "lm100x": "/tmp/sfsalt100/documents.parquet"}
+           "lm100x": "/tmp/sfsalt100/documents.parquet",
+           "row_ops100x": "/tmp/sfsalt100/documents.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -1324,7 +1378,8 @@ if __name__ == "__main__":
                 "s14_50x": "s06_ivf_topk",
                 "s15_50x": "s06_ivf_topk",
                 "s15_500k": "s06_ivf_topk",
-                "lm100x": "d30_pipeline_funnel"}[which]
+                "lm100x": "d30_pipeline_funnel",
+                "row_ops100x": "d30_pipeline_funnel"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -1342,5 +1397,5 @@ if __name__ == "__main__":
      "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
-     "lm100x": lm100x}[which](spark)
+     "lm100x": lm100x, "row_ops100x": row_ops100x}[which](spark)
     spark.stop()
