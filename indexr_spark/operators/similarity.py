@@ -1305,6 +1305,32 @@ def s15_centroids() -> list[list[float]]:
     ]
 
 
+def _semdedup_ranked(vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """The assignment pass both semdedup engines share: (vec_id, e,
+    nrm, cell, csim, rk) with the keep-outliers rank (csim ASC,
+    vec_id ASC) per cell. Expressions are byte-identical to the
+    pre-refactor semdedup body — the oracle-certified plan."""
+    spark = vectors.sparkSession
+    e = _as_double(F.col("embedding"))
+    # CPU-bound math on tiny input bytes: spread rows across cores
+    # explicitly (the _with_norm idiom; at real scale the scan
+    # supplies the parallelism and AQE coalesces).
+    prep = (
+        vectors.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", e.alias("e"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+        .withColumn("cell", _argmax_cell(cents).cast("int"))
+    )
+    cmat = F.lit([[float(x) for x in c] for c in cents])
+    cnorms = F.lit([sum(x * x for x in c) ** 0.5 for c in cents])
+    csim = _dot(F.col("e"), F.get(cmat, F.col("cell"))) / (
+        F.col("nrm") * F.get(cnorms, F.col("cell"))
+    )
+    return prep.withColumn("csim", F.round(csim, 6)).withColumn(
+        "rk", F.row_number().over(W.partitionBy("cell").orderBy("csim", "vec_id"))
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -1336,26 +1362,7 @@ def semdedup(
     (the paper runs clustering as a separate job), which is this
     valve's posture without the eager call.
     """
-    cents = centroids or s15_centroids()
-    spark = vectors.sparkSession
-    e = _as_double(F.col("embedding"))
-    # CPU-bound math on tiny input bytes: spread rows across cores
-    # explicitly (the _with_norm idiom; at real scale the scan
-    # supplies the parallelism and AQE coalesces).
-    prep = (
-        vectors.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select("vec_id", e.alias("e"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-        .withColumn("cell", _argmax_cell(cents).cast("int"))
-    )
-    cmat = F.lit([[float(x) for x in c] for c in cents])
-    cnorms = F.lit([sum(x * x for x in c) ** 0.5 for c in cents])
-    csim = _dot(F.col("e"), F.get(cmat, F.col("cell"))) / (
-        F.col("nrm") * F.get(cnorms, F.col("cell"))
-    )
-    ranked = prep.withColumn("csim", F.round(csim, 6)).withColumn(
-        "rk", F.row_number().over(W.partitionBy("cell").orderBy("csim", "vec_id"))
-    )
+    ranked = _semdedup_ranked(vectors, centroids or s15_centroids())
     if checkpoint:
         ranked = ranked.localCheckpoint()
     # Probe side arrives off the rank window's shuffle on cell —
@@ -1384,6 +1391,76 @@ def semdedup(
     return ranked.join(pruned, "vec_id", "left").select(
         "vec_id", "cell", "csim", F.col("__pruned").isNull().alias("keep")
     )
+
+
+def semdedup_arrow(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    tau: float = S15_TAU,
+    block: int = 4096,
+) -> DataFrame:
+    """semdedup with the within-cell pair phase in cell-local BLAS —
+    the deploy engine for the regime where the pair term dominates.
+
+    Identical semantics and output schema (vec_id, cell, csim, keep):
+    the assignment/rank pass is the SAME plan (_semdedup_ranked), and
+    prune[i] = ∃ earlier-ranked cellmate j with round(cos(i,j),6) ≥ τ
+    — but computed per cell as blockwise A·Aᵀ inside one
+    applyInPandas pass instead of an exploded candidate join. Why:
+    the join form ships and evaluates an interpreted zip_with cosine
+    PER CANDIDATE PAIR — measured 347 s at 500k vectors / K=512
+    (~244M pairs; COVERAGE.md "s15_500k") — while this form ships
+    each cell's n_c·d matrix ONCE over Arrow and lets BLAS do the
+    n_c²·d multiply-adds (the prune recurrence is join-free: prune[i]
+    depends on ALL earlier-ranked rows, not on their prune bits, so
+    it vectorizes as a triangular any()). Shuffle count drops too:
+    groupBy(cell) replaces join + distinct + re-join.
+
+    Worker memory is O(n_c·d + block·n_c) per cell — bounded by the
+    K sizing that already governs the pair budget (hold n_c ≈ 10³ at
+    any corpus size and both engines' costs stay flat per cell); the
+    block cap adapts down for an accidentally hot cell. Equality with
+    the join engine is pinned on three corpora in
+    tests/test_semdedup_arrow.py; a 6dp-rounding boundary tie could
+    in principle split the engines (numpy sums doubles in a different
+    order than the JVM fold) — none exists on the committed corpora,
+    and the τ comparison happens on the SAME rounded values both
+    sides."""
+    cents = centroids or s15_centroids()
+    ranked = _semdedup_ranked(vectors, cents)
+    out_schema = "vec_id long, cell int, csim double, keep boolean"
+    _tau, _block = float(tau), int(block)
+
+    def prune_cell(pdf):
+        # self-contained: executors don't import this package
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("rk").reset_index(drop=True)
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": pdf["cell"],
+                 "csim": pdf["csim"], "keep": [True] * n}
+            )
+        E = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        pruned = np.zeros(n, dtype=bool)
+        # adapt the block so the S slab stays ~80 MB even on a cell
+        # the K sizing failed to bound
+        b = max(1, min(_block, 10_000_000 // n))
+        for s in range(1, n, b):
+            hi = min(s + b, n)
+            S = E[s:hi] @ E[:hi].T
+            C = np.round(S / (nrm[s:hi, None] * nrm[None, :hi]), 6)
+            lower = np.arange(hi)[None, :] < np.arange(s, hi)[:, None]
+            pruned[s:hi] = ((C >= _tau) & lower).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"],
+             "csim": pdf["csim"], "keep": ~pruned}
+        )
+
+    return ranked.groupBy("cell").applyInPandas(prune_cell, out_schema)
 
 
 def s15_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1319,6 +1319,50 @@ def row_ops100x(spark) -> None:
           f"sources={len(out37)}  spin={_spin()}", flush=True)
 
 
+def s15_arrow_ab(spark) -> None:
+    """The semdedup engine A/B at 500k vectors, K=512: the exploded
+    pair join with its interpreted zip_with cosine (the
+    oracle-certified form) vs the cell-local BLAS engine
+    (semdedup_arrow). Output equality asserted distributively
+    (exceptAll both directions over the full 500k-row frame), walls
+    printed per engine. The join arm's reference wall on this corpus
+    is 347.4 s (COVERAGE.md "s15_500k")."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.similarity import semdedup, semdedup_arrow
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    K = 512
+    cents = [
+        [(h32(f"s15_{c}_{d}") % 2001 - 1000) / 1000.0 for d in range(64)]
+        for c in range(K)
+    ]
+    vecs = (spark.read.parquet("/tmp/sfvec500/embeddings.parquet")
+                 .filter(F.col("vec_id") < 250 * 100000)
+                 .localCheckpoint())
+    print(f"corpus prefix: {vecs.count()} vectors", flush=True)
+
+    outs = {}
+    for tag, fn in (("arrow", lambda: semdedup_arrow(vecs, centroids=cents)),
+                    ("join", lambda: semdedup(vecs, centroids=cents,
+                                              checkpoint=True))):
+        t0 = time.time()
+        out = fn().localCheckpoint()
+        kept = out.filter("keep").count()
+        print(f"s15[K={K},engine={tag}]  {time.time() - t0:.1f}s  "
+              f"kept={kept}  spin={_spin()}", flush=True)
+        outs[tag] = out.select("vec_id", "cell", F.round("csim", 6).alias("c"),
+                               "keep")
+    d1 = outs["arrow"].exceptAll(outs["join"]).count()
+    d2 = outs["join"].exceptAll(outs["arrow"]).count()
+    assert d1 == 0 and d2 == 0, f"engines diverge: {d1}/{d2} rows"
+    print("engine equality: exceptAll 0 rows both directions", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
@@ -1335,7 +1379,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "s15_50x": "/tmp/sfvec50/embeddings.parquet",
            "s15_500k": "/tmp/sfvec500/embeddings.parquet",
            "lm100x": "/tmp/sfsalt100/documents.parquet",
-           "row_ops100x": "/tmp/sfsalt100/documents.parquet"}
+           "row_ops100x": "/tmp/sfsalt100/documents.parquet",
+           "s15_arrow_ab": "/tmp/sfvec500/embeddings.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -1379,7 +1424,8 @@ if __name__ == "__main__":
                 "s15_50x": "s06_ivf_topk",
                 "s15_500k": "s06_ivf_topk",
                 "lm100x": "d30_pipeline_funnel",
-                "row_ops100x": "d30_pipeline_funnel"}[which]
+                "row_ops100x": "d30_pipeline_funnel",
+                "s15_arrow_ab": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -1397,5 +1443,6 @@ if __name__ == "__main__":
      "drafts10x": drafts10x, "spans100x": spans100x, "lsh100x": lsh100x,
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
-     "lm100x": lm100x, "row_ops100x": row_ops100x}[which](spark)
+     "lm100x": lm100x, "row_ops100x": row_ops100x,
+     "s15_arrow_ab": s15_arrow_ab}[which](spark)
     spark.stop()

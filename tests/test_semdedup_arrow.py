@@ -1,0 +1,71 @@
+"""semdedup_arrow — the cell-local BLAS engine for SemDeDup.
+
+The pin that matters: ENGINE EQUALITY. Both engines share the ranked
+frame (_semdedup_ranked), so any divergence is in the pair phase —
+the exploded-join zip_with cosine vs the blockwise A·Aᵀ. Equality is
+asserted row-for-row (vec_id, cell, csim, keep) on the smoke and
+oracle corpora, plus a tiny-block run that forces the blockwise path
+to cross block boundaries (the triangular mask's off-by-one habitat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from indexr_spark.operators.similarity import semdedup, semdedup_arrow
+from tests.conftest import ORACLE_SF, SMOKE_SF
+
+
+def _vecs(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _frame(df):
+    return {
+        r["vec_id"]: (r["cell"], round(r["csim"], 6), r["keep"])
+        for r in df.collect()
+    }
+
+
+def test_engines_agree_smoke(spark):
+    v = _vecs(spark, SMOKE_SF)
+    assert _frame(semdedup_arrow(v)) == _frame(semdedup(v))
+
+
+def test_engines_agree_oracle_sf(spark):
+    v = _vecs(spark, ORACLE_SF)
+    a, j = _frame(semdedup_arrow(v)), _frame(semdedup(v))
+    assert a == j
+    kept = sum(1 for _, _, k in a.values() if k)
+    assert 0 < kept < len(a), "dedup should prune some but not all"
+
+
+def test_blockwise_crosses_boundaries(spark):
+    """block=2 forces many slabs per cell; output must not change."""
+    v = _vecs(spark, SMOKE_SF)
+    assert _frame(semdedup_arrow(v, block=2)) == _frame(semdedup(v))
+
+
+def test_single_vector_cells_all_keep(spark):
+    rows = [(i, [float(i + 1)] * 8) for i in range(3)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 3 orthogonal-ish cells via 3 distinct centroids; with identical
+    # DIRECTION vectors all land in one cell and only the first-ranked
+    # survives; the per-cell n<=1 early path is hit by the leftovers
+    cents = [[1.0] * 8, [-1.0] * 8, [0.5] * 8]
+    out = semdedup_arrow(v, centroids=cents)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    jn = {r["vec_id"]: r["keep"]
+          for r in semdedup(v, centroids=cents).collect()}
+    assert got == jn
+
+
+def test_no_join_in_arrow_plan(spark):
+    """The engine's point: groupBy(cell)+applyInPandas, no pair join."""
+    v = _vecs(spark, SMOKE_SF)
+    plan = semdedup_arrow(v)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # exactly the rank window's exchange feeds the group — no
+    # join-side exchanges for candidate pairs
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
