@@ -1393,11 +1393,65 @@ def semdedup(
     )
 
 
+def _semdedup_ranked_arrow(
+    vectors: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """_semdedup_ranked with the assignment math in one Arrow
+    mapInPandas pass (E·Cᵀ in BLAS) instead of the interpreted
+    per-row literal-matrix argmax — measured 38.5 s of the arrow
+    engine's 114 s at 500k vectors / K=512 (COVERAGE.md
+    "s15_arrow_ab"). Semantics replicate _argmax_best exactly:
+    centroids are unit-scaled driver-side by the SAME python-float
+    arithmetic (_unit_scaled), np.argmax's first-max matches the
+    (dot, -label) tie-break toward the smaller label, and csim =
+    dot(e, c_unit)/|e| rounded 6dp as in the literal path. The one
+    honest caveat (shared with the pair phase): BLAS sums in a
+    different order than the JVM fold, so a dot sitting within an
+    ulp of a 6dp rounding boundary could rank differently — pinned
+    equal on every committed corpus. The rank window stays JVM-side
+    and identical."""
+    cu = _unit_scaled(cents)
+
+    def assign_batches(batches):
+        # self-contained: executors don't import this package
+        import numpy as np
+        import pandas as pd
+
+        Cu = np.asarray(cu, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            S = E @ Cu.T
+            cell = S.argmax(axis=1)
+            csim = np.round(S[np.arange(len(E)), cell] / nrm, 6)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "e": list(E), "nrm": nrm,
+                 "cell": cell.astype("int32"), "csim": csim}
+            )
+
+    spark = vectors.sparkSession
+    prep = vectors.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select("vec_id", "embedding")
+    assigned = prep.mapInPandas(
+        assign_batches,
+        "vec_id long, e array<double>, nrm double, cell int, csim double",
+    )
+    return assigned.withColumn(
+        "rk", F.row_number().over(W.partitionBy("cell").orderBy("csim", "vec_id"))
+    )
+
+
 def semdedup_arrow(
     vectors: DataFrame,
     centroids: list[list[float]] | None = None,
     tau: float = S15_TAU,
     block: int = 4096,
+    assign: str = "literal",
 ) -> DataFrame:
     """semdedup with the within-cell pair phase in cell-local BLAS —
     the deploy engine for the regime where the pair term dominates.
@@ -1425,9 +1479,20 @@ def semdedup_arrow(
     in principle split the engines (numpy sums doubles in a different
     order than the JVM fold) — none exists on the committed corpora,
     and the τ comparison happens on the SAME rounded values both
-    sides."""
+    sides.
+
+    `assign="arrow"` moves the assignment math to BLAS as well
+    (_semdedup_ranked_arrow) — the full-Arrow posture for when the
+    assign term dominates (large K); default "literal" keeps the
+    oracle-certified assignment plan."""
+    if assign not in ("literal", "arrow"):
+        raise ValueError(f"assign={assign!r} must be 'literal' or 'arrow'")
     cents = centroids or s15_centroids()
-    ranked = _semdedup_ranked(vectors, cents)
+    ranked = (
+        _semdedup_ranked_arrow(vectors, cents)
+        if assign == "arrow"
+        else _semdedup_ranked(vectors, cents)
+    )
     out_schema = "vec_id long, cell int, csim double, keep boolean"
     _tau, _block = float(tau), int(block)
 

@@ -1347,7 +1347,9 @@ def s15_arrow_ab(spark) -> None:
     print(f"corpus prefix: {vecs.count()} vectors", flush=True)
 
     outs = {}
-    for tag, fn in (("arrow", lambda: semdedup_arrow(vecs, centroids=cents)),
+    for tag, fn in (("arrow-full", lambda: semdedup_arrow(
+                        vecs, centroids=cents, assign="arrow")),
+                    ("arrow", lambda: semdedup_arrow(vecs, centroids=cents)),
                     ("join", lambda: semdedup(vecs, centroids=cents,
                                               checkpoint=True))):
         t0 = time.time()
@@ -1357,10 +1359,12 @@ def s15_arrow_ab(spark) -> None:
               f"kept={kept}  spin={_spin()}", flush=True)
         outs[tag] = out.select("vec_id", "cell", F.round("csim", 6).alias("c"),
                                "keep")
-    d1 = outs["arrow"].exceptAll(outs["join"]).count()
-    d2 = outs["join"].exceptAll(outs["arrow"]).count()
-    assert d1 == 0 and d2 == 0, f"engines diverge: {d1}/{d2} rows"
-    print("engine equality: exceptAll 0 rows both directions", flush=True)
+    for a, bt in (("arrow", "join"), ("arrow-full", "arrow")):
+        d1 = outs[a].exceptAll(outs[bt]).count()
+        d2 = outs[bt].exceptAll(outs[a]).count()
+        assert d1 == 0 and d2 == 0, f"{a} vs {bt} diverge: {d1}/{d2} rows"
+        print(f"engine equality {a} == {bt}: exceptAll 0 both directions",
+              flush=True)
 
 
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",

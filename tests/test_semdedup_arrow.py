@@ -60,6 +60,19 @@ def test_single_vector_cells_all_keep(spark):
     assert got == jn
 
 
+def test_arrow_assign_agrees_both_corpora(spark):
+    """assign='arrow' (BLAS E·Cᵀ + np.argmax) must reproduce the
+    literal-matrix assignment — cells, csim (6dp), rank order, and
+    the downstream keep set — on both committed corpora."""
+    import pytest
+
+    for sf in (SMOKE_SF, ORACLE_SF):
+        v = _vecs(spark, sf)
+        assert _frame(semdedup_arrow(v, assign="arrow")) == _frame(semdedup(v))
+    with pytest.raises(ValueError):
+        semdedup_arrow(_vecs(spark, SMOKE_SF), assign="blas")
+
+
 def test_no_join_in_arrow_plan(spark):
     """The engine's point: groupBy(cell)+applyInPandas, no pair join."""
     v = _vecs(spark, SMOKE_SF)
