@@ -1068,11 +1068,56 @@ def kmeans_assign(emb_norm: DataFrame, centroids: list[list[float]]) -> DataFram
     )
 
 
+def kmeans_assign_arrow(
+    emb_norm: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """kmeans_assign with the argmax math in Arrow/BLAS — the same
+    (vec_id, e, nrm, cell, ccos) frame from one mapInPandas E·Cᵀ per
+    batch. Semantics replicate kmeans_assign exactly: centroids are
+    unit-scaled by the SAME driver-side python-float arithmetic,
+    np.argmax's first-max matches _argmax_best's smaller-label
+    tie-break, ccos = dot(e, c_unit)/|e|. Why it exists: the literal
+    argmax is n·k·d INTERPRETED lambda evaluations per Lloyd round —
+    the cost the semdedup engine ladder measured two orders off BLAS
+    (COVERAGE.md "s15_arrow_ab") — and training pays it every
+    iteration. Pinned assignment-equal in tests/test_kmeans_arrow.py;
+    the literal form stays the certified plan (s12's oracle replays
+    it)."""
+    cu = _unit_scaled(centroids)
+
+    def assign_batches(batches):
+        # self-contained: executors don't import this package
+        import numpy as np
+        import pandas as pd
+
+        Cu = np.asarray(cu, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
+            S = E @ Cu.T
+            cell = S.argmax(axis=1)
+            ccos = S[np.arange(len(E)), cell] / pdf["nrm"].to_numpy(
+                dtype=np.float64
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "e": list(E),
+                 "nrm": pdf["nrm"], "cell": cell.astype("int64"),
+                 "ccos": ccos}
+            )
+
+    return emb_norm.select("vec_id", "e", "nrm").mapInPandas(
+        assign_batches,
+        "vec_id long, e array<double>, nrm double, cell long, ccos double",
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = KMEANS_K,
     max_iters: int = 10,
     tol: float = 1e-4,
+    assign: str = "literal",
 ) -> tuple[list[list[float]], list[dict]]:
     """Full Lloyd loop (spherical k-means): iterate assignment +
     mean-centroid update until the largest centroid moves less than
@@ -1092,7 +1137,15 @@ def kmeans_fit(
     Accepts any (vec_id, embedding, ...) frame — no label column
     required (unlike _with_norm), so IVF-store builds can train on
     arbitrary vector corpora.
+
+    `assign="arrow"` routes each round's assignment through
+    kmeans_assign_arrow (BLAS E·Cᵀ) — the training posture for large
+    n·k·d; default "literal" keeps the certified in-row argmax. Both
+    engines feed the identical k-row aggregation.
     """
+    if assign not in ("literal", "arrow"):
+        raise ValueError(f"assign={assign!r} must be 'literal' or 'arrow'")
+    assign_fn = kmeans_assign if assign == "literal" else kmeans_assign_arrow
     e = _as_double(F.col("embedding"))
     base = (
         emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
@@ -1114,7 +1167,7 @@ def kmeans_fit(
         dim = len(cents[0])
         history: list[dict] = []
         for it in range(max_iters):
-            a = kmeans_assign(base, cents)
+            a = assign_fn(base, cents)
             rows = {
                 r["cell"]: r
                 for r in a.groupBy("cell")

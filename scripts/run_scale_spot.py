@@ -1367,6 +1367,43 @@ def s15_arrow_ab(spark) -> None:
               flush=True)
 
 
+def kmeans1m(spark) -> None:
+    """Quantizer training at 1M vectors, k=64, 3 Lloyd rounds: the
+    literal in-row argmax (certified form) vs kmeans_assign_arrow
+    (BLAS E·Cᵀ per batch). Training pays the assignment every round,
+    so this is where the measured two-orders HOF-vs-BLAS gap
+    (s15_arrow_ab) compounds. Model equivalence asserted with the
+    test suite's tolerances (same round count, final inertia
+    rel-close, centroids element-close); the per-round history is
+    printed so the per-iteration wall is visible, not just the
+    total."""
+    import math
+
+    from indexr_spark.operators.similarity import kmeans_fit
+
+    vecs = spark.read.parquet(
+        "/tmp/sfvec500/embeddings.parquet").localCheckpoint()
+    print(f"corpus: {vecs.count()} vectors", flush=True)
+    results = {}
+    for engine in ("arrow", "literal"):
+        t0 = time.time()
+        cents, hist = kmeans_fit(vecs, k=64, max_iters=3, tol=0.0,
+                                 assign=engine)
+        w = time.time() - t0
+        results[engine] = (cents, hist)
+        print(f"kmeans_fit[1M,k=64,iters=3,{engine}]  {w:.1f}s  "
+              f"({w / len(hist):.1f}s/round)  "
+              f"inertia={[round(h['inertia'], 1) for h in hist]}  "
+              f"spin={_spin()}", flush=True)
+    (cl, hl), (ca, ha) = results["literal"], results["arrow"]
+    assert len(hl) == len(ha)
+    assert math.isclose(hl[-1]["inertia"], ha[-1]["inertia"], rel_tol=1e-6)
+    assert max(abs(x - y) for a, b in zip(cl, ca)
+               for x, y in zip(a, b)) < 1e-6
+    print("model equivalence: rounds equal, final inertia rel-close 1e-6, "
+          "centroids element-close 1e-6", flush=True)
+
+
 _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "vecs50x": "/tmp/sfvec50/embeddings.parquet",
            "rel10x": "/tmp/sfrel10/lineitem.parquet",
@@ -1384,7 +1421,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "s15_500k": "/tmp/sfvec500/embeddings.parquet",
            "lm100x": "/tmp/sfsalt100/documents.parquet",
            "row_ops100x": "/tmp/sfsalt100/documents.parquet",
-           "s15_arrow_ab": "/tmp/sfvec500/embeddings.parquet"}
+           "s15_arrow_ab": "/tmp/sfvec500/embeddings.parquet",
+           "kmeans1m": "/tmp/sfvec500/embeddings.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -1429,7 +1467,8 @@ if __name__ == "__main__":
                 "s15_500k": "s06_ivf_topk",
                 "lm100x": "d30_pipeline_funnel",
                 "row_ops100x": "d30_pipeline_funnel",
-                "s15_arrow_ab": "s06_ivf_topk"}[which]
+                "s15_arrow_ab": "s06_ivf_topk",
+                "kmeans1m": "s06_ivf_topk"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -1448,5 +1487,5 @@ if __name__ == "__main__":
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
      "lm100x": lm100x, "row_ops100x": row_ops100x,
-     "s15_arrow_ab": s15_arrow_ab}[which](spark)
+     "s15_arrow_ab": s15_arrow_ab, "kmeans1m": kmeans1m}[which](spark)
     spark.stop()
