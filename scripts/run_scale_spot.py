@@ -1085,6 +1085,86 @@ def mm06_100x(spark) -> None:
                     f"{refs[width]}")
 
 
+def simhash1000x(spark) -> None:
+    """The wide-simhash path at 1000x (5M docs, /tmp/sfsalt1000 —
+    the span family's salted generator at reps=1000). 60-bit arm
+    ONLY: the 32-bit arm is excluded BY THE MEASURED LAW, not by
+    hand-waving — its corpus-independent candidate floor at 5M docs
+    is n²·bands/2^(width+1) = 1.95e11, a hundred 32-bit-100x runs'
+    worth of candidate evaluation for a threshold the 100x arm
+    already showed emits chance noise (simhash100x finding 2). The
+    60-bit floor is 1.53e9. Same sub-oracles as simhash100x: census
+    first, replica-0 count+hamming-checksum parity exact, and the
+    60-bit chance law E_cross = crossp·Σ_{h≤3}C(60,h)/2^60 ≈ 0.4
+    pairs at 5M docs — the first corpus size where even a 60-bit
+    chance collision becomes plausible, so the bound is ≤ 10, not
+    == 0."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.text import (
+        simhash_frame_wide,
+        simhash_pairs_wide,
+    )
+
+    def _cal() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    docs1x = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet").select("doc_id", "text")
+    r = (simhash_pairs_wide(simhash_frame_wide(docs1x, bits=60), bits=60)
+         .agg(F.count("*").alias("n"), F.sum("hamming").alias("hsum"))
+         .collect()[0])
+    ref = (int(r["n"]), int(r["hsum"] or 0))
+    print(f"60bit 1x reference  pairs={ref[0]} hsum={ref[1]}  "
+          f"cal={_cal()}", flush=True)
+
+    docs = spark.read.parquet(
+        "/tmp/sfsalt1000/documents.parquet").select("doc_id", "text")
+    ndocs = docs.count()
+    t0 = time.time()
+    sim = simhash_frame_wide(docs, bits=60).localCheckpoint()
+    print(f"60bit 1000x frame ({ndocs} docs)  {time.time() - t0:.1f}s  "
+          f"cal={_cal()}", flush=True)
+    width, mask = 15, (1 << 15) - 1
+    slices = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * width)
+                  .bitwiseAND(F.lit(mask)).alias("v"))
+        for b in range(4)
+    ])
+    t0 = time.time()
+    row = (sim.select(F.explode(slices).alias("s"))
+           .groupBy("s.band", "s.v").count()
+           .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand"),
+                F.max("count").alias("hot")).collect()[0])
+    floor = ndocs * ndocs * 4 / (2 * 2 ** 15)
+    print(f"60bit 1000x census  {time.time() - t0:.1f}s  "
+          f"candidates={int(row['cand'])} (uniform floor {floor:.3g}, "
+          f"{row['cand'] / floor:.2f}x)  hottest={int(row['hot'])}  "
+          f"cal={_cal()}", flush=True)
+
+    t0 = time.time()
+    by_rep = (simhash_pairs_wide(sim, bits=60)
+              .groupBy(F.floor(F.col("a_id") / 10000).alias("ra"),
+                       F.floor(F.col("b_id") / 10000).alias("rb"))
+              .agg(F.count("*").alias("n"), F.sum("hamming").alias("hsum"))
+              .collect())
+    w = time.time() - t0
+    n = sum(x["n"] for x in by_rep)
+    cross = sum(x["n"] for x in by_rep if x["ra"] != x["rb"])
+    rep0 = next(((x["n"], x["hsum"]) for x in by_rep
+                 if x["ra"] == 0 and x["rb"] == 0), (0, 0))
+    print(f"60bit 1000x pairs  {w:.1f}s  pairs={n}  cross_replica={cross}  "
+          f"rep0={rep0[0]} (hsum={rep0[1]})  cal={_cal()}", flush=True)
+    assert rep0 == ref, f"replica-0 {rep0} != 1x {ref}"
+    assert cross <= 10, f"{cross} cross-replica pairs vs chance E~0.4"
+
+
 def s14_50x(spark) -> None:
     """s14's fixed-model probe at 100k vectors (vecs50x corpus): the
     candidate stream is in-row until the two q_id windows, whose
@@ -1422,7 +1502,8 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "lm100x": "/tmp/sfsalt100/documents.parquet",
            "row_ops100x": "/tmp/sfsalt100/documents.parquet",
            "s15_arrow_ab": "/tmp/sfvec500/embeddings.parquet",
-           "kmeans1m": "/tmp/sfvec500/embeddings.parquet"}
+           "kmeans1m": "/tmp/sfvec500/embeddings.parquet",
+           "simhash1000x": "/tmp/sfsalt1000/documents.parquet"}
 
 if __name__ == "__main__":
     from indexr_spark.session import get_spark
@@ -1468,7 +1549,8 @@ if __name__ == "__main__":
                 "lm100x": "d30_pipeline_funnel",
                 "row_ops100x": "d30_pipeline_funnel",
                 "s15_arrow_ab": "s06_ivf_topk",
-                "kmeans1m": "s06_ivf_topk"}[which]
+                "kmeans1m": "s06_ivf_topk",
+                "simhash1000x": "d32_simhash_pairs"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
         try:
             operators.QUERIES[warm](spark, warm_sf).count()
@@ -1487,5 +1569,6 @@ if __name__ == "__main__":
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
      "lm100x": lm100x, "row_ops100x": row_ops100x,
-     "s15_arrow_ab": s15_arrow_ab, "kmeans1m": kmeans1m}[which](spark)
+     "s15_arrow_ab": s15_arrow_ab, "kmeans1m": kmeans1m,
+     "simhash1000x": simhash1000x}[which](spark)
     spark.stop()
