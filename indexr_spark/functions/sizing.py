@@ -94,3 +94,85 @@ def suggest_bands(threshold: float, k: int = 16) -> tuple[int, int]:
             best = (dist, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+_MAX_SIMHASH_BITS = 60  # 15 md5 hex chars: exactly representable as a long
+
+
+def simhash_chance_pairs(n: int, bits: int, max_hamming: int = 3) -> float:
+    """Expected CHANCE hamming-≤k pairs among n independent simhashes:
+    C(n,2) · Σ_{h≤k} C(bits,h) / 2^bits. This is the uniform model the
+    simhash100x spot-run validated at 0.94x on 500k docs (COVERAGE.md:
+    predicted 158,153 chance pairs at 32 bits, measured 148,352) —
+    i.e. past ~10^5 docs a 32-bit hamming-≤3 threshold emits mostly
+    noise, and the error you make trusting this formula is ~6%."""
+    if n < 2:
+        return 0.0
+    if not 1 <= max_hamming < bits:
+        raise ValueError(f"max_hamming={max_hamming} must be in [1, bits)")
+    tail = sum(math.comb(bits, h) for h in range(max_hamming + 1))
+    return (n * (n - 1) / 2) * tail / 2.0 ** bits
+
+
+def simhash_candidate_floor(n: int, bits: int, bands: int = 4) -> float:
+    """The corpus-INDEPENDENT candidate floor of the banded simhash
+    join: n²·bands / 2^(width+1) with width = bits/bands — what
+    uniformly-random hashes alone generate. Measured 1.52x of this at
+    500k docs / 32 bits and 3.12x at 5M docs / 60 bits (correlation
+    adds a corpus factor that SHRINKS relative to the floor as n
+    grows — the floor takeover, COVERAGE.md simhash100x/1000x)."""
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    return n * n * bands / 2.0 ** (bits // bands + 1)
+
+
+def suggest_simhash_bits(
+    n: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+    chance_budget: float = 1.0,
+    candidate_budget: float | None = None,
+) -> int:
+    """Smallest simhash width (multiple of 4 and of `bands`, ≤ 60)
+    whose expected chance-pair count stays under `chance_budget` AND
+    (if given) whose banded-join candidate floor stays under
+    `candidate_budget`. The two failure modes it sizes against are
+    the measured ones: precision death (chance pairs grow n²/2^bits —
+    148k measured at 500k docs / 32 bits) and saturation (candidates
+    grow n²·bands/2^(width+1) — 2.96e9 measured at the same point).
+    Raises when even 60 bits can't meet a budget — the remedies then
+    are more bands (narrower verify margin) or accepting the valve's
+    cap, both deliberate calls, not defaults.
+
+    >>> suggest_simhash_bits(5_000)          # even sf0.1 carries ~16
+    40                                       # chance pairs at 32 bits
+    >>> suggest_simhash_bits(500_000)        # the measured corpus
+    52
+    >>> suggest_simhash_bits(500_000, candidate_budget=5e7)
+    56
+    >>> suggest_simhash_bits(5_000_000)      # the 1000x rung: max out
+    60
+    """
+    if n <= 0:
+        raise ValueError(f"corpus size must be positive, got {n}")
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} "
+            "(the pigeonhole completeness bound)"
+        )
+    step = math.lcm(4, bands)
+    for bits in range(step, _MAX_SIMHASH_BITS + 1, step):
+        if bits <= max_hamming:
+            continue
+        if simhash_chance_pairs(n, bits, max_hamming) > chance_budget:
+            continue
+        if candidate_budget is not None and (
+            simhash_candidate_floor(n, bits, bands) > candidate_budget
+        ):
+            continue
+        return bits
+    raise ValueError(
+        f"no width <= {_MAX_SIMHASH_BITS} meets the budgets at n={n} "
+        f"(chance<={chance_budget}, candidates<={candidate_budget}); "
+        "raise bands or accept the chunked-join cap valve"
+    )

@@ -2700,7 +2700,10 @@ def simhash_pairs(
 # census matching the law: COVERAGE.md "simhash100x"). The production
 # posture at that scale is a WIDER hash, not a bigger valve: 60 bits
 # over 4 bands = 15-bit band values = 32768 buckets per band, which
-# shrinks the saturation floor by 2^7. These live as separate
+# shrinks the saturation floor by 2^7 — size the width with
+# functions.sizing.suggest_simhash_bits, the chance-pair and
+# candidate-floor laws as code pinned to the measured 500k/5M
+# points. These live as separate
 # functions rather than a `bits` kwarg on the certified bodies so the
 # oracle-scored 32-bit expressions stay byte-identical; the one
 # expression-level change the width forces is the bit test — the

@@ -80,3 +80,52 @@ def test_suggest_bands_reproduces_pinned_constants_regime():
     # near-dup families; d09's 4x4 (0.707) for mid-Jaccard overlap.
     assert suggest_bands(0.9, 16) == (2, 8)
     assert suggest_bands(0.7, 16) == (4, 4)
+
+
+# ---- simhash width sizing (the r10 simhash100x/1000x laws as code) --
+
+from indexr_spark.functions.sizing import (  # noqa: E402
+    simhash_candidate_floor,
+    simhash_chance_pairs,
+    suggest_simhash_bits,
+)
+
+
+def test_chance_model_matches_the_measured_500k_point():
+    """The uniform chance model the 100x spot-run validated at 0.94x:
+    predicted ~158k pairs among 500k independent 32-bit simhashes
+    (COVERAGE.md simhash100x — measured 148,352 cross-replica)."""
+    e = simhash_chance_pairs(500_000, 32)
+    # the spot-run's E excludes within-replica pairs (1% of C(n,2));
+    # the all-pairs form here is that number plus the 1%
+    assert abs(e - 159_751) < 1
+    assert abs(148_352 / (e * 0.99) - 0.94) < 0.01
+
+
+def test_candidate_floor_matches_the_measured_points():
+    # 32-bit/4-band floor at 500k docs: census measured 1.52x of this
+    assert abs(simhash_candidate_floor(500_000, 32) - 1.953125e9) < 1
+    assert abs(2_962_021_031 / simhash_candidate_floor(500_000, 32) - 1.52) < 0.01
+    # 60-bit floor at 5M: census measured 3.12x of this
+    assert abs(4_766_223_891 / simhash_candidate_floor(5_000_000, 60) - 3.12) < 0.01
+
+
+def test_suggest_simhash_bits_regimes():
+    assert suggest_simhash_bits(5_000) == 40
+    assert suggest_simhash_bits(500_000) == 52
+    assert suggest_simhash_bits(500_000, candidate_budget=5e7) == 56
+    assert suggest_simhash_bits(5_000_000) == 60
+    # looser chance budget admits the certified 32-bit form at sf0.1
+    assert suggest_simhash_bits(5_000, chance_budget=20.0) == 32
+
+
+def test_suggest_simhash_bits_validation_and_infeasible():
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggest_simhash_bits(0)
+    with pytest.raises(ValueError):
+        suggest_simhash_bits(1000, bands=3, max_hamming=3)
+    with pytest.raises(ValueError, match="raise bands"):
+        # 5M docs with a 1e6-candidate ceiling: impossible at <= 60 bits
+        suggest_simhash_bits(5_000_000, candidate_budget=1e6)
