@@ -7,6 +7,12 @@
     python scripts/build_scale_corpus.py vecs50x
     python scripts/run_scale_spot.py vecs50x
 
+Families (corpus in _CORPUS): docs10x vecs50x rel10x pipeline10x
+bpe500 funnel100x ivfpq1m drafts10x spans100x lsh100x simhash100x
+simhash1000x mm06_100x lm100x row_ops100x s14_50x s15_50x s15_500k
+s15_arrow_ab kmeans1m — each docstring states its sub-oracles and the
+COVERAGE.md section that interprets its numbers.
+
 Prints one line per measurement with a single-thread spin calibration
 after each (this box throttles in phases — a row is only comparable
 to another captured at a similar spin; see bench.py). d09 runs CAPPED
