@@ -168,6 +168,8 @@ HEADLINE = [
     "d35_bpe_encode",
     "d36_redact_pii",
     "d37_tokenizer_fertility",
+    "d38_bigram_logprob",
+    "s13_pq_encode",
     "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",

@@ -17,6 +17,7 @@ from indexr_spark.operators import (
     asof,
     events,
     multimodal,
+    pq,
     relational,
     similarity,
     skew,
@@ -31,7 +32,7 @@ from indexr_spark.operators import (
 # round). The tail — late relational + events — was fully green in
 # r01; rotate again in later rounds until every oracle query has
 # appeared green in some CORRECTNESS_rN.
-_MODULES = (similarity, multimodal, asof, skew, text, relational, events)
+_MODULES = (similarity, multimodal, asof, skew, text, pq, relational, events)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -62,81 +63,78 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 # the query and the oracle; keep the array form as a library function
 # with a pytest pin if the reshape needs proving cosmetic.
 #
-# Round-10 window (exactly 50):
-#   tier-B dues, 10 entries: q09/q11/q13/q14/q15/q16/q21/q22/q23/q26
-#   (green r7, displaced late-r9 by d10's rule-(a) re-entry, at their
-#   3-round ceiling now — relational.py/compat.py/events-family files
-#   frozen since r7, full oracle parity in pytest at HEAD).
-#   rule (a), 1 entry: d35_bpe_encode — the r9 red row; its output
-#   reshaped to a space-joined scalar (the fix the convention above
-#   encodes), oracle mirrored, array form pinned cosmetic in
-#   tests/test_bpe.py.
-#   rule (2), 2 entries: d36_redact_pii + d37_tokenizer_fertility —
-#   the scheduled r10 registrations (REGISTRY.md queue), both
-#   pytest-oracle-proven since r8.
-#   rule (b): 37 of the 41 rows last scored r8. The 4 displaced rows
-#   (q03_scalar_expr, q10_intersect, q33_shipping_priority,
-#   q41_grouping_sets — relational.py file-frozen since their r8
-#   greens, full oracle parity in pytest at HEAD) defer to r11 under
-#   tier B, named in REGISTRY.md with their due round. relational.py
-#   rows were chosen because text.py changes this round (d35 fix +
-#   d36/d37 registration) and multimodal.py takes the mm06 gram-width
-#   ADVICE fix, so their rows stay scored; relational.py is untouched.
+# Round-11 window (exactly 50), executing REGISTRY.md's "r11 window
+# must hold" pre-commitment:
+#   tier-B dues, 4 entries: q03/q10/q33/q41 — deferred r10, at their
+#   3-round ceiling now (relational.py file-frozen since their r8
+#   greens, full oracle parity in pytest at HEAD). MUST score.
+#   rule (2), 2 entries: d38_bigram_logprob + s13_pq_encode — the
+#   scheduled r11 registrations (REGISTRY.md queue), both
+#   pytest-oracle-proven since r8/r9; s13's output folded to a
+#   dash-joined scalar at registration (the r10 convention), fold
+#   pinned lossless in tests/test_pq.py.
+#   rule (b): 44 of the 49 rows last scored r9. The 5 displaced rows
+#   (q40_array_functions, q42_window_suite, q43_null_semantics,
+#   q44_date_functions, q45_string_functions — relational.py, the one
+#   eligible family whose file r11 provably does not touch: this
+#   round's diffs land in text.py/pq.py/similarity.py/sizing.py)
+#   defer to r12 under tier B, named in REGISTRY.md with their due
+#   round. Full oracle parity for all 5 runs in pytest at HEAD.
 _PRIORITY = [
-    # tier-B dues (green r7, frozen files, ceiling = r10)
-    "q09_sort_limit_offset",
-    "q11_except",
-    "q13_date_agg",
-    "q14_conditional_agg",
-    "q15_window_running",
-    "q16_like_filters",
-    "q21_sessionize",
-    "q22_events_hourly",
-    "q23_json_props",
-    "q26_div_zero_compat",
-    # rule (a): the r9 red row, output shape fixed this round
-    "d35_bpe_encode",
+    # tier-B dues (green r8, frozen relational.py, ceiling = r11)
+    "q03_scalar_expr",
+    "q10_intersect",
+    "q33_shipping_priority",
+    "q41_grouping_sets",
     # rule (2): registered this round
-    "d36_redact_pii",
-    "d37_tokenizer_fertility",
-    # rule (b): last scored r8 (37 of 41; q03/q10/q33/q41 defer to r11)
-    "d01_token_stats",
-    "d02_lang_id",
-    "d03_quality_score",
-    "d05_exact_dedup",
-    "d06_canonical_dedup",
-    "d09b_jaccard_allpairs",
-    "d11_bpe_tokens",
-    "d13_stratified_sample",
-    "d17_doc_chunking",
-    "d18_sequence_packing",
-    "d19_source_mixture",
-    "d21_tfidf_topterms",
-    "d24_quality_filter",
-    "d25_token_budget_sample",
-    "d26_source_regression",
-    "d28_incremental_dedup",
-    "d30_pipeline_funnel",
-    "d32_simhash_pairs",
-    "d34_bpe_merges",
-    "mm01_decode_metadata",
-    "mm02_frame_sample",
-    "mm03_resize_payload",
-    "mm04_feature_extract",
-    "mm05_audio_frames",
-    "q02_filter_scan",
-    "q25_asof_join",
-    "q27_salted_agg",
-    "q38_retention",
-    "q39_pruned_catalog_scan",
-    "q46_scalar_subquery",
-    "s01_cosine_topk",
-    "s02_embedding_pairs",
-    "s03_label_centroids",
-    "s07_exact_percentiles",
-    "s09_quantize_int8",
-    "s10_ann_recall",
-    "s12_kmeans_step",
+    "d38_bigram_logprob",
+    "s13_pq_encode",
+    # rule (b): last scored r9 (44 of 49; q40/q42/q43/q44/q45 defer
+    # to r12)
+    "d04_fingerprint",
+    "d07_minhash_lsh",
+    "d08_simhash",
+    "d09_ngram_jaccard",
+    "d09r_jaccard_recall",
+    "d10_embedding_neardup",
+    "d12_dup_clusters",
+    "d14_normalize_text",
+    "d15_contamination",
+    "d16_repetition_stats",
+    "d20_cluster_keep_best",
+    "d22_bigram_counts",
+    "d23_ngram_contamination",
+    "d27_unigram_logprob",
+    "d29_entropy_profile",
+    "d31_weighted_sample",
+    "d33_neardup_incremental",
+    "q01_pricing_summary",
+    "q04_agg_having_limit_offset",
+    "q05_distinct_agg",
+    "q06_join_broadcast",
+    "q07_multi_join",
+    "q08_window_topk",
+    "q12_rollup",
+    "q17_union_hybrid",
+    "q18_sql_embedded",
+    "q19_update_column_expr",
+    "q20_events_rollup",
+    "q24_events_pivot",
+    "q28_cube",
+    "q29_anti_join",
+    "q30_correlated_avg",
+    "q31_outer_join",
+    "q32_semi_join",
+    "q34_range_join",
+    "q35_moving_avg",
+    "q36_latest_per_user",
+    "q37_funnel",
+    "q47_moment_stats",
+    "s04_ann_lsh_topk",
+    "s05_approx_stats",
+    "s06_ivf_topk",
+    "s08_hll_sketch_union",
+    "s11_neardup_numpy",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

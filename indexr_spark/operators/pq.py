@@ -433,8 +433,12 @@ def s13_codebooks() -> list:
 
 
 def s13_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The s13 registry form: pq_encode over the embeddings table with
-    the fixed s13 codebook — (vec_id, pq_code). The oracle
+    """The s13 registry form (registered r11): pq_encode over the
+    embeddings table with the fixed s13 codebook — (vec_id, pq_code)
+    where pq_code is the code array folded to a dash-joined STRING
+    scalar ("1-0-3-2"), per the r10 registry convention (driver rows
+    are scalar-only; the array form stays the pq_encode library
+    contract, pinned separately in tests/test_pq.py). The oracle
     (S13_ORACLE_DRAFT) scores the SAME maximization formula
     (2·dot − |c|², ties → lower code) so the two engines differ only
     in last-ulp dot-product rounding; the codebook's exactly-
@@ -445,7 +449,12 @@ def s13_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
         pq_encode(emb, s13_codebooks())
-        .select("vec_id", "pq_code")
+        .select(
+            "vec_id",
+            F.array_join(F.col("pq_code").cast("array<string>"), "-").alias(
+                "pq_code"
+            ),
+        )
         .orderBy("vec_id")
     )
 
@@ -479,10 +488,18 @@ best AS (
                             ORDER BY score DESC, code) AS rn
   FROM scored
 )
-SELECT vec_id, list(code ORDER BY j) AS pq_code
+SELECT vec_id,
+       array_to_string(list(code ORDER BY j), '-') AS pq_code
 FROM best WHERE rn = 1
 GROUP BY vec_id ORDER BY vec_id
 """
 
 
 S13_ORACLE_DRAFT = _s13_oracle_sql()
+
+# Registered r11 (REGISTRY.md queue): the draft oracle becomes the
+# certified oracle; the only change at registration was folding the
+# code array to a dash-joined scalar on BOTH sides (the r10
+# convention), with the fold pinned lossless in tests/test_pq.py.
+QUERIES = {"s13_pq_encode": s13_pq_encode}
+ORACLE = {"s13_pq_encode": S13_ORACLE_DRAFT}

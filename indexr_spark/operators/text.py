@@ -3795,8 +3795,10 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
 
 
 def d38_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The d38 registry form (library-only until the window allows —
-    REGISTRY.md): bigram_logprob over the documents table."""
+    """The d38 registry form (REGISTRY.md — registered r11 on the
+    two-per-round schedule): bigram_logprob over the documents table.
+    Output is scalar-only (doc_id, n_tokens, nll, ppl) so the row
+    satisfies the driver canonicalizer convention from day one."""
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
@@ -3847,6 +3849,11 @@ WITH t AS (
 SELECT doc_id, n_tokens, nll, round(exp(nll), 6) AS ppl
 FROM agg ORDER BY doc_id
 """
+# Registered r11 (REGISTRY.md queue): the draft oracle becomes the
+# certified oracle unchanged — proven since r8 by
+# tests/test_pipeline_ops.py (hand-computed values + DuckDB replay at
+# sf0.001 and sf0.01).
+ORACLE["d38_bigram_logprob"] = D38_ORACLE_DRAFT
 
 
 def _d37_oracle_sql() -> str:
@@ -4392,4 +4399,5 @@ QUERIES = {
     "d35_bpe_encode": d35_bpe_encode,
     "d36_redact_pii": d36_redact_pii,
     "d37_tokenizer_fertility": d37_tokenizer_fertility,
+    "d38_bigram_logprob": d38_bigram_logprob,
 }

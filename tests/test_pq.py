@@ -163,23 +163,22 @@ def test_s13_fixed_codebook_encode_matches_duckdb_replay(spark):
         s13_pq_encode,
     )
 
-    got = {
-        r["vec_id"]: list(r["pq_code"])
-        for r in s13_pq_encode(spark, SMOKE_SF).collect()
-    }
+    rows = s13_pq_encode(spark, SMOKE_SF).collect()
+    # registered form is the dash-joined scalar (r10 convention);
+    # the fold is lossless: parse back to ints for the numpy check
+    assert all(isinstance(r["pq_code"], str) for r in rows)
+    got = {r["vec_id"]: r["pq_code"] for r in rows}
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{SMOKE_SF}/embeddings.parquet')"
     )
-    want = {
-        vid: list(code) for vid, code in con.execute(S13_ORACLE_DRAFT).fetchall()
-    }
+    want = {vid: code for vid, code in con.execute(S13_ORACLE_DRAFT).fetchall()}
     assert got == want
     ids, X = _np_corpus(spark)
     np_codes = _np_encode(X, s13_codebooks())
     for i, vid in enumerate(ids):
-        assert got[vid] == list(np_codes[i]), vid
+        assert [int(c) for c in got[vid].split("-")] == list(np_codes[i]), vid
 
 
 def test_pq_numpy_encode_and_sampled_train_match_catalyst(spark):
