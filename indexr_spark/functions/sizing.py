@@ -144,13 +144,13 @@ def suggest_simhash_bits(
     are more bands (narrower verify margin) or accepting the valve's
     cap, both deliberate calls, not defaults.
 
-    >>> suggest_simhash_bits(5_000)          # even sf0.1 carries ~16
-    40                                       # chance pairs at 32 bits
-    >>> suggest_simhash_bits(500_000)        # the measured corpus
+    >>> suggest_simhash_bits(5_000)  # sf0.1 has ~16 chance pairs @32b
+    40
+    >>> suggest_simhash_bits(500_000)  # the measured corpus
     52
     >>> suggest_simhash_bits(500_000, candidate_budget=5e7)
     56
-    >>> suggest_simhash_bits(5_000_000)      # the 1000x rung: max out
+    >>> suggest_simhash_bits(5_000_000)  # the 1000x rung: max out
     60
     """
     if n <= 0:

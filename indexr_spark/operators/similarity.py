@@ -62,6 +62,53 @@ def _dots_2d(col: Column, vectors: list[list[float]]) -> Column:
     )
 
 
+def _make_round6_half_up():
+    """Factory for the numpy rounding that matches Spark's
+    ``F.round(x, 6)`` exactly (the r10 ADVICE finding): Spark rounds
+    HALF_UP over the double's SHORTEST DECIMAL representation
+    (BigDecimal(Double.toString(x)).setScale(6, HALF_UP)), while
+    np.round is binary round-half-to-even — the two genuinely differ
+    at 6dp half-boundaries (0.1234565 → 0.123457 in Spark but
+    0.123456 under np.round). The fast path here is scaled-double
+    HALF_UP (floor(|x|·1e6 + 0.5), sign restored — away-from-zero on
+    halves, like Spark); values whose scaled fraction sits within
+    1e-6 of 0.5 — the only band where binary scaling can disagree
+    with decimal-string scaling (error < 1e-9) — are re-decided from
+    Decimal(repr(x)), which is the same shortest-decimal value Java's
+    Double.toString produces. NaN passes through untouched.
+
+    Shaped as a factory returning a NESTED function so cloudpickle
+    serializes it BY VALUE: executor closures (mapInPandas/
+    applyInPandas bodies) capture the returned function without
+    needing this package importable on workers — the same
+    self-containment rule every Arrow closure in this module follows.
+    Equality with F.round is pinned in tests/test_semdedup_arrow.py
+    on an explicit half-boundary battery."""
+
+    def round6_half_up(a):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        a = np.asarray(a, dtype=np.float64)
+        scaled = np.abs(a) * 1e6
+        fl = np.floor(scaled)
+        frac = scaled - fl
+        out = np.copysign(np.where(frac >= 0.5, fl + 1.0, fl), a) / 1e6
+        suspect = np.abs(frac - 0.5) < 1e-6
+        if suspect.any():
+            q = Decimal("0.000001")
+            for pos in zip(*np.nonzero(suspect)):
+                out[pos] = float(
+                    Decimal(repr(float(a[pos]))).quantize(
+                        q, rounding=ROUND_HALF_UP
+                    )
+                )
+        return out
+
+    return round6_half_up
+
+
 def _unit_scaled(vectors: list[list[float]]) -> list[list[float]]:
     """Each vector divided by its norm driver-side (zero-norm -> as-is);
     lets cosine ARGMAX/ranking consumers skip per-row division."""
@@ -1080,7 +1127,9 @@ def kmeans_assign_arrow(
     argmax is n·k·d INTERPRETED lambda evaluations per Lloyd round —
     the cost the semdedup engine ladder measured two orders off BLAS
     (COVERAGE.md "s15_arrow_ab") — and training pays it every
-    iteration. Pinned assignment-equal in tests/test_kmeans_arrow.py;
+    iteration. Zero-norm rows emit NULL ccos (matching the JVM's
+    non-ANSI division) so downstream aggregates skip them on both
+    engines. Pinned assignment-equal in tests/test_kmeans_arrow.py;
     the literal form stays the certified plan (s12's oracle replays
     it)."""
     cu = _unit_scaled(centroids)
@@ -1097,14 +1146,19 @@ def kmeans_assign_arrow(
             E = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
             S = E @ Cu.T
             cell = S.argmax(axis=1)
-            ccos = S[np.arange(len(E)), cell] / pdf["nrm"].to_numpy(
-                dtype=np.float64
-            )
-            yield pd.DataFrame(
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ccos = S[np.arange(len(E)), cell] / nrm
+            out = pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "e": list(E),
                  "nrm": pdf["nrm"], "cell": cell.astype("int64"),
                  "ccos": ccos}
             )
+            if (nrm == 0).any():
+                # JVM: x/0 is NULL under non-ANSI SQL — mirror it so
+                # downstream aggregates skip the row on both engines
+                out["ccos"] = out["ccos"].astype(object).where(nrm != 0, None)
+            yield out
 
     return emb_norm.select("vec_id", "e", "nrm").mapInPandas(
         assign_batches,
@@ -1127,7 +1181,13 @@ def kmeans_fit(
 
     Scale: each iteration is ONE distributed pass — an in-row argmax
     (no shuffle) followed by a map-combined k×dim aggregation whose
-    output is k rows; only those k rows ever reach the driver. The
+    output is k rows; only those k rows ever reach the driver. That
+    per-round collect is k·d doubles of driver state — inherent to
+    Lloyd's with driver-held centroids and fine through IVF-scale
+    models (k~10⁴ × d~10³ ≈ 10 MB, a LAION-scale coarse quantizer);
+    beyond that the centroid update itself must stay distributed
+    (keep the aggregate as a frame and broadcast-join it into the
+    next assignment instead of collecting). The
     normed corpus frame is persisted across iterations so the scan +
     norm cost is paid once, and unpersisted before returning. Seeding
     is the first k vectors by vec_id (deterministic); empty cells
@@ -1457,16 +1517,22 @@ def _semdedup_ranked_arrow(
     centroids are unit-scaled driver-side by the SAME python-float
     arithmetic (_unit_scaled), np.argmax's first-max matches the
     (dot, -label) tie-break toward the smaller label, and csim =
-    dot(e, c_unit)/|e| rounded 6dp as in the literal path. The one
-    honest caveat (shared with the pair phase): BLAS sums in a
+    dot(e, c_unit)/|e| rounded 6dp by the Spark-equivalent HALF_UP
+    (_make_round6_half_up — np.round's half-to-even genuinely differs
+    from F.round at 6dp half-boundaries, the r10 ADVICE finding). The
+    one honest caveat (shared with the pair phase): BLAS sums in a
     different order than the JVM fold, so a dot sitting within an
     ulp of a 6dp rounding boundary could rank differently — pinned
-    equal on every committed corpus. The rank window stays JVM-side
-    and identical."""
+    equal on every committed corpus. Zero-norm rows emit NULL csim
+    (what the JVM's non-ANSI division produces), so the rank window
+    orders them identically between engines. The rank window stays
+    JVM-side and identical."""
     cu = _unit_scaled(cents)
+    r6 = _make_round6_half_up()
 
     def assign_batches(batches):
-        # self-contained: executors don't import this package
+        # self-contained: executors don't import this package (r6 is
+        # a nested function, cloudpickled by value)
         import numpy as np
         import pandas as pd
 
@@ -1480,11 +1546,17 @@ def _semdedup_ranked_arrow(
             nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
             S = E @ Cu.T
             cell = S.argmax(axis=1)
-            csim = np.round(S[np.arange(len(E)), cell] / nrm, 6)
-            yield pd.DataFrame(
+            with np.errstate(divide="ignore", invalid="ignore"):
+                csim = r6(S[np.arange(len(E)), cell] / nrm)
+            out = pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "e": list(E), "nrm": nrm,
                  "cell": cell.astype("int32"), "csim": csim}
             )
+            if (nrm == 0).any():
+                # JVM: x/0 is NULL under non-ANSI SQL — mirror it so
+                # the downstream rank window sorts these rows the same
+                out["csim"] = out["csim"].astype(object).where(nrm != 0, None)
+            yield out
 
     spark = vectors.sparkSession
     prep = vectors.repartition(
@@ -1528,11 +1600,14 @@ def semdedup_arrow(
     any corpus size and both engines' costs stay flat per cell); the
     block cap adapts down for an accidentally hot cell. Equality with
     the join engine is pinned on three corpora in
-    tests/test_semdedup_arrow.py; a 6dp-rounding boundary tie could
-    in principle split the engines (numpy sums doubles in a different
-    order than the JVM fold) — none exists on the committed corpora,
-    and the τ comparison happens on the SAME rounded values both
-    sides.
+    tests/test_semdedup_arrow.py; the 6dp round itself uses the
+    Spark-equivalent HALF_UP (_make_round6_half_up — np.round's
+    half-to-even differs from F.round at half-boundaries, the r10
+    ADVICE finding), so the τ comparison sees the same rounded values
+    both sides. The residual caveat is one ulp narrower: BLAS sums
+    doubles in a different order than the JVM fold, so only a dot
+    whose VALUE lands within an ulp of a 6dp boundary could still
+    split the engines — none exists on the committed corpora.
 
     `assign="arrow"` moves the assignment math to BLAS as well
     (_semdedup_ranked_arrow) — the full-Arrow posture for when the
@@ -1548,13 +1623,23 @@ def semdedup_arrow(
     )
     out_schema = "vec_id long, cell int, csim double, keep boolean"
     _tau, _block = float(tau), int(block)
+    r6 = _make_round6_half_up()
 
     def prune_cell(pdf):
-        # self-contained: executors don't import this package
+        # self-contained: executors don't import this package (r6 is
+        # a nested function, cloudpickled by value)
         import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values("rk").reset_index(drop=True)
+        # a NULL csim (zero-norm row) arrives as NaN through Arrow's
+        # float64 conversion; restore None on the way out so the
+        # output matches the join engine's NULL (NaN is the only
+        # in-band value a NULL can alias to — cosines are finite)
+        if pdf["csim"].isna().any():
+            pdf["csim"] = (
+                pdf["csim"].astype(object).where(pdf["csim"].notna(), None)
+            )
         n = len(pdf)
         if n <= 1:
             return pd.DataFrame(
@@ -1570,7 +1655,13 @@ def semdedup_arrow(
         for s in range(1, n, b):
             hi = min(s + b, n)
             S = E[s:hi] @ E[:hi].T
-            C = np.round(S / (nrm[s:hi, None] * nrm[None, :hi]), 6)
+            # Spark-equivalent HALF_UP so the τ comparison sees the
+            # same rounded cosines the certified join engine computes;
+            # zero-norm rows yield NaN here and NaN >= τ is False —
+            # matching the join form, where a NULL cosine fails the
+            # >= τ predicate and never emits a prune row.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = r6(S / (nrm[s:hi, None] * nrm[None, :hi]))
             lower = np.arange(hi)[None, :] < np.arange(s, hi)[:, None]
             pruned[s:hi] = ((C >= _tau) & lower).any(axis=1)
         return pd.DataFrame(

@@ -2775,6 +2775,37 @@ def simhash_pairs_wide(
     # narrow pin before the join — same 20x-tax rationale as
     # simhash_pairs (the hash chain must not re-derive per candidate)
     sim_df = sim_df.select("doc_id", "simhash").localCheckpoint()
+    # Width-compatibility guard (r10 ADVICE): feeding a narrower
+    # frame than `bits` (e.g. a 32-bit simhash_frame at bits=60)
+    # makes every band above the frame's real width all-zero, so all
+    # docs collide in those bands and the candidate stream silently
+    # goes QUADRATIC — the exact saturation failure this path exists
+    # to avoid. One cheap max() over the already-checkpointed 2-col
+    # frame catches both directions: values at/above 2^bits mean the
+    # declared width truncates real bits (breaking the pigeonhole
+    # completeness guarantee), and a max below 2^(bits-width) means
+    # the TOP band is zero for every doc (the frame was generated at
+    # a narrower width — a genuinely spanning corpus hits the top
+    # band with probability 1 - 2^(-width·n)).
+    mx = sim_df.agg(F.max("simhash").alias("m")).first()["m"]
+    if mx is not None:
+        if mx >= (1 << bits):
+            raise ValueError(
+                f"simhash values exceed 2^{bits} — the frame is WIDER "
+                f"than bits={bits}; banding would ignore the high bits "
+                "and break pigeonhole completeness. Pass the width the "
+                "frame was generated at."
+            )
+        if mx < (1 << (bits - width)):
+            raise ValueError(
+                f"max(simhash)={mx} never reaches the top band at "
+                f"bits={bits} (band width {width}) — the frame looks "
+                f"narrower than declared, which makes the all-zero "
+                "upper bands collide every doc pair (silent quadratic "
+                "candidates). Generate the frame with "
+                f"simhash_frame_wide(bits={bits}) or pass the true "
+                "width."
+            )
     mask = (1 << width) - 1
     # explode side: band index b is a Python int here, so the literal
     # shiftright is available (and exact — longs, not doubles)

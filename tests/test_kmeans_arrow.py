@@ -69,3 +69,43 @@ def test_engine_validation(spark):
     emb = spark.read.parquet(f"{SMOKE_SF}/embeddings.parquet")
     with pytest.raises(ValueError):
         kmeans_fit(emb, k=4, assign="blas")
+
+
+def test_zero_norm_row_matches_literal_null(spark):
+    """r10 ADVICE: a zero-norm embedding must yield NULL ccos in BOTH
+    engines (the JVM's non-ANSI division does; the Arrow batch now
+    mirrors it instead of emitting inf/NaN), so downstream aggregates
+    skip the row identically."""
+    rows = [(0, [0.0] * 8, 0.0), (1, [1.0] * 8, math.sqrt(8.0)),
+            (2, [2.0] * 8, math.sqrt(32.0))]
+    base = spark.createDataFrame(
+        rows, "vec_id long, e array<double>, nrm double"
+    )
+    cents = [[1.0] * 8, [-1.0] * 8]
+    lit = {r["vec_id"]: (r["cell"], r["ccos"])
+           for r in kmeans_assign(base, cents).collect()}
+    arr = {r["vec_id"]: (r["cell"], r["ccos"])
+           for r in kmeans_assign_arrow(base, cents).collect()}
+    assert lit[0][1] is None and arr[0][1] is None
+    assert {k: (c, None if x is None else round(x, 9))
+            for k, (c, x) in lit.items()} == \
+           {k: (c, None if x is None else round(x, 9))
+            for k, (c, x) in arr.items()}
+
+
+def test_round_state_collect_is_k_rows(spark):
+    """The kmeans_fit docstring's driver bound, asserted: the only
+    per-round collect is the k-row (cell, n, inertia, c0..cd-1)
+    aggregate — k·d doubles of driver state, never corpus-sized."""
+    base = _normed(spark).localCheckpoint()
+    k = 8
+    cents = _seed_cents(spark, k=k)
+    dim = len(cents[0])
+    a = kmeans_assign(base, cents)
+    agg = a.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.sum(F.lit(1.0) - F.col("ccos")).alias("inertia"),
+        *[F.avg(F.col("e")[i]).alias(f"c{i}") for i in range(dim)],
+    )
+    rows = agg.collect()
+    assert 0 < len(rows) <= k

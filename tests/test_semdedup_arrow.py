@@ -82,3 +82,61 @@ def test_no_join_in_arrow_plan(spark):
     # exactly the rank window's exchange feeds the group — no
     # join-side exchanges for candidate pairs
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_round6_half_up_matches_spark_f_round(spark):
+    """The r10 ADVICE finding, pinned: Spark's F.round(x, 6) is
+    HALF_UP over the double's shortest decimal repr, np.round is
+    binary half-to-even — they genuinely differ at 6dp
+    half-boundaries. _make_round6_half_up must match Spark on an
+    explicit boundary battery (including the 0.1234565 exemplar where
+    np.round provably disagrees) plus a dense off-boundary sweep."""
+    import numpy as np
+
+    from indexr_spark.operators.similarity import _make_round6_half_up
+
+    r6 = _make_round6_half_up()
+    battery = [
+        0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.7499995,
+        0.1234564999, 0.1234565001, 2.5e-7, -2.5e-7, 1.5e-6,
+        0.123456, 1.0, 0.0, -1.0, 0.5, -0.5000005, 0.33333335,
+    ]
+    # dense sweep: values with >6 decimals scattered off boundaries
+    rng = np.random.default_rng(7)
+    battery += [float(x) for x in rng.uniform(-1, 1, 500)]
+    rows = [(i, float(v)) for i, v in enumerate(battery)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    want = {
+        r["i"]: r["y"]
+        for r in df.select("i", F.round("x", 6).alias("y")).collect()
+    }
+    got = r6(np.array(battery, dtype=np.float64))
+    for i, v in enumerate(battery):
+        assert got[i] == want[i], (i, v, got[i], want[i])
+    # and the exemplar really is a np.round divergence (else the
+    # battery stopped testing anything)
+    assert float(np.round(np.float64(0.1234565), 6)) != want[0]
+    # NaN passes through (zero-norm rows are handled upstream as NULL)
+    assert np.isnan(r6(np.array([float("nan")]))[0])
+
+
+def test_zero_norm_vector_engines_agree(spark):
+    """A zero-norm embedding must not split the engines (r10 ADVICE):
+    the JVM's non-ANSI division yields NULL csim (sorts first in the
+    rank window, never satisfies >= tau); the Arrow paths now emit
+    None for those rows instead of numpy inf/NaN."""
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, [1.0] * 8),
+            (3, [-1.0] * 8)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0] * 8, [-1.0] * 8]
+    for kwargs in ({"assign": "literal"}, {"assign": "arrow"}):
+        a = {
+            r["vec_id"]: (r["cell"], r["csim"], r["keep"])
+            for r in semdedup_arrow(v, centroids=cents, **kwargs).collect()
+        }
+        jj = {
+            r["vec_id"]: (r["cell"], r["csim"], r["keep"])
+            for r in semdedup(v, centroids=cents).collect()
+        }
+        assert a == jj, kwargs
+        assert a[0][1] is None, "zero-norm csim must be NULL, not NaN/inf"

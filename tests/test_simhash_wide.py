@@ -145,3 +145,26 @@ def test_width_validation(spark):
         simhash_pairs_wide(sim, bits=60, max_hamming=3, bands=3)
     with pytest.raises(ValueError):
         simhash_pairs_wide(sim, bits=60, bands=7)
+
+
+def test_pairs_width_mismatch_raises(spark):
+    """r10 ADVICE: feeding a narrower frame than `bits` makes the
+    upper bands all-zero — every doc collides there and the candidate
+    stream silently goes quadratic. simhash_pairs_wide now refuses
+    both mismatch directions before any join runs."""
+    # a 32-bit frame declared as 60-bit: top bands all-zero
+    narrow = simhash_frame_wide(_docs(spark), bits=32)
+    with pytest.raises(ValueError, match="top band"):
+        simhash_pairs_wide(narrow, bits=60)
+    # values exceeding the declared width: banding would drop bits
+    wide = spark.createDataFrame(
+        [(0, 1 << 40), (1, 5)], "doc_id long, simhash long"
+    )
+    with pytest.raises(ValueError, match="WIDER"):
+        simhash_pairs_wide(wide, bits=32)
+    # matched widths still run (the guard must not false-positive on
+    # a genuinely spanning frame)
+    ok = simhash_frame_wide(_docs(spark), bits=60)
+    assert simhash_pairs_wide(ok, bits=60).columns == [
+        "a_id", "b_id", "hamming"
+    ]
