@@ -2712,6 +2712,22 @@ def simhash_pairs(
 # lambda-variable position.
 
 
+def _wide_hash_frame(d: DataFrame, bits: int) -> DataFrame:
+    """(doc_id, text) → (doc_id, hs): the per-doc distinct-token
+    md5-prefix hashes at `bits` width — the JVM-side (whole-stage
+    codegen) half both wide-simhash engines share, extracted so the
+    interpreted and Arrow vote stages cannot drift on tokenization
+    or hashing."""
+    nhex = bits // 4
+    return d.select(
+        "doc_id",
+        F.transform(
+            distinct_tokens("text"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+
+
 def simhash_frame_wide(d: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, text) → (doc_id, simhash): token SimHash at `bits`
     width. Semantics match simhash_frame — per-bit majority over
@@ -2722,14 +2738,7 @@ def simhash_frame_wide(d: DataFrame, bits: int = 60) -> DataFrame:
     (hash60's exactly-representable-long bound)."""
     if not (4 <= bits <= 60 and bits % 4 == 0):
         raise ValueError(f"bits={bits} must be a multiple of 4 in [4, 60]")
-    nhex = bits // 4
-    d = d.select(
-        "doc_id",
-        F.transform(
-            distinct_tokens("text"),
-            lambda t: F.conv(F.substring(F.md5(t), 1, nhex), 16, 10).cast("long"),
-        ).alias("hs"),
-    )
+    d = _wide_hash_frame(d, bits)
     hashes = F.col("hs")
     n = F.size(hashes)
 
@@ -2749,6 +2758,76 @@ def simhash_frame_wide(d: DataFrame, bits: int = 60) -> DataFrame:
         F.aggregate(bitvals, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "simhash"
         ),
+    )
+
+
+def simhash_frame_wide_arrow(d: DataFrame, bits: int = 60) -> DataFrame:
+    """simhash_frame_wide with the bit-vote in one Arrow/numpy pass —
+    the deploy engine for the ≥10⁵-doc regime this path exists for
+    (r10 VERDICT "What's wrong" #2: the interpreted HOF vote — bits ×
+    tokens nested transform/filter lambdas per doc — cost 169.7 s of
+    the 60-bit frame at 5M docs, the exact shape the r10 session
+    measured ~2 orders off vectorized math elsewhere).
+
+    Engine split: tokenization AND md5-prefix hashing stay JVM-side
+    in whole-stage codegen (_wide_hash_frame — byte-shared with the
+    interpreted engine, so the hash values are identical by
+    construction); only the majority vote moves to numpy, where it is
+    one (T × bits) bit-unpack plus a per-doc segment sum
+    (np.add.reduceat over batch-flattened hashes — empty-token docs
+    bypass reduceat, whose empty-segment semantics would misread
+    them, and resolve by the same 2·ones ≥ n tie rule: all bits set;
+    NULL token arrays vote 0, the JVM engine's when-NULL
+    fallthrough).
+    Output is pinned IDENTICAL to simhash_frame_wide at bits=32 and
+    60 on the committed corpora (tests/test_simhash_wide.py) — the
+    vote is integer-only, so unlike the cosine engines there is no
+    float-summation caveat: the engines cannot diverge on any input.
+    Wall at the 5M-doc rung: COVERAGE.md "simhash1000x arrow"."""
+    if not (4 <= bits <= 60 and bits % 4 == 0):
+        raise ValueError(f"bits={bits} must be a multiple of 4 in [4, 60]")
+    _bits = int(bits)
+
+    def vote_batches(batches):
+        # self-contained: executors don't import this package
+        import numpy as np
+        import pandas as pd
+
+        js = np.arange(_bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            null_mask = pdf["hs"].isna().to_numpy()
+            counts = np.fromiter(
+                (0 if ts is None else len(ts) for ts in pdf["hs"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            votes = np.zeros((len(pdf), _bits), dtype=np.int64)
+            nz = counts > 0
+            if nz.any():
+                flat = np.concatenate(
+                    [np.asarray(ts, dtype=np.int64) for ts in pdf["hs"][nz]]
+                )
+                B = (flat[:, None] >> js) & 1
+                starts = np.zeros(len(pdf), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                # reduceat over the NONZERO starts only: empty docs
+                # contribute no rows, so consecutive nonzero starts
+                # still delimit exact per-doc segments
+                votes[nz] = np.add.reduceat(B, starts[nz], axis=0)
+            bitset = (2 * votes) >= counts[:, None]
+            sims = (bitset.astype(np.int64) << js).sum(axis=1)
+            # empty token arrays vote all-ones by the tie rule (2·0 ≥ 0)
+            # — bitset already yields that. NULL arrays vote 0 in the
+            # JVM engine (each per-bit when(NULL) falls through to
+            # otherwise(0), so the aggregate sums zeros) — mirror it.
+            if null_mask.any():
+                sims = np.where(null_mask, 0, sims)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sims})
+
+    return _wide_hash_frame(d, _bits).mapInPandas(
+        vote_batches, "doc_id long, simhash long"
     )
 
 

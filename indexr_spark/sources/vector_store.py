@@ -692,7 +692,69 @@ def _s14_probe_rows() -> list[tuple]:
     return rows
 
 
-def s14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _s14_coded_arrow(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """The s14 corpus side — norm, coarse cosine assign, residual
+    subtraction, PQ encode — in ONE Arrow mapInPandas pass (BLAS
+    E·Cᵀ for the assign, per-subspace matmul argmax for the codes),
+    the engine the semdedup/kmeans Arrow ladder measured ~2 orders
+    faster than interpreted in-row lambdas at n·k·d scale. Semantics
+    replicate the literal chain exactly: centroids unit-scaled by the
+    SAME driver-side python-float arithmetic (_unit_scaled),
+    np.argmax's first-max = the smaller-label tie-break, residuals
+    against the RAW quarter-valued centroids (exact float subtract),
+    codes by the same argmax(2·dot − |c|²) with ties → lower code.
+    The one caveat every Arrow engine here carries: BLAS sums dots in
+    a different order than the JVM fold, so only a value within an
+    ulp of a rank boundary could diverge — exceptAll-pinned equal on
+    the committed corpora (tests/test_ivfpq.py)."""
+    from indexr_spark.operators.pq import s13_codebooks
+    from indexr_spark.operators.similarity import _unit_scaled
+
+    books = [[list(map(float, c)) for c in cb] for cb in s13_codebooks()]
+    craw = [[float(x) for x in c] for c in cents]
+    cu = _unit_scaled(cents)
+
+    def batches(it):
+        # self-contained: executors don't import this package
+        import numpy as np
+        import pandas as pd
+
+        Cu = np.asarray(cu, dtype=np.float64)
+        Craw = np.asarray(craw, dtype=np.float64)
+        cbs = [np.asarray(cb, dtype=np.float64) for cb in books]
+        n2s = [(cb * cb).sum(axis=1) for cb in cbs]
+        m, dsub = len(cbs), cbs[0].shape[1]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = np.vstack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            cell = (E @ Cu.T).argmax(axis=1)
+            R = E - Craw[cell]
+            codes = np.empty((len(E), m), dtype=np.int64)
+            for j in range(m):
+                sub = R[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmax(2.0 * (sub @ cbs[j].T) - n2s[j], axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "e": list(E), "nrm": nrm,
+                 "cell": cell.astype("int32"),
+                 "pq_code": [list(map(int, c)) for c in codes]}
+            )
+
+    prep = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).select("vec_id", "embedding")
+    return prep.mapInPandas(
+        batches,
+        "vec_id long, e array<double>, nrm double, cell int, pq_code array<int>",
+    )
+
+
+def s14_ivfpq_probe(
+    spark: SparkSession, sf_dir: str, engine: str = "literal"
+) -> DataFrame:
     """The s14 registry form: fixed-model IVF-PQ probe over the
     embeddings table — (q_id, rank, vec_id, cell, adc, cosine).
 
@@ -703,22 +765,37 @@ def s14_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell, m in-row table lookups per candidate, and the only wide
     operations are the two per-query ranking windows (ADC shortlist at
     R, exact rerank at k). No when-chains: a thousand queries would
-    run the identical plan."""
+    run the identical plan.
+
+    `engine="arrow"` routes the corpus side (norm + assign + residual
+    + PQ encode — the dominant cost of the 1M probe, COVERAGE.md
+    ivfpq1m) through one BLAS mapInPandas pass (_s14_coded_arrow);
+    default "literal" keeps the oracle-certified Catalyst chain —
+    the two-engine protocol semdedup_arrow/kmeans_assign_arrow
+    established. Join, ADC lookups, and both ranking windows are the
+    identical JVM plan under either engine; equality is
+    exceptAll-pinned in tests/test_ivfpq.py."""
     from indexr_spark.operators.pq import pq_encode, s13_codebooks
     from indexr_spark.tables import load_table
 
+    if engine not in ("literal", "arrow"):
+        raise ValueError(f"engine={engine!r} must be 'literal' or 'arrow'")
     cents = s14_centroids()
     m = len(s13_codebooks())
     ksub = len(s13_codebooks()[0])
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    prep = _prepared(emb).withColumn("cell", _assign_cell(cents))
-    cmat = F.lit([[float(x) for x in c] for c in cents])
-    prep = prep.withColumn(
-        "_res", F.zip_with(F.col("e"), F.get(cmat, F.col("cell")), lambda x, c: x - c)
-    )
-    coded = pq_encode(prep, s13_codebooks(), embedding_col="_res")
+    if engine == "arrow":
+        coded = _s14_coded_arrow(emb, cents)
+    else:
+        prep = _prepared(emb).withColumn("cell", _assign_cell(cents))
+        cmat = F.lit([[float(x) for x in c] for c in cents])
+        prep = prep.withColumn(
+            "_res",
+            F.zip_with(F.col("e"), F.get(cmat, F.col("cell")), lambda x, c: x - c),
+        )
+        coded = pq_encode(prep, s13_codebooks(), embedding_col="_res")
 
     probe = F.broadcast(
         spark.createDataFrame(

@@ -10,7 +10,8 @@
 Families (corpus in _CORPUS): docs10x vecs50x rel10x pipeline10x
 bpe500 funnel100x ivfpq1m drafts10x spans100x lsh100x simhash100x
 simhash1000x mm06_100x lm100x row_ops100x s14_50x s15_50x s15_500k
-s15_arrow_ab kmeans1m — each docstring states its sub-oracles and the
+s15_arrow_ab s14_arrow_ab kmeans1m — each docstring states its
+sub-oracles and the
 COVERAGE.md section that interprets its numbers.
 
 Prints one line per measurement with a single-thread spin calibration
@@ -1453,6 +1454,37 @@ def s15_arrow_ab(spark) -> None:
               flush=True)
 
 
+def s14_arrow_ab(spark) -> None:
+    """The r10 verdict's named lever executed: s14's fixed-model
+    probe at 1M vectors (vecs500x) with the corpus side — norm,
+    coarse assign, residual, PQ encode — as ONE BLAS mapInPandas
+    pass (engine='arrow') vs the certified literal chain. The 13.2 s
+    steady literal wall from late-r10 was stage-attributed to exactly
+    this corpus-side work, so the A/B isolates the lever. Two runs
+    per engine (the first literal run carries the family's known
+    ~2-min JIT tax); exceptAll equality asserted BOTH directions on
+    the steady outputs — the registered row keeps engine='literal'
+    as its certified plan."""
+    from indexr_spark.sources.vector_store import s14_ivfpq_probe
+
+    sf = "/tmp/sfvec500"
+    outs = {}
+    for engine in ("literal", "arrow"):
+        for i in range(2):
+            t0 = time.time()
+            out = s14_ivfpq_probe(spark, sf, engine=engine).localCheckpoint()
+            n = out.count()
+            print(f"s14_ivfpq_probe[1M,{engine},{i}]  "
+                  f"{time.time() - t0:.1f}s  rows={n}  spin={_spin()}",
+                  flush=True)
+        outs[engine] = out
+    d1 = outs["arrow"].exceptAll(outs["literal"]).count()
+    d2 = outs["literal"].exceptAll(outs["arrow"]).count()
+    assert d1 == 0 and d2 == 0, f"engines diverge: {d1}/{d2} rows"
+    print("engine equality arrow == literal at 1M: exceptAll 0 both "
+          "directions", flush=True)
+
+
 def kmeans1m(spark) -> None:
     """Quantizer training at 1M vectors, k=64, 3 Lloyd rounds: the
     literal in-row argmax (certified form) vs kmeans_assign_arrow
@@ -1508,6 +1540,7 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "lm100x": "/tmp/sfsalt100/documents.parquet",
            "row_ops100x": "/tmp/sfsalt100/documents.parquet",
            "s15_arrow_ab": "/tmp/sfvec500/embeddings.parquet",
+           "s14_arrow_ab": "/tmp/sfvec500/embeddings.parquet",
            "kmeans1m": "/tmp/sfvec500/embeddings.parquet",
            "simhash1000x": "/tmp/sfsalt1000/documents.parquet"}
 
@@ -1555,6 +1588,7 @@ if __name__ == "__main__":
                 "lm100x": "d30_pipeline_funnel",
                 "row_ops100x": "d30_pipeline_funnel",
                 "s15_arrow_ab": "s06_ivf_topk",
+                "s14_arrow_ab": "s06_ivf_topk",
                 "kmeans1m": "s06_ivf_topk",
                 "simhash1000x": "d32_simhash_pairs"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
@@ -1575,6 +1609,7 @@ if __name__ == "__main__":
      "simhash100x": simhash100x, "mm06_100x": mm06_100x,
      "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
      "lm100x": lm100x, "row_ops100x": row_ops100x,
-     "s15_arrow_ab": s15_arrow_ab, "kmeans1m": kmeans1m,
+     "s15_arrow_ab": s15_arrow_ab, "s14_arrow_ab": s14_arrow_ab,
+     "kmeans1m": kmeans1m,
      "simhash1000x": simhash1000x}[which](spark)
     spark.stop()

@@ -391,3 +391,25 @@ def test_s14_duckdb_parity_and_structure(spark, duck_smoke):
         assert [r for r, _ in rows] == list(range(1, S14_K + 1))
         coss = [c for _, c in rows]
         assert coss == sorted(coss, reverse=True)
+
+
+def test_s14_arrow_engine_equals_literal_both_corpora(spark):
+    """The r10 verdict's named lever: the s14 corpus side (norm +
+    coarse assign + residual + PQ encode) as one BLAS mapInPandas
+    pass must reproduce the certified literal chain row-for-row —
+    exceptAll in BOTH directions on the smoke and oracle corpora
+    (the semdedup_arrow equality protocol). The registered row keeps
+    engine='literal'; 'arrow' is the 1M deploy posture (COVERAGE.md
+    s14_arrow_ab)."""
+    import pytest
+
+    from indexr_spark.sources.vector_store import s14_ivfpq_probe
+    from tests.conftest import ORACLE_SF
+
+    for sf in (SMOKE_SF, ORACLE_SF):
+        lit = s14_ivfpq_probe(spark, sf)
+        arr = s14_ivfpq_probe(spark, sf, engine="arrow")
+        assert lit.schema == arr.schema
+        assert lit.exceptAll(arr).isEmpty() and arr.exceptAll(lit).isEmpty(), sf
+    with pytest.raises(ValueError):
+        s14_ivfpq_probe(spark, SMOKE_SF, engine="blas")

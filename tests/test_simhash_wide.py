@@ -168,3 +168,31 @@ def test_pairs_width_mismatch_raises(spark):
     assert simhash_pairs_wide(ok, bits=60).columns == [
         "a_id", "b_id", "hamming"
     ]
+
+
+def test_arrow_vote_identical_both_widths(spark):
+    """simhash_frame_wide_arrow shares the JVM hash projection with
+    the interpreted engine and votes with integer math only, so the
+    two engines must be IDENTICAL (not merely close) at any width —
+    pinned at the certified 32 and the deploy 60 on the committed
+    corpus, including an empty-text doc (ties set every bit: the
+    all-ones value) and a NULL-text doc (simhash 0, the JVM
+    engine's when-NULL fallthrough)."""
+    from indexr_spark.operators.text import simhash_frame_wide_arrow
+
+    d = _docs(spark)
+    for bits in (32, 60):
+        a = {tuple(r) for r in simhash_frame_wide_arrow(d, bits=bits).collect()}
+        b = {tuple(r) for r in simhash_frame_wide(d, bits=bits).collect()}
+        assert a == b, bits
+    edge = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    for bits in (32, 60):
+        a = {tuple(r) for r in simhash_frame_wide_arrow(edge, bits=bits).collect()}
+        b = {tuple(r) for r in simhash_frame_wide(edge, bits=bits).collect()}
+        assert a == b, bits
+        by_id = dict(a)
+        assert by_id[2] == (1 << bits) - 1
+        assert by_id[3] == 0
