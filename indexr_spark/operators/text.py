@@ -2763,11 +2763,26 @@ def simhash_frame_wide(d: DataFrame, bits: int = 60) -> DataFrame:
 
 def simhash_frame_wide_arrow(d: DataFrame, bits: int = 60) -> DataFrame:
     """simhash_frame_wide with the bit-vote in one Arrow/numpy pass —
-    the deploy engine for the ≥10⁵-doc regime this path exists for
-    (r10 VERDICT "What's wrong" #2: the interpreted HOF vote — bits ×
-    tokens nested transform/filter lambdas per doc — cost 169.7 s of
-    the 60-bit frame at 5M docs, the exact shape the r10 session
-    measured ~2 orders off vectorized math elsewhere).
+    built as the candidate deploy engine for the ≥10⁵-doc regime
+    (r10 VERDICT "What's wrong" #2 hypothesized the HOF vote — bits ×
+    tokens nested transform/filter lambdas per doc — was the 169.7 s
+    frame's cost at 5M docs) and then MEASURED SLOWER there: at the
+    5M-doc rung with cal-bracketed alternating runs the JVM vote
+    reads 55.0 s vs 75.9-83.9 s arrow at matched near-calm brackets
+    (two of three sessions agree; the third's 355 s hof reading was
+    a core-theft phase its own bracket flags — equality exceptAll-0
+    in every session; COVERAGE.md "simhash_arrow_ab"). The
+    hypothesis inverted because the vote is
+    Catalyst-evaluated integer work the JVM already does acceptably,
+    while this engine must ship every doc's token-hash array through
+    Arrow (~tokens × 8 bytes × 5M docs) before numpy sees it — the
+    boundary cost the cosine engines never paid (they ship fixed-dim
+    vectors and replace O(n·K·d) float math, not O(n·T·bits) integer
+    counting). simhash_frame_wide therefore STAYS the deploy default
+    at every width; this engine remains as the pinned-equal
+    falsification record and for regimes where the vote genuinely
+    dominates the ship (bits and tokens/doc both far past this
+    corpus's shape — re-measure before choosing it).
 
     Engine split: tokenization AND md5-prefix hashing stay JVM-side
     in whole-stage codegen (_wide_hash_frame — byte-shared with the
@@ -2782,8 +2797,7 @@ def simhash_frame_wide_arrow(d: DataFrame, bits: int = 60) -> DataFrame:
     Output is pinned IDENTICAL to simhash_frame_wide at bits=32 and
     60 on the committed corpora (tests/test_simhash_wide.py) — the
     vote is integer-only, so unlike the cosine engines there is no
-    float-summation caveat: the engines cannot diverge on any input.
-    Wall at the 5M-doc rung: COVERAGE.md "simhash1000x arrow"."""
+    float-summation caveat: the engines cannot diverge on any input."""
     if not (4 <= bits <= 60 and bits % 4 == 0):
         raise ValueError(f"bits={bits} must be a multiple of 4 in [4, 60]")
     _bits = int(bits)

@@ -247,5 +247,7 @@ if __name__ == "__main__":
     {"docs10x": build_docs10x, "docs100x": build_docs100x,
      "docs1000x": lambda: build_docs100x(out="/tmp/sf1x1000", reps=1000),
      "docsalt100x": build_docsalt100x,
+     "docsalt1000x": lambda: build_docsalt100x(out="/tmp/sfsalt1000",
+                                               reps=1000),
      "vecs50x": build_vecs50x, "vecs500x": build_vecs500x,
      "rel10x": build_rel10x}[which]()

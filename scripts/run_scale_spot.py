@@ -10,7 +10,8 @@
 Families (corpus in _CORPUS): docs10x vecs50x rel10x pipeline10x
 bpe500 funnel100x ivfpq1m drafts10x spans100x lsh100x simhash100x
 simhash1000x mm06_100x lm100x row_ops100x s14_50x s15_50x s15_500k
-s15_arrow_ab s14_arrow_ab kmeans1m — each docstring states its
+s15_arrow_ab s14_arrow_ab simhash_arrow_ab kmeans1m — each docstring
+states its
 sub-oracles and the
 COVERAGE.md section that interprets its numbers.
 
@@ -1454,6 +1455,57 @@ def s15_arrow_ab(spark) -> None:
               flush=True)
 
 
+def simhash_arrow_ab(spark) -> None:
+    """The r10 verdict's "What's wrong #2" executed: the 60-bit
+    wide-simhash frame at 5M docs (sfsalt1000) with the bit-vote as
+    one numpy bit-unpack + reduceat segment sum
+    (simhash_frame_wide_arrow) vs the interpreted HOF vote
+    (simhash_frame_wide, 169.7 s at this rung in late r10). The hash
+    projection is byte-shared (_wide_hash_frame), so the integer vote
+    cannot diverge — equality is still asserted exceptAll both
+    directions at the full 5M (cheap next to the frame itself).
+    Engines alternate hof/arrow/hof/arrow and every run is BRACKETED
+    by the multicore cal (single-thread spin cannot see core theft —
+    the r11 finding: two sessions read the hof wall at 68.5 s and
+    355.2 s at matched spins 0.59/0.56), so each wall can be
+    normalized by its own bracket like bench.py does."""
+    from pyspark.sql import functions as F
+
+    from indexr_spark.operators.text import (
+        simhash_frame_wide,
+        simhash_frame_wide_arrow,
+    )
+
+    def _cal() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    docs = spark.read.parquet(
+        "/tmp/sfsalt1000/documents.parquet").select("doc_id", "text")
+    ndocs = docs.count()
+    print(f"corpus: {ndocs} docs  cal={_cal()}", flush=True)
+    outs = {}
+    for tag, fn, i in (("hof", simhash_frame_wide, 0),
+                       ("arrow", simhash_frame_wide_arrow, 0),
+                       ("hof", simhash_frame_wide, 1),
+                       ("arrow", simhash_frame_wide_arrow, 1)):
+        t0 = time.time()
+        out = fn(docs, bits=60).localCheckpoint()
+        n = out.count()
+        print(f"60bit frame[5M,{tag},{i}]  {time.time() - t0:.1f}s  "
+              f"rows={n}  cal={_cal()}  spin={_spin()}", flush=True)
+        outs[tag] = out
+    d1 = outs["arrow"].exceptAll(outs["hof"]).count()
+    d2 = outs["hof"].exceptAll(outs["arrow"]).count()
+    assert d1 == 0 and d2 == 0, f"engines diverge: {d1}/{d2} rows"
+    print("engine equality arrow == hof at 5M: exceptAll 0 both "
+          "directions", flush=True)
+
+
 def s14_arrow_ab(spark) -> None:
     """The r10 verdict's named lever executed: s14's fixed-model
     probe at 1M vectors (vecs500x) with the corpus side — norm,
@@ -1541,6 +1593,7 @@ _CORPUS = {"docs10x": "/tmp/sf1x10/documents.parquet",
            "row_ops100x": "/tmp/sfsalt100/documents.parquet",
            "s15_arrow_ab": "/tmp/sfvec500/embeddings.parquet",
            "s14_arrow_ab": "/tmp/sfvec500/embeddings.parquet",
+           "simhash_arrow_ab": "/tmp/sfsalt1000/documents.parquet",
            "kmeans1m": "/tmp/sfvec500/embeddings.parquet",
            "simhash1000x": "/tmp/sfsalt1000/documents.parquet"}
 
@@ -1589,6 +1642,7 @@ if __name__ == "__main__":
                 "row_ops100x": "d30_pipeline_funnel",
                 "s15_arrow_ab": "s06_ivf_topk",
                 "s14_arrow_ab": "s06_ivf_topk",
+                "simhash_arrow_ab": "d32_simhash_pairs",
                 "kmeans1m": "s06_ivf_topk",
                 "simhash1000x": "d32_simhash_pairs"}[which]
         cap = os.environ.pop("INDEXR_LSH_MAX_BUCKET", None)
@@ -1610,6 +1664,7 @@ if __name__ == "__main__":
      "s14_50x": s14_50x, "s15_50x": s15_50x, "s15_500k": s15_500k,
      "lm100x": lm100x, "row_ops100x": row_ops100x,
      "s15_arrow_ab": s15_arrow_ab, "s14_arrow_ab": s14_arrow_ab,
+     "simhash_arrow_ab": simhash_arrow_ab,
      "kmeans1m": kmeans1m,
      "simhash1000x": simhash1000x}[which](spark)
     spark.stop()
