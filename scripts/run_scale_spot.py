@@ -1512,23 +1512,36 @@ def s14_arrow_ab(spark) -> None:
     coarse assign, residual, PQ encode — as ONE BLAS mapInPandas
     pass (engine='arrow') vs the certified literal chain. The 13.2 s
     steady literal wall from late-r10 was stage-attributed to exactly
-    this corpus-side work, so the A/B isolates the lever. Two runs
-    per engine (the first literal run carries the family's known
-    ~2-min JIT tax); exceptAll equality asserted BOTH directions on
-    the steady outputs — the registered row keeps engine='literal'
-    as its certified plan."""
+    this corpus-side work, so the A/B isolates the lever. Engines
+    ALTERNATE literal/arrow/literal/arrow with a multicore-cal
+    bracket around every run (the simhash_arrow_ab lesson: the r11
+    sessions read the literal wall at 80-251 s under phase noise that
+    single-thread spin cannot see, vs r10's calm 13.2 s); exceptAll
+    equality asserted BOTH directions on the steady outputs — the
+    registered row keeps engine='literal' as its certified plan."""
+    from pyspark.sql import functions as F
+
     from indexr_spark.sources.vector_store import s14_ivfpq_probe
 
-    sf = "/tmp/sfvec500"
-    outs = {}
-    for engine in ("literal", "arrow"):
-        for i in range(2):
+    def _cal() -> float:
+        runs = []
+        for _ in range(3):
             t0 = time.time()
-            out = s14_ivfpq_probe(spark, sf, engine=engine).localCheckpoint()
-            n = out.count()
-            print(f"s14_ivfpq_probe[1M,{engine},{i}]  "
-                  f"{time.time() - t0:.1f}s  rows={n}  spin={_spin()}",
-                  flush=True)
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    sf = "/tmp/sfvec500"
+    print(f"start cal={_cal()}", flush=True)
+    outs = {}
+    for engine, i in (("literal", 0), ("arrow", 0),
+                      ("literal", 1), ("arrow", 1)):
+        t0 = time.time()
+        out = s14_ivfpq_probe(spark, sf, engine=engine).localCheckpoint()
+        n = out.count()
+        print(f"s14_ivfpq_probe[1M,{engine},{i}]  "
+              f"{time.time() - t0:.1f}s  rows={n}  cal={_cal()}  "
+              f"spin={_spin()}", flush=True)
         outs[engine] = out
     d1 = outs["arrow"].exceptAll(outs["literal"]).count()
     d2 = outs["literal"].exceptAll(outs["arrow"]).count()
