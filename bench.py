@@ -169,6 +169,8 @@ HEADLINE = [
     "d36_redact_pii",
     "d37_tokenizer_fertility",
     "d38_bigram_logprob",
+    "d40_dup_spans",
+    "d41_quality_classifier",
     "s13_pq_encode",
     "s12_kmeans_step",
     "s01_cosine_topk",

@@ -62,51 +62,11 @@ def _dots_2d(col: Column, vectors: list[list[float]]) -> Column:
     )
 
 
-def _make_round6_half_up():
-    """Factory for the numpy rounding that matches Spark's
-    ``F.round(x, 6)`` exactly (the r10 ADVICE finding): Spark rounds
-    HALF_UP over the double's SHORTEST DECIMAL representation
-    (BigDecimal(Double.toString(x)).setScale(6, HALF_UP)), while
-    np.round is binary round-half-to-even — the two genuinely differ
-    at 6dp half-boundaries (0.1234565 → 0.123457 in Spark but
-    0.123456 under np.round). The fast path here is scaled-double
-    HALF_UP (floor(|x|·1e6 + 0.5), sign restored — away-from-zero on
-    halves, like Spark); values whose scaled fraction sits within
-    1e-6 of 0.5 — the only band where binary scaling can disagree
-    with decimal-string scaling (error < 1e-9) — are re-decided from
-    Decimal(repr(x)), which is the same shortest-decimal value Java's
-    Double.toString produces. NaN passes through untouched.
-
-    Shaped as a factory returning a NESTED function so cloudpickle
-    serializes it BY VALUE: executor closures (mapInPandas/
-    applyInPandas bodies) capture the returned function without
-    needing this package importable on workers — the same
-    self-containment rule every Arrow closure in this module follows.
-    Equality with F.round is pinned in tests/test_semdedup_arrow.py
-    on an explicit half-boundary battery."""
-
-    def round6_half_up(a):
-        from decimal import ROUND_HALF_UP, Decimal
-
-        import numpy as np
-
-        a = np.asarray(a, dtype=np.float64)
-        scaled = np.abs(a) * 1e6
-        fl = np.floor(scaled)
-        frac = scaled - fl
-        out = np.copysign(np.where(frac >= 0.5, fl + 1.0, fl), a) / 1e6
-        suspect = np.abs(frac - 0.5) < 1e-6
-        if suspect.any():
-            q = Decimal("0.000001")
-            for pos in zip(*np.nonzero(suspect)):
-                out[pos] = float(
-                    Decimal(repr(float(a[pos]))).quantize(
-                        q, rounding=ROUND_HALF_UP
-                    )
-                )
-        return out
-
-    return round6_half_up
+# Hoisted to functions/compat.py in r12 (the r11 verdict's task 6:
+# one shared factory for every numpy path that mirrors F.round).
+# Re-exported under the historical name so existing consumers and the
+# test battery keep their import site.
+from indexr_spark.functions.compat import make_round6_half_up as _make_round6_half_up  # noqa: E402
 
 
 def _unit_scaled(vectors: list[list[float]]) -> list[list[float]]:
@@ -981,7 +941,10 @@ def neardup_pairs_numpy(
     dedup, wrong for a hash-matched correctness row. d10 stays the
     oracle-exact reference; the pytest asserts this path reproduces
     d10's pairs on the test corpora (where margins are far beyond
-    float noise).
+    float noise). Since r12 the presentation round itself is
+    Spark-equivalent HALF_UP (the shared compat factory), so the only
+    residual divergence source is association order on the raw sum —
+    the tie DIRECTION can no longer disagree.
 
     Memory bound: one bucket's (k x dim) block plus its (k x k)
     cosine matrix must fit one worker (k=20k, dim=64 -> ~3.2 GB for
@@ -1001,6 +964,13 @@ def neardup_pairs_numpy(
     bucketed = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).select("vec_id", "e", _bucket_expr().alias("bucket"))
+
+    # Spark-equivalent 6dp rounding (r12, the r11 verdict's task 6):
+    # the pin test compares these cosines against F.round(raw, 6)
+    # tuple-for-tuple, so the presentation round must be HALF_UP over
+    # shortest-decimal, not np.round's half-to-even — captured OUTSIDE
+    # the closure so cloudpickle ships it by value.
+    r6 = _make_round6_half_up()
 
     def block(pdf):
         # self-contained worker: executors don't have the repo on
@@ -1023,7 +993,7 @@ def neardup_pairs_numpy(
         a, b = ids[iu[0][mask]], ids[iu[1][mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"a_id": lo, "b_id": hi, "cosine": np.round(S[iu][mask], 6)}
+            {"a_id": lo, "b_id": hi, "cosine": r6(S[iu][mask])}
         )
 
     return bucketed.groupBy("bucket").applyInPandas(

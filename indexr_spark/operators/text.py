@@ -4008,8 +4008,8 @@ ORACLE["d37_tokenizer_fertility"] = D37_ORACLE_DRAFT
 
 
 # ---------------------------------------------------------------------------
-# Exact duplicated-span detection (d40 draft — library-only until the
-# registration queue allows, the d36/d37 protocol). The Lee et al.
+# Exact duplicated-span detection (d40 — drafted r9, REGISTERED r12
+# on the queue schedule, the d36/d37 protocol). The Lee et al.
 # 2022 finding ("Deduplicating Training Data Makes Language Models
 # Better"): verbatim substrings repeated ACROSS documents — boiler-
 # plate, licence blocks, templated passages — survive document-level
@@ -4163,8 +4163,8 @@ def dup_spans(
 
 
 def d40_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The d40 registry form (NOT registered until the window allows —
-    REGISTRY.md): maximal cross-doc duplicated spans over documents."""
+    """The d40 registry form (REGISTERED r12 — REGISTRY.md queue):
+    maximal cross-doc duplicated spans over documents."""
     d = load_table(spark, sf_dir, "documents")
     return dup_spans(d).orderBy("doc_a", "doc_b", "a_start", "b_start")
 
@@ -4196,7 +4196,8 @@ ORDER BY doc_a, doc_b, a_start, b_start
 
 
 # ---------------------------------------------------------------------------
-# Model-based quality scoring (d41 draft). d03/d24 are HEURISTIC
+# Model-based quality scoring (d41 — drafted r9, REGISTERED r12 on
+# the queue schedule). d03/d24 are HEURISTIC
 # quality signals (length/punctuation/stopword ratios); the standard
 # production filter is a trained linear text classifier scored over
 # hashed word n-grams (the fastText shape used by CCNet and the GPT-3
@@ -4245,8 +4246,8 @@ def quality_classifier(d: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def d41_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The d41 registry form (NOT registered until the window allows —
-    REGISTRY.md): hashed linear quality scores over documents."""
+    """The d41 registry form (REGISTERED r12 — REGISTRY.md queue):
+    hashed linear quality scores over documents."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         quality_classifier(d)
@@ -4524,4 +4525,15 @@ QUERIES = {
     "d36_redact_pii": d36_redact_pii,
     "d37_tokenizer_fertility": d37_tokenizer_fertility,
     "d38_bigram_logprob": d38_bigram_logprob,
+    "d40_dup_spans": d40_dup_spans,
+    "d41_quality_classifier": d41_quality_classifier,
 }
+
+# Registered r12 (REGISTRY.md queue — the scheduled pair): both draft
+# oracles become the certified oracles unchanged. d40 proven since r9
+# by tests/test_pipeline_ops.py (hand-built span fixtures covering
+# maximality/diagonals/orientation + full-corpus DuckDB replay at
+# sf0.001 and sf0.01); d41 likewise (hand-scored docs per gram branch
+# + full-corpus replay at both SFs).
+ORACLE["d40_dup_spans"] = D40_ORACLE_DRAFT
+ORACLE["d41_quality_classifier"] = D41_ORACLE_DRAFT

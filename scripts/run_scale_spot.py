@@ -51,6 +51,27 @@ def _spin() -> float:
     return round(time.time() - t0, 2)
 
 
+
+def _make_cal(spark):
+    """min-of-3 multicore cal (bench.py's instrument) — this box's
+    throttle phases steal CORES, which single-thread spin cannot see
+    (r9 calm-hunt finding); every bracketed row attributes its wall
+    to machine state post-hoc. Hoisted to module level in r12 (the
+    r11 ADVICE): one instrument, not seven verbatim copies."""
+
+    def _cal() -> float:
+        from pyspark.sql import functions as F
+
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    return _cal
+
+
 def _run(spark, name, fn) -> None:
     t0 = time.time()
     n = fn().count()
@@ -609,17 +630,7 @@ def spans100x(spark) -> None:
             df._jdf.queryExecution(), "formatted"
         )
 
-    def _cal() -> float:
-        # min-of-3 multicore cal (bench.py's instrument) — this box's
-        # throttle phases steal CORES, which single-thread spin cannot
-        # see (r9 calm-hunt finding); every row below brackets its
-        # wall with cal so readings are attributable post-hoc.
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     salt = spark.read.parquet("/tmp/sfsalt100/documents.parquet")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -726,13 +737,7 @@ def lsh100x(spark) -> None:
             df._jdf.queryExecution(), "formatted"
         )
 
-    def _cal() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     prefix_dir = "/tmp/sfsalt10"
     if not os.path.exists(f"{prefix_dir}/documents.parquet"):
@@ -846,13 +851,7 @@ def simhash100x(spark) -> None:
             df._jdf.queryExecution(), "formatted"
         )
 
-    def _cal() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     def census(sim, bits, bands):
         """Σ C(bucket,2) over (band, slice-value) buckets — the exact
@@ -1018,13 +1017,7 @@ def mm06_100x(spark) -> None:
             df._jdf.queryExecution(), "formatted"
         )
 
-    def _cal() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     def rollup(pairs_df, tag):
         assert "CartesianProduct" not in _explain(pairs_df), f"{tag} cartesian"
@@ -1114,13 +1107,7 @@ def simhash1000x(spark) -> None:
         simhash_pairs_wide,
     )
 
-    def _cal() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     docs1x = spark.read.parquet(
         "/root/testdata/sf0.1/documents.parquet").select("doc_id", "text")
@@ -1476,13 +1463,7 @@ def simhash_arrow_ab(spark) -> None:
         simhash_frame_wide_arrow,
     )
 
-    def _cal() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     docs = spark.read.parquet(
         "/tmp/sfsalt1000/documents.parquet").select("doc_id", "text")
@@ -1498,6 +1479,11 @@ def simhash_arrow_ab(spark) -> None:
         n = out.count()
         print(f"60bit frame[5M,{tag},{i}]  {time.time() - t0:.1f}s  "
               f"rows={n}  cal={_cal()}  spin={_spin()}", flush=True)
+        # round-0 (warm) checkpoints would otherwise sit orphaned in
+        # executor storage while the steady runs are being wall-timed
+        # (r11 ADVICE) — release before overwriting
+        if tag in outs:
+            outs[tag].unpersist()
         outs[tag] = out
     d1 = outs["arrow"].exceptAll(outs["hof"]).count()
     d2 = outs["hof"].exceptAll(outs["arrow"]).count()
@@ -1523,13 +1509,7 @@ def s14_arrow_ab(spark) -> None:
 
     from indexr_spark.sources.vector_store import s14_ivfpq_probe
 
-    def _cal() -> float:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(50_000_000).repartition(64).agg(F.sum("id")).collect()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+    _cal = _make_cal(spark)
 
     sf = "/tmp/sfvec500"
     print(f"start cal={_cal()}", flush=True)
@@ -1542,6 +1522,10 @@ def s14_arrow_ab(spark) -> None:
         print(f"s14_ivfpq_probe[1M,{engine},{i}]  "
               f"{time.time() - t0:.1f}s  rows={n}  cal={_cal()}  "
               f"spin={_spin()}", flush=True)
+        # release the round-0 warm checkpoint before overwriting (r11
+        # ADVICE — eviction is otherwise GC-timing dependent noise)
+        if engine in outs:
+            outs[engine].unpersist()
         outs[engine] = out
     d1 = outs["arrow"].exceptAll(outs["literal"]).count()
     d2 = outs["literal"].exceptAll(outs["arrow"]).count()

@@ -93,3 +93,84 @@ def test_find_regressions_would_have_caught_r3_s06():
     shape, so the EXPLAIN snapshots could not catch it."""
     r = bench.find_regressions({"s06_ivf_topk": 7.49}, {"s06_ivf_topk": 2.23})
     assert "s06_ivf_topk" in r
+
+
+def _raise_fixture():
+    """A minimal baseline + valid evidence pair for the raise guardrail
+    (scripts/merge_new_baseline_entries.py — the r12 codification of
+    the d07/d10/d21 evidence bar)."""
+    base = {
+        "spark_cal_sec": 2.0,
+        "value": 1.5,
+        "queries": {"q99_toy": 0.5, "q98_other": 1.0},
+    }
+    evidence = {
+        "new_value_sec": 0.8,
+        "note": "q99_toy's 0.5 s was a flicker minimum; bench-context "
+                "reading is 0.8 s (interleaved A/B, code unchanged)",
+        "ab_runs": [
+            {"value_sec": 0.8, "cal_start_sec": 2.1, "cal_end_sec": 2.2},
+            {"value_sec": 0.79, "cal_start_sec": 2.0, "cal_end_sec": 2.1},
+        ],
+    }
+    return base, evidence
+
+
+def test_baseline_raise_accepts_full_evidence():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import merge_new_baseline_entries as m
+
+    base, ev = _raise_fixture()
+    out = m.apply_raise(base, "q99_toy", 0.8, ev)
+    assert out["queries"]["q99_toy"] == 0.8
+    assert out["value"] == 1.8  # total re-derived
+    ledger = out["notes"]["raise_q99_toy"]
+    assert ledger["old_sec"] == 0.5 and ledger["new_sec"] == 0.8
+    assert ledger["ab_runs"] == ev["ab_runs"]
+
+
+def test_baseline_raise_refused_without_evidence():
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import merge_new_baseline_entries as m
+
+    base, ev = _raise_fixture()
+    # no note
+    bad = {**ev, "note": ""}
+    with pytest.raises(m.RaiseEvidenceError, match="note"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q99_toy", 0.8, bad)
+    # single un-interleaved run
+    bad = {**ev, "ab_runs": ev["ab_runs"][:1]}
+    with pytest.raises(m.RaiseEvidenceError, match="ab_runs"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q99_toy", 0.8, bad)
+    # run missing its cal bracket
+    bad = {**ev, "ab_runs": [{"value_sec": 0.8}, {"value_sec": 0.79}]}
+    with pytest.raises(m.RaiseEvidenceError, match="cal_start_sec"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q99_toy", 0.8, bad)
+    # contended bracket (>1.45x baseline cal 2.0 -> lim 2.9)
+    bad = {
+        **ev,
+        "ab_runs": [
+            {"value_sec": 0.8, "cal_start_sec": 5.0, "cal_end_sec": 2.1},
+            {"value_sec": 0.79, "cal_start_sec": 2.0, "cal_end_sec": 2.1},
+        ],
+    }
+    with pytest.raises(m.RaiseEvidenceError, match="contended"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q99_toy", 0.8, bad)
+    # raise above its own evidence
+    with pytest.raises(m.RaiseEvidenceError, match="not one of the recorded"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q99_toy", 0.9,
+                      dict(ev, new_value_sec=0.9))
+    # lowering is not a raise
+    with pytest.raises(m.RaiseEvidenceError, match="increase"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q99_toy", 0.4, ev)
+    # adding through the raise path
+    with pytest.raises(m.RaiseEvidenceError, match="add-only"):
+        m.apply_raise(dict(base, queries=dict(base["queries"])), "q97_new", 0.8, ev)

@@ -10,6 +10,7 @@ to cross block boundaries (the triangular mask's off-by-one habitat).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from indexr_spark.operators.similarity import semdedup, semdedup_arrow
@@ -84,18 +85,55 @@ def test_no_join_in_arrow_plan(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
-def test_round6_half_up_matches_spark_f_round(spark):
+def _round6_consumers():
+    """Every site that binds the shared HALF_UP factory (r12: hoisted
+    to functions/compat.py, the r11 verdict's task 6). The battery
+    below runs per consumer import path so a future local fork of the
+    rounding — the exact drift the hoist exists to prevent — fails
+    here by name."""
+    from indexr_spark.functions import compat
+    from indexr_spark.operators import similarity
+
+    return {
+        "functions.compat.make_round6_half_up": compat.make_round6_half_up,
+        "operators.similarity._make_round6_half_up": similarity._make_round6_half_up,
+    }
+
+
+def test_round6_consumers_share_one_factory():
+    """similarity's historical name must BE the compat factory (not a
+    copy), and no numpy rounding fork may survive anywhere in the
+    package: np.round mirroring a certified plan's F.round was the
+    r10 ADVICE bug class, closed repo-wide in r12."""
+    import re
+    from pathlib import Path
+
+    from indexr_spark.functions import compat
+
+    c = _round6_consumers()
+    assert all(f is compat.make_round6_half_up for f in c.values())
+    pkg = Path(compat.__file__).resolve().parent.parent
+    offenders = [
+        f"{p.relative_to(pkg)}:{i}"
+        for p in sorted(pkg.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if re.search(r"np\.round\(", line)
+    ]
+    assert not offenders, f"np.round survives in package source: {offenders}"
+
+
+@pytest.mark.parametrize("consumer", sorted(_round6_consumers()))
+def test_round6_half_up_matches_spark_f_round(spark, consumer):
     """The r10 ADVICE finding, pinned: Spark's F.round(x, 6) is
     HALF_UP over the double's shortest decimal repr, np.round is
     binary half-to-even — they genuinely differ at 6dp
-    half-boundaries. _make_round6_half_up must match Spark on an
+    half-boundaries. The shared factory must match Spark on an
     explicit boundary battery (including the 0.1234565 exemplar where
-    np.round provably disagrees) plus a dense off-boundary sweep."""
+    np.round provably disagrees) plus a dense off-boundary sweep —
+    parameterized over every consumer import path (r12)."""
     import numpy as np
 
-    from indexr_spark.operators.similarity import _make_round6_half_up
-
-    r6 = _make_round6_half_up()
+    r6 = _round6_consumers()[consumer]()
     battery = [
         0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.7499995,
         0.1234564999, 0.1234565001, 2.5e-7, -2.5e-7, 1.5e-6,
