@@ -42,11 +42,18 @@ def load_capture(path: str) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) < 2:
+    # positionals = everything before the first --flag
+    args = sys.argv[1:]
+    pos = []
+    for a in args:
+        if a.startswith("--"):
+            break
+        pos.append(a)
+    if not pos:
         sys.exit(__doc__)
-    cap = load_capture(sys.argv[1])
+    cap = load_capture(pos[0])
     base = load_capture(
-        sys.argv[2] if len(sys.argv) > 2 else str(_REPO / "bench_baseline.json")
+        pos[1] if len(pos) > 1 else str(_REPO / "bench_baseline.json")
     )
     meta = {
         k: cap[k]
@@ -87,6 +94,23 @@ def main() -> None:
         f"median ratio {med:.3f} | shared-total {tot_c:.3f} vs {tot_b:.3f}"
         f" = {tot_c / tot_b:.3f}x raw over {len(shared)} queries"
     )
+    # --watch a,b,c — print the named rows regardless of rank (the r11
+    # verdict's watch-list protocol: the next accepted capture must
+    # clear each by name, so the audit view must show them even when
+    # they are nowhere near the worst-8)
+    if "--watch" in sys.argv:
+        names = sys.argv[sys.argv.index("--watch") + 1].split(",")
+        mf = cap.get("machine_factor_vs_baseline") or 1.0
+        print("watch list:")
+        for k in names:
+            if k not in qs or k not in bq:
+                print(f"  {k}: not in both files")
+                continue
+            r = qs[k] / bq[k] if bq[k] else float("inf")
+            print(
+                f"  {k}: {qs[k]:.3f} vs {bq[k]:.3f} = {r:.2f}x raw, "
+                f"{r / mf:.2f}x normalized (mf {mf:.3f})"
+            )
 
 
 if __name__ == "__main__":
