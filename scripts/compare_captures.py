@@ -99,7 +99,10 @@ def main() -> None:
     # clear each by name, so the audit view must show them even when
     # they are nowhere near the worst-8)
     if "--watch" in sys.argv:
-        names = sys.argv[sys.argv.index("--watch") + 1].split(",")
+        i = sys.argv.index("--watch") + 1
+        if i >= len(sys.argv):
+            sys.exit("usage: --watch name1,name2,... (flag value missing)")
+        names = sys.argv[i].split(",")
         mf = cap.get("machine_factor_vs_baseline") or 1.0
         print("watch list:")
         for k in names:

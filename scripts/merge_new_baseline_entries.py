@@ -125,19 +125,29 @@ def apply_raise(base: dict, name: str, new_value: float, evidence: dict) -> dict
     return base
 
 
+def _flag_value(flag: str) -> str:
+    """sys.argv value following `flag`, or a usage exit when the flag
+    dangles at the end of the command line (the r12 ADVICE finding:
+    an unchecked index+1 lookup raises IndexError instead of usage)."""
+    i = sys.argv.index(flag) + 1
+    if i >= len(sys.argv):
+        sys.exit(f"usage: {flag} VALUE (flag value missing)")
+    return sys.argv[i]
+
+
 def main() -> None:
     write = "--write" in sys.argv
     base_path = _REPO / "bench_baseline.json"
     base = json.loads(base_path.read_text())
 
     if "--raise" in sys.argv:
-        name = sys.argv[sys.argv.index("--raise") + 1]
+        name = _flag_value("--raise")
         if "--evidence" not in sys.argv:
             sys.exit(
                 "a raise REQUIRES --evidence FILE.json (bracketed "
                 "interleaved A/B runs + a note) — see validate_raise_evidence"
             )
-        ev_path = Path(sys.argv[sys.argv.index("--evidence") + 1])
+        ev_path = Path(_flag_value("--evidence"))
         evidence = json.loads(ev_path.read_text())
         new_value = float(evidence["new_value_sec"])
         try:
