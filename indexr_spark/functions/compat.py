@@ -39,11 +39,22 @@ def make_round6_half_up():
     at 6dp half-boundaries (0.1234565 → 0.123457 in Spark but
     0.123456 under np.round). The fast path here is scaled-double
     HALF_UP (floor(|x|·1e6 + 0.5), sign restored — away-from-zero on
-    halves, like Spark); values whose scaled fraction sits within
-    1e-6 of 0.5 — the only band where binary scaling can disagree
-    with decimal-string scaling (error < 1e-9) — are re-decided from
-    Decimal(repr(x)), which is the same shortest-decimal value Java's
-    Double.toString produces. NaN passes through untouched.
+    halves, like Spark); values whose scaled fraction sits inside the
+    suspect band around 0.5 — where binary scaling can disagree with
+    decimal-string scaling — are re-decided from Decimal(repr(x)),
+    which is the same shortest-decimal value Java's Double.toString
+    produces. The band scales with magnitude, max(1e-6, scaled·4ulp):
+    the error of |x|·1e6 grows with |x|, and the r12 fixed 1e-6 band
+    provably diverged from F.round at half-boundaries for
+    |x| ≳ 6.6e4 (66531.8903225 → .890322 vs Spark's .890323; ~800 of
+    180k boundary doubles per decade — the r12 ADVICE finding, pinned
+    across nine magnitude decades in tests/test_semdedup_arrow.py).
+    Cost contract: for |x| ≳ 5.6e8 the band covers the whole fraction
+    range, so EVERY element takes the per-element Decimal fallback —
+    still exact, but no longer vectorized; consumers in that regime
+    should round JVM-side with F.round instead. Every current
+    consumer feeds cosines in [-1, 1], where suspects are rare and
+    the fast path dominates. NaN passes through untouched.
 
     Shaped as a factory returning a NESTED function so cloudpickle
     serializes it BY VALUE: executor closures (mapInPandas/
@@ -64,7 +75,12 @@ def make_round6_half_up():
         fl = np.floor(scaled)
         frac = scaled - fl
         out = np.copysign(np.where(frac >= 0.5, fl + 1.0, fl), a) / 1e6
-        suspect = np.abs(frac - 0.5) < 1e-6
+        # magnitude-scaled suspect band: |x|*1e6 carries relative
+        # error O(ulp), so the absolute uncertainty of `frac` grows
+        # as scaled*2**-52; 4 ulps covers the multiply + subtract
+        # chain with margin (exactness pinned over nine decades in
+        # tests/test_semdedup_arrow.py)
+        suspect = np.abs(frac - 0.5) < np.maximum(1e-6, scaled * 4.0 * 2.0**-52)
         if suspect.any():
             q = Decimal("0.000001")
             for pos in zip(*np.nonzero(suspect)):

@@ -158,6 +158,55 @@ def test_round6_half_up_matches_spark_f_round(spark, consumer):
     assert np.isnan(r6(np.array([float("nan")]))[0])
 
 
+def test_round6_half_up_large_magnitude_boundaries(spark):
+    """The r12 ADVICE finding, pinned: the suspect band that routes
+    half-boundary doubles to the Decimal fallback was fixed at 1e-6,
+    but the absolute error of scaled = |x|*1e6 grows with magnitude —
+    at |x| >= ~6.6e4 boundary doubles started rounding DOWN where
+    Spark's HALF_UP rounds up (66531.8903225 → .890322 vs .890323).
+    The band now scales as max(1e-6, scaled*4*2**-52); this battery
+    sweeps exact half-boundary decimals across nine integer-digit
+    decades (1 to 9 digits, both signs) and must match F.round
+    element-for-element. It also proves the old fixed band would
+    still fail here, so the battery keeps testing the fix."""
+    import numpy as np
+
+    from indexr_spark.functions import compat
+
+    rng = np.random.default_rng(12)
+    battery = [66531.8903225, -66531.8903225]
+    for digits in range(1, 10):
+        lo, hi = 10 ** (digits - 1), 10**digits
+        for i, f, s in zip(
+            rng.integers(lo, hi, 60),
+            rng.integers(0, 10**6, 60),
+            rng.integers(0, 2, 60),
+        ):
+            battery.append(float(f"{'-' if s else ''}{i}.{f:06d}5"))
+    rows = [(i, float(v)) for i, v in enumerate(battery)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    want = {
+        r["i"]: r["y"]
+        for r in df.select("i", F.round("x", 6).alias("y")).collect()
+    }
+    arr = np.array(battery, dtype=np.float64)
+    got = compat.make_round6_half_up()(arr)
+    for i, v in enumerate(battery):
+        assert got[i] == want[i], (i, v, got[i], want[i])
+    # the r12 fixed-band fast path (floor(scaled)+1 iff frac>=0.5,
+    # Decimal only within 1e-6 of 0.5) must disagree somewhere in
+    # this battery, or the sweep stopped covering the bug class
+    scaled = np.abs(arr) * 1e6
+    frac = scaled - np.floor(scaled)
+    fast = np.copysign(
+        np.where(frac >= 0.5, np.floor(scaled) + 1.0, np.floor(scaled)), arr
+    ) / 1e6
+    old_suspect = np.abs(frac - 0.5) < 1e-6
+    old = np.where(old_suspect, got, fast)
+    diverged = [i for i in range(len(battery)) if old[i] != want[i]]
+    assert diverged, "battery no longer exercises the magnitude bug class"
+
+
 def test_zero_norm_vector_engines_agree(spark):
     """A zero-norm embedding must not split the engines (r10 ADVICE):
     the JVM's non-ANSI division yields NULL csim (sorts first in the
