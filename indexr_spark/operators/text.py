@@ -3595,24 +3595,31 @@ def d34_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- d35 (REGISTERED in r9 per the REGISTRY.md window schedule) ----
-# Fixed, corpus-independent merge table for certifying bpe_apply
-# against a SQL oracle: 12 merges chosen to tokenize the corpus's
-# vocabulary nontrivially (chained merges, </w> merges, and merges
-# that never fire are all exercised). Fixing the table decouples the
-# row from training — d34 already certifies bpe_train.
+# Fixed merge table for certifying bpe_apply against a SQL oracle.
+# Since r13 the table IS the first 12 merges bpe_train learns on the
+# DRIVER corpus (sf0.01 documents — the r12 verdict's task 5), pinned
+# by tests/test_bpe.py::test_d35_merges_are_d34s_learned_prefix: a
+# training defect in d34 (the registry's only rows-only row) now
+# flips a pytest assertion tied to an oracle-backed row instead of
+# hiding behind a hand-picked constant. Kept as a literal (not
+# computed at query time) so d35/d37 stay cheap and SF-independent:
+# the encode exercises chained merges (er→er</w>, ow→ow</w>) and
+# </w> merges on every corpus, and at non-driver SFs it is simply a
+# fixed-tokenizer apply, which is the production posture anyway
+# (tokenizers are trained once, applied everywhere).
 D35_MERGES: list[tuple[str, str]] = [
-    ("a", "n"),
-    ("t", "a"),
-    ("ta", "b"),
-    ("l", "e"),
-    ("tab", "le"),
-    ("table", "</w>"),
-    ("s", "c"),
-    ("sc", "an"),
-    ("r", "o"),
-    ("ro", "w"),
+    ("e", "r"),
     ("e", "</w>"),
-    ("d", "a"),
+    ("n", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("o", "r"),
+    ("s", "t"),
+    ("h", "</w>"),
+    ("a", "t"),
+    ("l", "u"),
+    ("i", "n"),
 ]
 
 
@@ -3648,17 +3655,24 @@ def d35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges in DuckDB. The join is lossless: tokens come from words
     split on ' ', so no token can contain a space.
 
-    Why an oracle exists at all for an iterative encoder: (a) joining
-    a word's symbol list on a separator turns ONE greedy
-    left-to-right non-overlapping merge application into exactly SQL
-    `replace(s, l || sep || r, l || r)` (replace scans left to right
-    and never rescans replaced output); (b) replaying merges in RANK
-    ORDER is equivalent to bpe_apply's min-rank-first loop, because a
-    merge only ever CREATES adjacencies involving its own output
-    symbol, and any learned pair containing that symbol has a later
-    rank — so after rank k is applied exhaustively, no pair of rank
-    <= k can ever reappear. The replay is a rank-indexed recursive
-    CTE of depth len(D35_MERGES)."""
+    Why an oracle exists at all for an iterative encoder: (a) with
+    tokens DOUBLE-separated in the interior and single-separated at
+    the edges, ONE greedy left-to-right non-overlapping merge
+    application is exactly SQL
+    `replace(s, sep||l||sep||sep||r||sep, sep||l||r||sep)` — the
+    flanking separators force whole-token matches (the naive
+    single-separator form false-merges when a neighbor token merely
+    starts with r or ends with l, e.g. 'i' + 'n</w>' matching 'i␟n';
+    found the round the table became d34's learned prefix), each
+    match consumes one separator of the following double and the
+    replacement restores it, and replace never rescans replaced
+    output; (b) replaying merges in RANK ORDER is equivalent to
+    bpe_apply's min-rank-first loop, because a merge only ever
+    CREATES adjacencies involving its own output symbol, and any
+    learned pair containing that symbol has a later rank — so after
+    rank k is applied exhaustively, no pair of rank <= k can ever
+    reappear. The replay is a rank-indexed recursive CTE of depth
+    len(D35_MERGES)."""
     return (
         _d35_encode_frame(spark, sf_dir)
         .select("doc_id", F.array_join("bpe_toks", " ").alias("bpe_toks"))
@@ -3675,8 +3689,20 @@ def _d35_oracle_sql() -> str:
 WITH RECURSIVE merges(rank, l, r) AS (
   VALUES {vals}
 ), words AS (
+  -- token encoding: single separator at the string edges, DOUBLE
+  -- separator between tokens, so a merge pattern anchored as
+  -- sep||l||sep||sep||r||sep can only match a WHOLE left token l
+  -- followed by a WHOLE right token r. The r12 single-separator form
+  -- false-merged when a neighbor token merely STARTED with r (i + ␟
+  -- + n</w> contains 'i␟n') — unreachable under the hand-picked r9
+  -- table, exposed the round D35_MERGES became d34's learned prefix
+  -- ('n' is a prefix of 'n</w>'). Each match consumes one sep of the
+  -- following double, and the replacement restores it, so the
+  -- invariant survives every step and left-to-right non-overlapping
+  -- replace stays exactly one greedy merge application.
   SELECT doc_id, pos,
-         regexp_replace(w, '(.)', '\\1' || chr(31), 'g') || '</w>' AS s
+         chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31), 'g')
+           || '</w>' || chr(31) AS s
   FROM (
     SELECT doc_id,
            unnest(string_split(text, ' ')) AS w,
@@ -3688,12 +3714,17 @@ WITH RECURSIVE merges(rank, l, r) AS (
   SELECT doc_id, pos, s, 0 AS step FROM words
   UNION ALL
   SELECT e.doc_id, e.pos,
-         replace(e.s, m.l || chr(31) || m.r, m.l || m.r), e.step + 1
+         replace(e.s,
+                 chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                 chr(31) || m.l || m.r || chr(31)),
+         e.step + 1
   FROM enc e JOIN merges m ON m.rank = e.step
   WHERE e.step < {n}
 )
 SELECT doc_id,
-       flatten(list(string_split(s, chr(31)) ORDER BY pos)) AS bpe_toks
+       flatten(list(
+         list_filter(string_split(s, chr(31)), x -> x <> '')
+         ORDER BY pos)) AS bpe_toks
 FROM enc
 WHERE step = {n}
 GROUP BY doc_id

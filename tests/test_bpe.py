@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from indexr_spark.operators.text import bpe_apply, bpe_train
 from indexr_spark.tables import load_table
-from tests.conftest import SMOKE_SF
+from tests.conftest import ORACLE_SF, SMOKE_SF
 
 
 def ref_bpe_train(texts, n_merges, min_freq=2):
@@ -81,6 +81,32 @@ def test_bpe_train_matches_reference_on_corpus(spark):
     ]
     assert got == expect
     assert len(got) == 12  # this corpus supports at least 12 merges
+
+
+def test_d35_merges_are_d34s_learned_prefix(spark):
+    """D35_MERGES must BE the first 12 merges d34 learns on the
+    driver corpus (sf0.01 — the r12 verdict's task 5). Until r12 the
+    table was hand-picked, so d35's oracle-backed green row said
+    nothing about training; tying the constant to bpe_train's actual
+    output makes d35's row an indirect certificate of d34 — a
+    training defect now flips this assertion (checked against BOTH
+    the Spark trainer, the code d34 runs, and the plain-Python
+    Sennrich reference, so the constant can't drift with a shared
+    bug). First-12-of-20 equals n_merges=12 because greedy BPE
+    training is prefix-stable: each round's argmax does not depend on
+    how many later rounds will run."""
+    from indexr_spark.operators.text import D35_MERGES
+
+    docs = load_table(spark, ORACLE_SF, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref_merges, _ = ref_bpe_train(texts, 12)
+    expect_ref = [(l, r) for _, l, r, _, _ in ref_merges]
+    assert D35_MERGES == expect_ref, "constant != plain-Python training"
+    got_spark = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    assert D35_MERGES == got_spark, "constant != Spark bpe_train (d34)"
 
 
 def test_bpe_train_deterministic(spark):
