@@ -171,7 +171,9 @@ HEADLINE = [
     "d38_bigram_logprob",
     "d40_dup_spans",
     "d41_quality_classifier",
+    "d42_perplexity_bucket",
     "s13_pq_encode",
+    "s14_ivfpq_probe",
     "s12_kmeans_step",
     "s01_cosine_topk",
     "s02_embedding_pairs",

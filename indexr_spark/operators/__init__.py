@@ -63,33 +63,36 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 # the query and the oracle; keep the array form as a library function
 # with a pytest pin if the reshape needs proving cosmetic.
 #
-# Round-12 window (exactly 50), executing REGISTRY.md's "r12 window
+# Round-13 window (exactly 50), executing REGISTRY.md's "r13 window
 # must hold" pre-commitment:
-#   tier-B dues, 5 entries: q40/q42/q43/q44/q45 — deferred r11, at
-#   their 3-round ceiling now (relational.py file-frozen since their
-#   r9 greens, full oracle parity in pytest at HEAD). MUST score.
-#   rule (2), 2 entries: d40_dup_spans + d41_quality_classifier — the
-#   scheduled r12 registrations (REGISTRY.md queue), both
-#   pytest-oracle-proven since r9 (hand fixtures + both-SF DuckDB
-#   parity + 1000×/100× scale evidence).
-#   rule (1), 1 entry: s11_neardup_numpy — neardup_pairs_numpy's
-#   presentation round switched from np.round to the shared HALF_UP
-#   factory this round (the r11 verdict's task 6), so its r11 row no
-#   longer certifies HEAD. Output provably unchanged off half-
-#   boundaries, but changed code re-scores — the d35 precedent: a
-#   rule-1 row displaces one more deferral than the projection.
-#   rule (b): 42 of the 50 rows last scored r10. The 8 displaced rows
-#   (q02_filter_scan, q09_sort_limit_offset, q11_except, q13_date_agg,
-#   q14_conditional_agg, q15_window_running, q16_like_filters,
-#   q39_pruned_catalog_scan — all relational.py bodies, the one
-#   eligible family whose files r12 provably does not touch: this
-#   round's diffs land in text.py registration dicts, similarity.py,
-#   functions/compat.py, and bench tooling; q26 stays IN the window
-#   because compat.py — its dependency — gains the hoisted rounding
-#   factory this round) defer to r13 under tier B, named in
-#   _DEFERRED_DUE below and REGISTRY.md. Full oracle parity for all 8
-#   runs in pytest at HEAD.
-_ROUND = 12  # the round this _PRIORITY window was built for
+#   tier-B dues, 8 entries: q02/q09/q11/q13/q14/q15/q16/q39 —
+#   deferred r12, at their 3-round ceiling now (relational.py
+#   file-frozen since their r10 greens, full oracle parity in pytest
+#   at HEAD). MUST score.
+#   rule (2), 2 entries: s14_ivfpq_probe + d42_perplexity_bucket —
+#   the scheduled r13 registrations (REGISTRY.md queue), both
+#   pytest-oracle-proven at HEAD (s14: independent numpy replay of
+#   the whole probe + frame-exact DuckDB parity at both SFs + the
+#   Arrow deploy engine pinned frame-equal; d42: both-SF parity,
+#   boundary pin, suggest-helper contract).
+#   rule (1), 4 entries — code changed this round:
+#   s11_neardup_numpy + q26_div_zero_compat (functions/compat.py's
+#   HALF_UP suspect band now scales with magnitude — the r12 ADVICE
+#   finding; s11 executes the factory, q26 shares the module, the
+#   r12 precedent), d35_bpe_encode + d37_tokenizer_fertility
+#   (D35_MERGES is now d34's learned prefix and the oracle replay
+#   switched to whole-token double-separator matching — outputs
+#   changed, both re-proven at both SFs in pytest).
+#   rule (b): 36 of the 49 rows last scored r11. The 13 displaced
+#   rows (q03/q05/q10/q12/q28/q29/q30/q31/q32/q33/q35/q36/q41 — all
+#   relational.py bodies, the one eligible family whose file r13
+#   provably does not touch: this round's diffs land in
+#   functions/compat.py, text.py's BPE block + d42 registration
+#   entries, pq.py's s14 registration entries, and test/bench
+#   tooling) defer to r14 under tier B, named in _DEFERRED_DUE below
+#   and REGISTRY.md. Full oracle parity for all 13 runs in pytest at
+#   HEAD.
+_ROUND = 13  # the round this _PRIORITY window was built for
 
 # Machine-readable tier-B ledger (r12, the r11 verdict's task 7):
 # name → due round. A deferred row's staleness may reach 3 (the
@@ -99,72 +102,77 @@ _ROUND = 12  # the round this _PRIORITY window was built for
 # and every due row sits inside this window — the hand-maintained
 # window math now has an automated slip-catcher.
 _DEFERRED_DUE = {
-    "q02_filter_scan": 13,
-    "q09_sort_limit_offset": 13,
-    "q11_except": 13,
-    "q13_date_agg": 13,
-    "q14_conditional_agg": 13,
-    "q15_window_running": 13,
-    "q16_like_filters": 13,
-    "q39_pruned_catalog_scan": 13,
+    "q03_scalar_expr": 14,
+    "q05_distinct_agg": 14,
+    "q10_intersect": 14,
+    "q12_rollup": 14,
+    "q28_cube": 14,
+    "q29_anti_join": 14,
+    "q30_correlated_avg": 14,
+    "q31_outer_join": 14,
+    "q32_semi_join": 14,
+    "q33_shipping_priority": 14,
+    "q35_moving_avg": 14,
+    "q36_latest_per_user": 14,
+    "q41_grouping_sets": 14,
 }
 
 _PRIORITY = [
-    # tier-B dues (green r9, frozen relational.py, ceiling = r12)
-    "q40_array_functions",
-    "q42_window_suite",
-    "q43_null_semantics",
-    "q44_date_functions",
-    "q45_string_functions",
+    # tier-B dues (green r10, frozen relational.py, ceiling = r13)
+    "q02_filter_scan",
+    "q09_sort_limit_offset",
+    "q11_except",
+    "q13_date_agg",
+    "q14_conditional_agg",
+    "q15_window_running",
+    "q16_like_filters",
+    "q39_pruned_catalog_scan",
     # rule (2): registered this round
-    "d40_dup_spans",
-    "d41_quality_classifier",
-    # rule (1): changed code this round (HALF_UP presentation round)
+    "s14_ivfpq_probe",
+    "d42_perplexity_bucket",
+    # rule (1): changed code this round (compat.py band; D35_MERGES)
     "s11_neardup_numpy",
-    # rule (b): last scored r10 (42 of 50; the 8 _DEFERRED_DUE rows
-    # defer to r13)
-    "d01_token_stats",
-    "d02_lang_id",
-    "d03_quality_score",
-    "d05_exact_dedup",
-    "d06_canonical_dedup",
-    "d09b_jaccard_allpairs",
-    "d11_bpe_tokens",
-    "d13_stratified_sample",
-    "d17_doc_chunking",
-    "d18_sequence_packing",
-    "d19_source_mixture",
-    "d21_tfidf_topterms",
-    "d24_quality_filter",
-    "d25_token_budget_sample",
-    "d26_source_regression",
-    "d28_incremental_dedup",
-    "d30_pipeline_funnel",
-    "d32_simhash_pairs",
-    "d34_bpe_merges",
-    "d35_bpe_encode",
-    "d36_redact_pii",
-    "d37_tokenizer_fertility",
-    "mm01_decode_metadata",
-    "mm02_frame_sample",
-    "mm03_resize_payload",
-    "mm04_feature_extract",
-    "mm05_audio_frames",
-    "q21_sessionize",
-    "q22_events_hourly",
-    "q23_json_props",
-    "q25_asof_join",
     "q26_div_zero_compat",
-    "q27_salted_agg",
-    "q38_retention",
-    "q46_scalar_subquery",
-    "s01_cosine_topk",
-    "s02_embedding_pairs",
-    "s03_label_centroids",
-    "s07_exact_percentiles",
-    "s09_quantize_int8",
-    "s10_ann_recall",
-    "s12_kmeans_step",
+    "d35_bpe_encode",
+    "d37_tokenizer_fertility",
+    # rule (b): last scored r11 (36 of 49; the 13 _DEFERRED_DUE rows
+    # defer to r14)
+    "d04_fingerprint",
+    "d07_minhash_lsh",
+    "d08_simhash",
+    "d09_ngram_jaccard",
+    "d09r_jaccard_recall",
+    "d10_embedding_neardup",
+    "d12_dup_clusters",
+    "d14_normalize_text",
+    "d15_contamination",
+    "d16_repetition_stats",
+    "d20_cluster_keep_best",
+    "d22_bigram_counts",
+    "d23_ngram_contamination",
+    "d27_unigram_logprob",
+    "d29_entropy_profile",
+    "d31_weighted_sample",
+    "d33_neardup_incremental",
+    "d38_bigram_logprob",
+    "q01_pricing_summary",
+    "q04_agg_having_limit_offset",
+    "q06_join_broadcast",
+    "q07_multi_join",
+    "q08_window_topk",
+    "q17_union_hybrid",
+    "q18_sql_embedded",
+    "q19_update_column_expr",
+    "q20_events_rollup",
+    "q24_events_pivot",
+    "q34_range_join",
+    "q37_funnel",
+    "q47_moment_stats",
+    "s04_ann_lsh_topk",
+    "s05_approx_stats",
+    "s06_ivf_topk",
+    "s08_hll_sketch_union",
+    "s13_pq_encode",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"unknown priority names: {_missing}"

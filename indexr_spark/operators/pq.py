@@ -503,3 +503,18 @@ S13_ORACLE_DRAFT = _s13_oracle_sql()
 # convention), with the fold pinned lossless in tests/test_pq.py.
 QUERIES = {"s13_pq_encode": s13_pq_encode}
 ORACLE = {"s13_pq_encode": S13_ORACLE_DRAFT}
+
+# Registered r13 (REGISTRY.md queue): the full IVF-PQ probe path —
+# coarse assign → residual PQ encode → broadcast ADC shortlist at R →
+# exact-cosine rerank at k. The operator lives in sources/
+# vector_store.py (it IS the vector store's query path); the registry
+# entry rides this module the way s13's does. engine="literal" (the
+# default) is the certified plan; the Arrow corpus-side engine is
+# pinned frame-equal in tests/test_ivfpq.py.
+from indexr_spark.sources.vector_store import (  # noqa: E402
+    S14_ORACLE_DRAFT,
+    s14_ivfpq_probe,
+)
+
+QUERIES["s14_ivfpq_probe"] = s14_ivfpq_probe
+ORACLE["s14_ivfpq_probe"] = S14_ORACLE_DRAFT

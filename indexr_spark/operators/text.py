@@ -4558,6 +4558,7 @@ QUERIES = {
     "d38_bigram_logprob": d38_bigram_logprob,
     "d40_dup_spans": d40_dup_spans,
     "d41_quality_classifier": d41_quality_classifier,
+    "d42_perplexity_bucket": d42_perplexity_bucket,
 }
 
 # Registered r12 (REGISTRY.md queue — the scheduled pair): both draft
@@ -4568,3 +4569,10 @@ QUERIES = {
 # + full-corpus replay at both SFs).
 ORACLE["d40_dup_spans"] = D40_ORACLE_DRAFT
 ORACLE["d41_quality_classifier"] = D41_ORACLE_DRAFT
+
+# Registered r13 (REGISTRY.md queue): the CCNet mixing report over
+# d38's bigram-LM perplexity at the FIXED PPL_T1/PPL_T2 cutoffs —
+# draft proven since r9 (frame-exact DuckDB parity at sf0.001 and
+# sf0.01 with all three buckets populated, strict-< boundary pin,
+# suggest_ppl_thresholds contract, tests/test_pipeline_ops.py).
+ORACLE["d42_perplexity_bucket"] = D42_ORACLE_DRAFT
