@@ -166,6 +166,14 @@ def main() -> None:
     from indexr_spark import operators
     from indexr_spark.session import get_spark
 
+    # MERGE_CAL_RATIO tightens (never loosens) the calm gate: the r13
+    # hunt wrote d42/s14 entries at cal 2.6-3.0 / spin 0.92 — legal
+    # under the 1.45x bar but 2-3.3x their dry-run calm readings, i.e.
+    # contention maxima that would hide future regressions on those
+    # rows. The clamp keeps the committed 1.45x a CEILING; callers can
+    # only demand calmer.
+    cal_ratio = min(1.45, float(os.environ.get("MERGE_CAL_RATIO", "1.45")))
+
     # add-only: entries the gate currently skips for lack of a baseline
     missing = [n for n in HEADLINE if n not in base["queries"]]
     if not missing:
@@ -194,12 +202,12 @@ def main() -> None:
     while True:
         cal = min(_spark_calibration(spark) for _ in range(3))
         ratio = cal / base["spark_cal_sec"]
-        if (1 / 1.45) <= ratio <= 1.45 and _spin() <= 0.9:
+        if (1 / cal_ratio) <= ratio <= cal_ratio and _spin() <= 0.9:
             break
         if time.time() > deadline:
             sys.exit(
                 f"not calm: spark_cal {cal:.3f} vs baseline "
-                f"{base['spark_cal_sec']:.3f} (ratio {ratio:.2f} outside 1.45x)"
+                f"{base['spark_cal_sec']:.3f} (ratio {ratio:.2f} outside {cal_ratio}x)"
             )
         print(f"waiting for calm (cal {cal:.3f})...", flush=True)
         time.sleep(30)
@@ -218,7 +226,7 @@ def main() -> None:
     post_spin = _spin()
     post_cal = min(_spark_calibration(spark) for _ in range(2))
     post_ratio = post_cal / base["spark_cal_sec"]
-    if post_spin > 0.9 or not (1 / 1.45) <= post_ratio <= 1.45:
+    if post_spin > 0.9 or not (1 / cal_ratio) <= post_ratio <= cal_ratio:
         sys.exit(
             f"phase flipped mid-capture (post spin {post_spin:.2f}, "
             f"post cal {post_cal:.3f}) — measurements discarded, retry"
@@ -230,7 +238,7 @@ def main() -> None:
         base["value"] = round(sum(base["queries"].values()), 3)
         base.setdefault("notes", {})[f"added_{'_'.join(sorted(merged))[:40]}"] = (
             f"entries added from a dedicated calm capture (spark_cal "
-            f"{cal:.3f}, guards: spin<=0.9 and cal within 1.45x of the "
+            f"{cal:.3f}, guards: spin<=0.9 and cal within {cal_ratio}x of the "
             f"baseline's {base['spark_cal_sec']}; best-of-3 per query, "
             f"warmed; sf_dir={sf}); existing entries untouched. "
             "Sub-second entries may deserve a hand-raise to their "

@@ -18,9 +18,11 @@ its best moment of the session? A code regression would hold the
 ratio up in every pass; latency noise collapses in at least one.
 
 Usage:
-    python scripts/watch_row_recheck.py
-Prints one JSON line with per-row {min_sec, ratio_raw, ratio_norm,
-bracket} plus the full per-pass trace.
+    python scripts/watch_row_recheck.py [row1,row2,...]
+Defaults to the r11 watch list; pass a comma list to recheck any
+other flagged rows (the r12 verdict's weak five, say). Prints one
+JSON line with per-row {min_sec, ratio_raw, ratio_norm, bracket}
+plus the full per-pass trace.
 """
 
 from __future__ import annotations
@@ -52,6 +54,12 @@ ROUNDS = 4
 
 
 def main() -> None:
+    global WATCH
+    if len(sys.argv) > 1:
+        WATCH = tuple(sys.argv[1].split(","))
+        unknown = [n for n in WATCH if n not in operators.QUERIES]
+        if unknown:
+            sys.exit(f"unknown rows: {unknown}")
     base = json.JSONDecoder().raw_decode(
         (Path(__file__).parent.parent / "bench_baseline.json").read_text()
     )[0]
