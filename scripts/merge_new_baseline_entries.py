@@ -125,6 +125,19 @@ def apply_raise(base: dict, name: str, new_value: float, evidence: dict) -> dict
     return base
 
 
+def merge_cal_ratio(env=None) -> float:
+    """The calm-gate width for the add-only path: MERGE_CAL_RATIO
+    tightens (never loosens) the committed 1.45x bar. The r13 hunt
+    wrote d42/s14 entries at cal 2.6-3.0 / spin 0.92 — legal under
+    1.45x but 2-3.3x their dry-run calm readings, i.e. contention
+    maxima that would hide future regressions on those rows; the
+    1.15x re-merge landed entries consistent with the calm dry run.
+    Clamped to [1.0, 1.45]: above 1.45 would loosen the committed
+    ceiling, below 1.0 the symmetric (1/r, r) window is empty."""
+    env = os.environ if env is None else env
+    return min(1.45, max(1.0, float(env.get("MERGE_CAL_RATIO", "1.45"))))
+
+
 def _flag_value(flag: str) -> str:
     """sys.argv value following `flag`, or a usage exit when the flag
     dangles at the end of the command line (the r12 ADVICE finding:
@@ -166,13 +179,7 @@ def main() -> None:
     from indexr_spark import operators
     from indexr_spark.session import get_spark
 
-    # MERGE_CAL_RATIO tightens (never loosens) the calm gate: the r13
-    # hunt wrote d42/s14 entries at cal 2.6-3.0 / spin 0.92 — legal
-    # under the 1.45x bar but 2-3.3x their dry-run calm readings, i.e.
-    # contention maxima that would hide future regressions on those
-    # rows. The clamp keeps the committed 1.45x a CEILING; callers can
-    # only demand calmer.
-    cal_ratio = min(1.45, float(os.environ.get("MERGE_CAL_RATIO", "1.45")))
+    cal_ratio = merge_cal_ratio()
 
     # add-only: entries the gate currently skips for lack of a baseline
     missing = [n for n in HEADLINE if n not in base["queries"]]

@@ -174,3 +174,21 @@ def test_baseline_raise_refused_without_evidence():
     # adding through the raise path
     with pytest.raises(m.RaiseEvidenceError, match="add-only"):
         m.apply_raise(dict(base, queries=dict(base["queries"])), "q97_new", 0.8, ev)
+
+
+def test_merge_cal_ratio_tightens_never_loosens():
+    """MERGE_CAL_RATIO is a one-way knob (the r13 d42/s14 lesson: a
+    legal-under-1.45x add captured contention maxima 2-3.3x the calm
+    readings). Tightening passes through; loosening and nonsense
+    clamp to the committed bar; below 1.0 the symmetric window would
+    be empty, so it clamps up."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import merge_new_baseline_entries as m
+
+    assert m.merge_cal_ratio({}) == 1.45
+    assert m.merge_cal_ratio({"MERGE_CAL_RATIO": "1.15"}) == 1.15
+    assert m.merge_cal_ratio({"MERGE_CAL_RATIO": "2.0"}) == 1.45
+    assert m.merge_cal_ratio({"MERGE_CAL_RATIO": "0.5"}) == 1.0
