@@ -121,8 +121,16 @@ def _with_norm(df: DataFrame) -> DataFrame:
 
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query vectors (vec_id < 5) broadcast
-    against the whole corpus, ranked per query."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    against the whole corpus, ranked per query.
+
+    r13 opt: the normed corpus is pinned once (lazy checkpoint) — the
+    query-side broadcast build and the corpus-side stream previously
+    each recomputed scan + norm (2 scans in the before-plan); the
+    broadcast build now materializes the pin and the stream reuses it.
+    """
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     q = emb.filter(F.col("vec_id") < TOPK_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -165,8 +173,14 @@ def s02_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked cosine similarity pairs: candidates only within the
     same label block (the IVF-cell pattern), kept above a threshold.
     Embedding-cosine near-dup detection at scale is exactly this with
-    a learned cell id as the block key."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a learned cell id as the block key.
+
+    r13 opt: the normed corpus is pinned once (lazy checkpoint) — both
+    sides of the label-block self-join previously recomputed
+    scan + norm independently (2 scans in the before-plan)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     a = emb.select(
         F.col("vec_id").alias("a_id"), F.col("label"), F.col("e").alias("ae"), F.col("nrm").alias("an")
     )
@@ -279,16 +293,27 @@ def _bucket_expr() -> Column:
     )
 
 
-def s04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbours via random-hyperplane LSH:
-    candidates come only from the query's bucket (≈ n/16 of the
-    corpus), then exact cosine ranks them. This is the scale path for
-    s01 — at 100 TB the bucket id becomes the shuffle/partition key
-    and each query touches one bucket instead of the whole corpus.
-    Recall < 1.0 by design; determinism (and the oracle) is exact."""
+def _norm_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, e, nrm, bucket) — the normed corpus with its
+    LSH bucket as an in-row PROJECTION, pinned once (lazy checkpoint).
+
+    r13 opt, two parts. (1) The old `emb.join(_bucket_of(emb))`
+    join-back computed scan + norm on BOTH join inputs just to attach
+    a column `_bucket_expr` can project in place — the join (and its
+    duplicate subtree) is gone. (2) Every consumer reads this frame at
+    least twice (query side + corpus side, or both sides of a
+    self-join), so the pin makes scan + norm + plane-dot cost
+    once-per-query instead of once-per-consumer (s04's before-plan
+    carried 4 scans, s10's 8). The first job to touch it (a broadcast
+    build everywhere) materializes the checkpoint."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    buckets = _bucket_of(spark, emb)
-    embb = emb.join(buckets, "vec_id")
+    return emb.withColumn("bucket", _bucket_expr()).localCheckpoint(eager=False)
+
+
+def _lsh_topk_frame(embb: DataFrame) -> DataFrame:
+    """The s04 ranking over a prepared (vec_id, e, nrm, bucket) frame —
+    shared verbatim by s04 and s10's approx leg so the two cannot
+    drift."""
     q = embb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
@@ -307,6 +332,16 @@ def s04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cosine"))
         .orderBy("q_id", "rank")
     )
+
+
+def s04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via random-hyperplane LSH:
+    candidates come only from the query's bucket (≈ n/16 of the
+    corpus), then exact cosine ranks them. This is the scale path for
+    s01 — at 100 TB the bucket id becomes the shuffle/partition key
+    and each query touches one bucket instead of the whole corpus.
+    Recall < 1.0 by design; determinism (and the oracle) is exact."""
+    return _lsh_topk_frame(_norm_bucketed(spark, sf_dir))
 
 
 ORACLE["s04_ann_lsh_topk"] = f"""
@@ -364,8 +399,13 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id is the shuffle key; everything downstream of the bucket
     join touches only candidate pairs.
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    embb = emb.join(_bucket_of(spark, emb), "vec_id")
+    # r13 opt: _norm_bucketed replaces the old `emb.join(_bucket_of)`
+    # join-back (scan + norm ran on both join inputs to attach a
+    # column `_bucket_expr` projects in place) AND pins the frame —
+    # the chunked self-join consumes it on both sides, which
+    # previously re-derived the whole scan+norm+plane-dot subtree
+    # twice (4 scans in the before-plan, 1 after).
+    embb = _norm_bucketed(spark, sf_dir)
     # Chunked bucket self-join — the quadratic-bucket skew valve
     # (chunked_self_join, shared with the LSH candidate join): the
     # plain join on the bucket key has only 2^ANN_PLANES distinct keys,
@@ -383,9 +423,10 @@ def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the corpus so bucket size stays bounded — planes ≈
     # log2(n / target) — this corpus pins ANN_PLANES=4 for oracle
     # comparability.)
-    # repartition_probe: explicit False — embb comes off the shuffle
-    # join on vec_id, so the probe side is well-partitioned by
-    # construction and the guard can never fire usefully here. What
+    # repartition_probe: explicit False — embb comes off _with_norm's
+    # explicit vec_id repartition (pinned by the checkpoint), so the
+    # probe side is well-partitioned by construction and the guard can
+    # never fire usefully here. What
     # the AUTO default DOES cost on this lineage is its plan probe:
     # `.rdd.getNumPartitions()` pays a full physical-planning pass on
     # the join-plus-hyperplane subtree, measured 0.92 s per fresh
@@ -483,7 +524,15 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines fold identical inputs; assignment ties break by
     label asc (margins here are far beyond float noise).
     """
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # r13 opt: pin the normed corpus (lazy checkpoint) — the centroid
+    # build, the assignment pass, and the query-side filter all read
+    # it; before the pin the centroid collect and BOTH sides of the
+    # cell join each re-ran scan + norm (2 scans in the before-plan,
+    # plus the collect's own pass). The centroid collect below is the
+    # job that materializes it.
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     # Centroid build: one hash aggregate with a per-dimension avg column —
     # partial (map-side) combine reduces each partition to 10×dim doubles
     # before the shuffle. The r3 formulation posexploded the corpus to
@@ -526,7 +575,13 @@ def s06_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_cell = _argmax_cell(
         [cv for _, cv in model], [cell for cell, _ in model]
     )
-    assigned = emb.select("vec_id", "e", "nrm", best_cell)
+    # r13 opt: pin the assignment too — the query-side broadcast build
+    # and the corpus-side stream both consume `assigned`, so without
+    # the pin the k×dim in-row argmax (the most CPU-dense expression
+    # in this query) ran twice. The broadcast build materializes it.
+    assigned = emb.select("vec_id", "e", "nrm", best_cell).localCheckpoint(
+        eager=False
+    )
     q = assigned.filter(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
@@ -835,13 +890,20 @@ def s10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries×k rows, so total cost ≈ one exact pass + one bucketed
     pass — at 100 TB the eval runs on a sampled query set while the
     index serves the rest, which is exactly this plan with a
-    different query filter."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+    different query filter.
+
+    r13 opt: both legs read ONE pinned norm+bucket frame
+    (_norm_bucketed) — the before-plan re-derived scan + norm (+ plane
+    dots on the approx side) 8 times across the exact q side, the
+    exact corpus side, and s04's four subtrees. The approx leg shares
+    s04's ranking core (_lsh_topk_frame) verbatim, so results are
+    unchanged by construction."""
+    embb = _norm_bucketed(spark, sf_dir)
+    q = embb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+    pairs = embb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", "vec_id", cos.alias("cos")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -850,7 +912,7 @@ def s10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= ANN_K)
         .select("q_id", "vec_id")
     )
-    approx = s04_ann_lsh_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = _lsh_topk_frame(embb).select("q_id", "vec_id")
     hits = (
         exact.join(approx, ["q_id", "vec_id"], "left_semi")
         .groupBy("q_id")

@@ -1828,7 +1828,16 @@ def d21_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     exploded = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r13 opt: pin tf — both consumers (the df reduction feeding the
+    # broadcast and the scoring stream) previously re-ran the corpus
+    # tokenize + explode + (doc_id, term) aggregation from their own
+    # scans (3 scans / 2 Generates in the before-plan). The broadcast
+    # build of df_ materializes the pin; the scoring stream reuses it.
+    tf = (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     score = (
@@ -2224,7 +2233,16 @@ def unigram_logprob(
     the two scalar totals (1 driver row each — driver-sized by
     contract) and the kept-LM filter all read the materialized counts
     instead of re-exploding the corpus."""
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # r13 opt: pin the exploded token stream — the LM build and the
+    # scoring join are BOTH corpus passes over `toks`, and without the
+    # pin each ran its own tokenize + explode from the raw scan ("two
+    # corpus passes in every form" above; 2 Scan+Generate subtrees in
+    # plans/r13/d27_unigram_logprob_before.txt). The LM-side broadcast
+    # build materializes the lazy checkpoint; the scoring stream
+    # reuses it — one tokenize pass per query in every form.
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).localCheckpoint(eager=False)
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     capped = min_count > 1 or top_k is not None
     if not capped:
@@ -3500,7 +3518,17 @@ def bpe_train(
             pc = new_pc.localCheckpoint()
         elif rank == 0 and round_plan_hook is not None:
             round_plan_hook(pairs, nxt)
-        words = nxt.localCheckpoint()
+        # r13 opt: LAZY checkpoint — each round previously ran two
+        # jobs (the argmax TakeOrdered, then an eager materialization
+        # of the folded word table), and at driver-loop cadence the
+        # fixed per-job cost dominates the tiny-table compute. With
+        # eager=False the NEXT round's argmax job materializes this
+        # round's fold on its way to the pair counts — one job per
+        # round — while the lineage cut (the reason the checkpoint
+        # exists) still lands before any second-round fold stacks on
+        # top. The final round's pin simply never materializes (its
+        # merges are already collected).
+        words = nxt.localCheckpoint(eager=False)
         if round_times is not None:
             round_times.append(_time.time() - _t0)
     return spark.createDataFrame(
@@ -3895,9 +3923,6 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
     base = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
-    t_total = float(
-        base.select(F.sum(F.size("toks")).alias("t")).first()["t"]
-    )
     pairs = F.transform(
         F.sequence(F.lit(0), F.size("toks") - 1),
         lambda i: F.struct(
@@ -3906,9 +3931,27 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
             F.get("toks", i + 1).alias("w2"),  # null at the doc end
         ),
     )
-    ex = base.select(
-        "doc_id", F.size("toks").alias("n"), F.explode(pairs).alias("x")
-    ).select("doc_id", "n", "x.pos", "x.w", "x.w2")
+    # Pin the exploded (doc_id, n, pos, w, w2) stream ONCE (r13 opt:
+    # the four downstream aggregations — uni, bg, docbg, first — each
+    # sat above their own scan, so the corpus was tokenized + exploded
+    # FIVE times per run, plus a sixth full pass for the t_total
+    # scalar; plans/r13/d38_bigram_logprob_before.txt shows the five
+    # Scan+Generate subtrees). The checkpoint is LAZY so its
+    # materialization job IS the t_total job: ex has exactly one row
+    # per token position (sequence(0, n-1) emits n structs), so
+    # count(ex) == sum(size(toks)) — the same scalar the old separate
+    # pre-pass computed. At 100 TB this trades one disk-backed
+    # materialization of the thin token stream for five regex-tokenize
+    # passes of the raw corpus — the same materialize-the-reused-
+    # narrow-frame posture d09's shs checkpoint takes.
+    ex = (
+        base.select(
+            "doc_id", F.size("toks").alias("n"), F.explode(pairs).alias("x")
+        )
+        .select("doc_id", "n", "x.pos", "x.w", "x.w2")
+        .localCheckpoint(eager=False)
+    )
+    t_total = float(ex.count())
     # corpus LM tables — partial aggregation makes these skew-immune
     uni = ex.groupBy("w").agg(
         F.count("*").alias("c_uni"), F.count("w2").alias("c_ctx")
@@ -4135,6 +4178,13 @@ def dup_spans(
             )
         ),
     )
+    # r13 opt: pin the anchor frame — the self-join consumes `pos` on
+    # BOTH sides, and each side previously re-ran tokenize + shingle +
+    # hash60 from its own scan (2 Scan+Generate subtrees in
+    # plans/r13/d40_dup_spans_before.txt). The frame is 4 thin numeric
+    # columns, the cheapest possible thing to materialize relative to
+    # the k-gram shingling it replaces.
+    pos = pos.localCheckpoint(eager=False)
     # PLAIN self-join, NOT chunked_self_join (r10 spans100x finding).
     # The chunk valve exists for joins with FEW distinct keys (d07's
     # 16 LSH buckets, d32's 2^width band values) where one bucket's

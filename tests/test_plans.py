@@ -368,12 +368,20 @@ def test_pipeline_ops_minimum_shuffle_shapes(spark):
             "ex": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
             "smj": len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)),
             "scans": len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
+            "rdd": len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M)),
             "bhj": len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)),
         }
         assert "CartesianProduct" not in plan, (name, plan)
         if name != "d27_unigram_logprob":
             assert counts[name]["smj"] == 0, (name, plan)
-    assert counts["d27_unigram_logprob"]["scans"] == 2  # score + LM build
+    # r13 opt: the exploded token stream is pinned (localCheckpoint),
+    # so the LM build and the scoring join read the ONE materialized
+    # stream instead of running their own tokenize+explode scans —
+    # zero parquet scans remain in the query plan (the single corpus
+    # pass lives in the checkpoint-materialization job), and both
+    # consumers must show as checkpoint reads.
+    assert counts["d27_unigram_logprob"]["scans"] == 0
+    assert counts["d27_unigram_logprob"]["rdd"] == 2  # score + LM build
     assert counts["d27_unigram_logprob"]["ex"] <= 6
     assert counts["d29_entropy_profile"]["ex"] <= 1  # ordering only
     assert counts["d29_entropy_profile"]["scans"] == 1
