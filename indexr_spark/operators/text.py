@@ -287,7 +287,9 @@ def _canon_key(dt: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(dt), " "))
 
 
-def _canon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _canon_base(
+    spark: SparkSession, sf_dir: str, tokd: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, gid) for every token-bearing doc — ONE tokenize +
     canon-digest pass that both the group frame and the membership
     map derive from (callers that need both checkpoint this NARROW
@@ -309,10 +311,20 @@ def _canon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     size(distinct_tokens(text)) would re-tokenize the corpus (no
     cross-operator CSE).
     """
-    d = spread_scan(load_table(spark, sf_dir, "documents"))
-    dd = d.select(
-        "doc_id", distinct_tokens("text").alias("dt")
-    ).filter(F.size("dt") > 0)
+    # `tokd` (r13 opt): an optional pre-tokenized (doc_id, toks) frame —
+    # callers that ALSO need the token arrays for their own stage (d09's
+    # shingle build) pass their pinned frame so the corpus regex-split
+    # runs once per query instead of once per stage. Same values either
+    # way: distinct_tokens(text) == array_distinct(tokens(text)).
+    if tokd is not None:
+        dd = tokd.select(
+            "doc_id", F.array_distinct("toks").alias("dt")
+        ).filter(F.size("dt") > 0)
+    else:
+        d = spread_scan(load_table(spark, sf_dir, "documents"))
+        dd = d.select(
+            "doc_id", distinct_tokens("text").alias("dt")
+        ).filter(F.size("dt") > 0)
     return dd.select("doc_id", _canon_key(F.col("dt")).alias("gid"))
 
 
@@ -539,6 +551,7 @@ def _lsh_doc_pairs(
     sf_dir: str,
     bands: int,
     max_bucket: int | None = None,
+    tokd: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate DOC pairs (a_id < b_id), dedup-first.
 
@@ -559,7 +572,7 @@ def _lsh_doc_pairs(
     # their own pass (~1.5 s of recompute at sf0.1 on top of the
     # per-leg cost). The checkpoint pins only (doc_id, gid) — see
     # _canon_base on why the text column must NOT ride along.
-    base = _canon_base(spark, sf_dir).localCheckpoint()
+    base = _canon_base(spark, sf_dir, tokd=tokd).localCheckpoint()
     groups = _canon_groups(spark, sf_dir, base=base)
     gp = _lsh_group_pairs(groups, bands, max_bucket)
     m = _doc_gid_map(spark, sf_dir, base=base)
@@ -751,12 +764,19 @@ def jaccard_pairs(
     # spread_scan: per-doc shingling + hashing is per-row CPU, and the
     # small corpus file scans as one task (see tables.spread_scan).
     d = spread_scan(load_table(spark, sf_dir, "documents"))
+    # r13 opt: tokenize ONCE for both stages — the shingle build here
+    # and the canon-digest pass inside _lsh_doc_pairs each ran their
+    # own regex split of the corpus; the pinned (doc_id, toks) frame
+    # feeds both (lazy checkpoint, materialized by the shs build).
+    tokd = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     # Shingles are carried as HASHED int arrays (portable hash32, same
     # expression in the oracle): the candidate-verify joins ship one
     # array per pair side, and ints cut that shuffle ~3× vs strings.
     # Jaccard over the hashed sets equals Jaccard over the string sets
     # on both engines by construction (identical hash family).
-    shs = d.select("doc_id", tokens("text").alias("toks")).select(
+    shs = tokd.select(
         "doc_id",
         F.array_distinct(
             # single-arg lambda: hash32 has an optional seed param, and
@@ -777,7 +797,7 @@ def jaccard_pairs(
     # byte-based coalescing sees "small" shuffle partitions and would
     # run the array-heavy verify on a fraction of the cores.
     cand = _lsh_doc_pairs(
-        spark, sf_dir, bands, max_bucket=max_bucket
+        spark, sf_dir, bands, max_bucket=max_bucket, tokd=tokd
     ).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -940,6 +960,11 @@ def neardup_against_store(
     # broadcasts by contract (a micro-batch); the store map is left
     # to AQE — corpus-sized at 100 TB, where it joins the deduped
     # pairs hash-on-store_id (bucketable, like the store itself).
+    # (r13 measured, not adopted: packing the pair into one radix-2^31
+    # long before the dedup — halving the agg key width — A/B'd
+    # new_min 4.03 s vs old_min 3.56 s over 6 interleaved passes at
+    # sf0.1's 3.56M unique pairs; no clear win, and the radix adds a
+    # 2.1B-docs-per-side ceiling the two-column form doesn't have.)
     cand = (
         batch_sigs.select("band", "sig", "doc_id")
         .join(
