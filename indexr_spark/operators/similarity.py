@@ -1094,7 +1094,13 @@ def s11_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeding a broadcast just shuffles bytes that get collected
     # anyway — EXPLAIN.md showed the redundant Exchange).
     e = _as_double(F.col("embedding"))
-    prep = emb.select("vec_id", e.alias("e"), F.sqrt(_dot(e, e)).alias("nrm"))
+    # r13 opt: pin prep — the a/b re-attach sides each re-ran
+    # scan + norm from their own scan (2 of the 3 scans in
+    # plans/r13/s11_neardup_numpy_before.txt); the first broadcast
+    # build materializes the lazy checkpoint, the second reuses it.
+    prep = emb.select(
+        "vec_id", e.alias("e"), F.sqrt(_dot(e, e)).alias("nrm")
+    ).localCheckpoint(eager=False)
     a = prep.select(
         F.col("vec_id").alias("a_id"), F.col("e").alias("ae"), F.col("nrm").alias("an")
     )

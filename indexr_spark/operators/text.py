@@ -1980,16 +1980,25 @@ def d23_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     not strings, cutting shuffle bytes ~4×."""
     d = load_table(spark, sf_dir, "documents")
     # token array materialized first — no CSE inside lambdas (see d22)
-    g = d.select("doc_id", "source", tokens("text").alias("toks")).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("toks"), CONTAM_NGRAM), lambda s: hash32(s)
+    # r13 opt: the gram stream is pinned — its three consumers (train
+    # distinct, test hits, test totals) previously each re-ran
+    # tokenize + shingle + hash from their own scan (3 Scan+Generate
+    # subtrees in plans/r13/d23_ngram_contamination_before.txt; the
+    # test split paid the 5-gram HOF twice).
+    g = (
+        d.select("doc_id", "source", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col("toks"), CONTAM_NGRAM), lambda s: hash32(s)
+                    )
                 )
-            )
-        ).alias("g"),
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
     )
     train = g.filter(F.col("source") != CONTAM_TEST_SOURCE).select("g").distinct()
     test = g.filter(F.col("source") == CONTAM_TEST_SOURCE)
