@@ -1980,25 +1980,24 @@ def d23_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     not strings, cutting shuffle bytes ~4×."""
     d = load_table(spark, sf_dir, "documents")
     # token array materialized first — no CSE inside lambdas (see d22)
-    # r13 opt: the gram stream is pinned — its three consumers (train
-    # distinct, test hits, test totals) previously each re-ran
-    # tokenize + shingle + hash from their own scan (3 Scan+Generate
-    # subtrees in plans/r13/d23_ngram_contamination_before.txt; the
-    # test split paid the 5-gram HOF twice).
-    g = (
-        d.select("doc_id", "source", tokens("text").alias("toks"))
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        shingles(F.col("toks"), CONTAM_NGRAM), lambda s: hash32(s)
-                    )
+    # (r13 measured, NOT adopted: pinning this exploded gram stream for
+    # its three consumers A/B'd ~2x SLOWER — new_min 1.11 s vs old_min
+    # 0.55 s, old won 5/6 interleaved passes at sf0.1, and the full
+    # bench read the pinned form at 5.4x its baseline. Unlike d40's
+    # md5-per-gram anchors, these shingles are cheap enough that
+    # re-deriving them fused into each consumer's scan — with the
+    # source filters pushed down so each side only shingles its own
+    # split — beats materializing and re-reading ~2.5M exploded rows.)
+    g = d.select("doc_id", "source", tokens("text").alias("toks")).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("toks"), CONTAM_NGRAM), lambda s: hash32(s)
                 )
-            ).alias("g"),
-        )
-        .localCheckpoint(eager=False)
+            )
+        ).alias("g"),
     )
     train = g.filter(F.col("source") != CONTAM_TEST_SOURCE).select("g").distinct()
     test = g.filter(F.col("source") == CONTAM_TEST_SOURCE)
