@@ -192,6 +192,15 @@ DISPERSION = 1.5
 # regression gate thresholds vs bench_baseline.json
 REGRESSION_RATIO = 1.75
 REGRESSION_FLOOR_SEC = 0.5
+# Certification ceiling on the machine factor (r14, the r13 verdict's
+# item 4): at mf 4.16 the old 3.0 normalization clamp let a 124.9 s
+# contended capture pass with a single flagged row — a capture that
+# contended cannot distinguish engine regressions from host throttle
+# phases no matter how it is normalized, so the gate now REFUSES to
+# certify it (payload "gate": "not_certified_contended", regressions
+# {}) instead of normalizing. calm_capture.py's cal-gated watcher is
+# the sanctioned way to obtain a certifiable capture.
+GATE_MF_CEILING = 1.5
 
 
 def _loadavg() -> list[float]:
@@ -272,6 +281,11 @@ def find_regressions(
     calibration can't hide a real regression entirely. The flagged
     entry records both the raw and normalized numbers.
     """
+    # The upper clamp only matters to DIRECT callers now: certify()
+    # refuses any capture whose factor exceeds GATE_MF_CEILING before
+    # this normalization can run, so in the bench path the factor here
+    # is always ≤ 1.5. The lower clamp still guards against a broken
+    # fast calibration hiding a real regression.
     factor = min(3.0, max(1 / 3.0, machine_factor or 1.0))
     out: dict[str, dict[str, float]] = {}
     for name, now in timings.items():
@@ -284,6 +298,26 @@ def find_regressions(
             if (then > 0 and norm / then > ratio) or then == 0:
                 out[name] = {"baseline": then, "now": now, "now_normalized": norm}
     return out
+
+
+def certify(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    machine_factor: float,
+) -> tuple[str, dict[str, dict[str, float]]]:
+    """Gate verdict for one capture: ("certified", regressions) when
+    the machine factor is within GATE_MF_CEILING, else
+    ("not_certified_contended", {}) — a capture taken on a box running
+    >1.5x slower than the baseline's cannot support a per-query
+    verdict either way (normalizing it hides real regressions exactly
+    as often as it invents them), so the gate refuses rather than
+    normalizes. Baselines must come from calm captures
+    (scripts/calm_capture.py)."""
+    if (machine_factor or 1.0) > GATE_MF_CEILING:
+        return "not_certified_contended", {}
+    return "certified", find_regressions(
+        timings, baseline, machine_factor=machine_factor
+    )
 
 
 def main() -> None:
@@ -359,6 +393,7 @@ def main() -> None:
     # the machine ran THIS capture vs the baseline's capture
     regressions: dict[str, dict[str, float]] = {}
     machine_factor = 1.0
+    gate = "certified"
     baseline_path = _REPO / "bench_baseline.json"
     if baseline_path.exists():
         try:
@@ -369,7 +404,14 @@ def main() -> None:
             base, base_cal = {}, None
         if base_cal:
             machine_factor = spark_cal / base_cal
-        regressions = find_regressions(timings, base, machine_factor=machine_factor)
+        gate, regressions = certify(timings, base, machine_factor)
+        if gate != "certified":
+            print(
+                f"BENCH GATE: machine_factor {machine_factor:.3f} > "
+                f"{GATE_MF_CEILING} — capture is contended, refusing to "
+                "certify (no regression verdict either way)",
+                file=sys.stderr,
+            )
         # Second-chance pass: a host-throttle micro-phase (~20 s) can
         # inflate one query's entire best-of-2/3 window while the
         # 10-query phase trace never samples it (observed: s06 at
@@ -385,7 +427,10 @@ def main() -> None:
             operators.QUERIES[name](spark, sf_dir).count()
             timings[name] = round(min(timings[name], time.time() - t0), 3)
             spark.catalog.clearCache()
-        regressions = find_regressions(timings, base, machine_factor=machine_factor)
+        if gate == "certified":
+            regressions = find_regressions(
+                timings, base, machine_factor=machine_factor
+            )
         for name, r in sorted(regressions.items()):
             # a 0.0 baseline is flagged via the floor-crossing branch
             # and supports no ratio — don't let the REPORT divide by it
@@ -418,6 +463,7 @@ def main() -> None:
         "spark_cal_end_sec": spark_cal_end,
         "machine_factor_vs_baseline": round(machine_factor, 3),
         "phase_trace": phase_trace,
+        "gate": gate,
         "regressions": regressions,
     }
     compact = {

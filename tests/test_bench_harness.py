@@ -95,6 +95,37 @@ def test_find_regressions_would_have_caught_r3_s06():
     assert "s06_ivf_topk" in r
 
 
+def test_certify_refuses_contended_capture():
+    """r14 (the r13 verdict's item 4): at machine factor 4.16 the old
+    3.0 normalization clamp certified a 124.9 s contended capture with
+    one flagged row. A capture above GATE_MF_CEILING must now refuse
+    certification outright — no regression verdict either way."""
+    base = {"q01_x": 1.0}
+    now = {"q01_x": 4.0}  # 4x raw — real regression OR throttle phase
+    gate, r = bench.certify(now, base, machine_factor=4.163)
+    assert gate == "not_certified_contended"
+    assert r == {}
+
+
+def test_certify_passes_calm_capture_through_to_gate():
+    """Within the ceiling, certify() is the same gate as before:
+    normalized by the actual machine factor, flagged when the
+    normalized ratio exceeds REGRESSION_RATIO."""
+    base = {"q01_x": 1.0, "q02_y": 1.0}
+    now = {"q01_x": 1.3, "q02_y": 4.0}
+    gate, r = bench.certify(now, base, machine_factor=1.2)
+    assert gate == "certified"
+    assert "q01_x" not in r  # 1.08 normalized — calm noise
+    assert r["q02_y"]["now_normalized"] == 3.333  # real, still caught
+
+
+def test_certify_ceiling_is_strict_boundary():
+    gate, _ = bench.certify({}, {}, machine_factor=bench.GATE_MF_CEILING)
+    assert gate == "certified"
+    gate, _ = bench.certify({}, {}, machine_factor=bench.GATE_MF_CEILING + 0.01)
+    assert gate == "not_certified_contended"
+
+
 def _raise_fixture():
     """A minimal baseline + valid evidence pair for the raise guardrail
     (scripts/merge_new_baseline_entries.py — the r12 codification of
