@@ -77,17 +77,22 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 #   window): s01_cosine_topk, s02_embedding_pairs, s10_ann_recall,
 #   d21_tfidf_topterms, d40_dup_spans, d34_bpe_merges. All six are
 #   ALSO at their tier-A ceiling (last scored r12), so they re-enter
-#   on both grounds. Further rule-1 re-entries from THIS round's
-#   optimization diffs (d33 — the thin-dedup exchange work; any
-#   engine-default flip) are added here the round they land, each
-#   displacing one more tier-B deferral.
+#   on both grounds.
+#   rule (1), r14 optimization diffs: d09_ngram_jaccard (bitset
+#   verify + candidate-respread removal), d09r_jaccard_recall
+#   (embeds d09), d33_neardup_incremental (spread_scan before the
+#   sig build) — each r13-green but code-changed this round, each
+#   displacing one tier-B-eligible r12 row (mm01/mm02/mm03 →
+#   deferred r15; multimodal.py is file-frozen this round and
+#   pytest-oracle-covered at HEAD).
 #   rule (b): the remaining rows last scored r12 (46 total at their
 #   2-round ceiling; 13 + 6-already-counted + 37 others = 59 > 50),
 #   so 9 defer to r15 under tier B: q40/q42/q43/q44/q45/q46
 #   (relational.py) + q21/q22/q23 (events.py) — the two eligible
 #   families whose files r14 provably does not touch (this round's
-#   diffs land in text.py, similarity.py, bench/test tooling). Full
-#   oracle parity for all 9 runs in pytest at HEAD.
+#   diffs land in text.py, similarity.py, bench/test tooling), plus
+#   the three mm deferrals above. Full oracle parity for all runs in
+#   pytest at HEAD.
 _ROUND = 14  # the round this _PRIORITY window was built for
 
 # Machine-readable tier-B ledger (r12, the r11 verdict's task 7):
@@ -107,6 +112,9 @@ _DEFERRED_DUE = {
     "q21_sessionize": 15,
     "q22_events_hourly": 15,
     "q23_json_props": 15,
+    "mm01_decode_metadata": 15,
+    "mm02_frame_sample": 15,
+    "mm03_resize_payload": 15,
 }
 
 _PRIORITY = [
@@ -132,8 +140,14 @@ _PRIORITY = [
     "d21_tfidf_topterms",
     "d40_dup_spans",
     "d34_bpe_merges",
+    # rule (1): r14 optimization diffs — r13-green rows whose executed
+    # code changed this round
+    "d09_ngram_jaccard",
+    "d09r_jaccard_recall",
+    "d33_neardup_incremental",
     # rule (b): the other rows last scored r12, at their 2-round
-    # ceiling (37 of 40; q40/q42-q46 + q21/q22/q23 defer to r15)
+    # ceiling (34 of 40; q40/q42-q46 + q21/q22/q23 + mm01/mm02/mm03
+    # defer to r15)
     "d01_token_stats",
     "d02_lang_id",
     "d03_quality_score",
@@ -153,9 +167,6 @@ _PRIORITY = [
     "d32_simhash_pairs",
     "d36_redact_pii",
     "d41_quality_classifier",
-    "mm01_decode_metadata",
-    "mm02_frame_sample",
-    "mm03_resize_payload",
     "mm04_feature_extract",
     "mm05_audio_frames",
     "q25_asof_join",

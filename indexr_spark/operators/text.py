@@ -56,6 +56,11 @@ MINHASH_A = [999961 + 2 * j for j in range(MINHASH_SEEDS)]
 MINHASH_B = [997 * (j + 1) for j in range(MINHASH_SEEDS)]
 JACCARD_NGRAM = 2
 JACCARD_THRESHOLD = 0.1
+# d09 bitset-verify valve: the packed-bitmap Jaccard verify needs a
+# driver-collected dictionary of DISTINCT shingle hashes; beyond this
+# cap (64 bitmap longs/doc, a ~1,862-literal map) the vocabulary is
+# treated as web-scale and the verify keeps the array_intersect form.
+D09_BITSET_VOCAB_CAP = 4096
 SIMHASH_BITS = 32
 
 
@@ -796,23 +801,115 @@ def jaccard_pairs(
     # so the candidate stream is respread to full width first — AQE's
     # byte-based coalescing sees "small" shuffle partitions and would
     # run the array-heavy verify on a fraction of the cores.
-    cand = _lsh_doc_pairs(
-        spark, sf_dir, bands, max_bucket=max_bucket, tokd=tokd
-    ).repartition(
-        spark.sparkContext.defaultParallelism
+    cand = _lsh_doc_pairs(spark, sf_dir, bands, max_bucket=max_bucket, tokd=tokd)
+    # r14 opt (guide §2.4): the candidate stream used to be
+    # repartition()'d to full width before the verify — but the verify
+    # is two BROADCAST joins, so there is no exchange between the
+    # expansion joins and the verify for AQE's byte-based coalescing to
+    # shrink; the repartition was the pipeline's ONLY 7.1M-row shuffle,
+    # and the A/B read it as pure cost (no-repartition won 5/5
+    # interleaved passes, min 6.93 s vs 8.46 s — and the shuffle is
+    # what host throttle phases amplify: the repartition form spiked to
+    # 28-41 s in the same session while no-repartition held 6.9-9.4 s).
+    # The expansion joins inherit the spread_scan width from the canon
+    # base, so the verify already runs at full parallelism. The
+    # web-scale fallback below keeps the respread: its verify carries
+    # full shingle arrays, where partition balance is worth one
+    # exchange.
+    # r14 opt (guide §1.2-2, §2.3): the verify step is O(candidates),
+    # and candidates outnumber docs ~1400× here (7.12M pairs for 5,000
+    # docs at sf0.1 — dup-heavy corpus, LSH prunes little), so per-PAIR
+    # cost is everything. The old form joined each pair against both
+    # docs' hashed shingle ARRAYS (~51 ints average) and ran
+    # array_intersect per pair — a per-row hash-set build over ~100
+    # elements, plus two ~200-byte array copies through the broadcast
+    # joins (~11 GB of array materialization at sf0.1). But the corpus'
+    # DISTINCT shingle vocabulary is tiny (931 hashes at sf0.1), so
+    # each doc's shingle SET packs into a ceil(v/64)-long BITMAP via a
+    # driver-collected hash→bit dictionary, and the exact intersection
+    # size is a flat codegen'd sum of bit_count(a&b) over the words —
+    # no per-pair allocation, no hash set, ~8× less broadcast payload.
+    # Bit-exactness: |A∩B| is the same integer either way, |A| / |B|
+    # ride along as precomputed set sizes, and the jaccard double is
+    # the identical division + round expression — the oracle hash
+    # cannot move. Scale valve: the dictionary must stay
+    # driver/broadcast-sized, so vocabularies beyond
+    # D09_BITSET_VOCAB_CAP (web-scale text, where shingle vocab ~
+    # corpus size) keep the array_intersect form — the probe reads the
+    # pinned shs frame, one small job (limit cap+1, so an over-cap
+    # vocab never collects more than cap+1 rows).
+    vocab = sorted(
+        r[0]
+        for r in shs.select(F.explode("shs").alias("h"))
+        .distinct()
+        .limit(D09_BITSET_VOCAB_CAP + 1)
+        .collect()
+        if r[0] is not None
     )
-    # Broadcast the doc→shingle-set map: candidates outnumber docs
-    # ~50× on a dup-heavy corpus, and a shuffle join would ship the
-    # a-side array through the second exchange 2.4M times. Broadcast
-    # keeps the pair list in place — each executor maps pairs to
-    # Jaccard against the in-memory set dictionary. (At corpus sizes
-    # where the dictionary outgrows broadcast, drop the hints: the
-    # join keys are already the LSH pair columns and AQE picks the
-    # shuffle form.)
-    a = F.broadcast(shs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs")))
-    b = F.broadcast(shs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs")))
-    common = F.size(F.array_intersect("a_shs", "b_shs"))
-    j = common.cast("double") / (F.size("a_shs") + F.size("b_shs") - common)
+    if len(vocab) <= D09_BITSET_VOCAB_CAP:
+        n_words = max(1, (len(vocab) + 63) // 64)
+        idx_map = F.create_map(
+            *[c for h, i in ((h, i) for i, h in enumerate(vocab)) for c in (F.lit(h), F.lit(i))]
+        )
+        # bit 63 is long MIN_VALUE in two's complement — 1<<63 would
+        # overflow the signed-long literal the JVM side parses
+        bit_lit = F.lit([(1 << k) if k < 63 else -(1 << 63) for k in range(64)])
+        idxs = F.transform("shs", lambda h: F.element_at(idx_map, h))
+
+        def word(w: int) -> Column:
+            # OR of 1<<(idx%64) over this word's indices; the 64-entry
+            # bit-value literal avoids a dynamic shiftleft (Python-API
+            # shiftleft takes only a literal shift count).
+            return F.aggregate(
+                F.filter(idxs, lambda x: F.shiftright(x, 6) == F.lit(w)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc.bitwiseOR(F.element_at(bit_lit, (x % 64) + 1)),
+            )
+
+        # doc-count-sized (5,000 × ~(4 + v/8) bytes); pinned so the two
+        # broadcast legs don't re-run the 931-entry map lookups per side
+        bits = shs.select(
+            "doc_id",
+            F.size("shs").alias("n"),
+            F.array(*[word(w) for w in range(n_words)]).alias("bm"),
+        ).localCheckpoint()
+        a = F.broadcast(
+            bits.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("n").alias("a_n"),
+                F.col("bm").alias("a_bm"),
+            )
+        )
+        b = F.broadcast(
+            bits.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("n").alias("b_n"),
+                F.col("bm").alias("b_bm"),
+            )
+        )
+        common = None
+        for w in range(n_words):
+            term = F.bit_count(F.get("a_bm", w).bitwiseAND(F.get("b_bm", w)))
+            common = term if common is None else common + term
+        j = common.cast("double") / (F.col("a_n") + F.col("b_n") - common)
+    else:
+        # Web-scale vocabulary: keep the array_intersect verify, and
+        # respread the candidate stream first — this verify carries
+        # full shingle arrays per pair, so partition balance is worth
+        # one exchange of the thin (a_id, b_id) rows.
+        cand = cand.repartition(spark.sparkContext.defaultParallelism)
+        # Broadcast the doc→shingle-set map: candidates outnumber docs
+        # ~50× on a dup-heavy corpus, and a shuffle join would ship the
+        # a-side array through the second exchange 2.4M times.
+        # Broadcast keeps the pair list in place — each executor maps
+        # pairs to Jaccard against the in-memory set dictionary. (At
+        # corpus sizes where the dictionary outgrows broadcast, drop
+        # the hints: the join keys are already the LSH pair columns and
+        # AQE picks the shuffle form.)
+        a = F.broadcast(shs.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("a_shs")))
+        b = F.broadcast(shs.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("b_shs")))
+        common = F.size(F.array_intersect("a_shs", "b_shs"))
+        j = common.cast("double") / (F.size("a_shs") + F.size("b_shs") - common)
     return (
         cand.join(a, "a_id")
         .join(b, "b_id")
@@ -3276,7 +3373,16 @@ def d33_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly that key, making ingestion near-dup shuffle-free on the
     100 TB side (neardup_against_store's docstring argues the
     topology; this row pins the semantics)."""
-    d = load_table(spark, sf_dir, "documents")
+    # r14 opt (guide §2.5 input parallelism): documents.parquet at
+    # sf0.1 is 0.6 MB — ONE scan task — and without a respread the
+    # checkpointed sig frames stay 1-partition, so the band join's
+    # 14M collision rows and the pair-dedup's partial aggregation all
+    # ran on a single core (measured: the dedup stage alone at 6.5-7 s
+    # cold; d09's pipeline avoids this with the same spread_scan).
+    # Repartition cost is bounded by the scan itself (see spread_scan);
+    # at 100 TB the store scans thousands of partitions wide and this
+    # is a no-op.
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     # checkpoint both signature frames: in production the store side
     # is a persisted table and the batch side a materialized
     # micro-batch — and un-pinned, the minhash expression chain gets
