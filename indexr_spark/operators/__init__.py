@@ -81,10 +81,11 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 #   rule (1), r14 optimization diffs: d09_ngram_jaccard (bitset
 #   verify + candidate-respread removal), d09r_jaccard_recall
 #   (embeds d09), d33_neardup_incremental (spread_scan before the
-#   sig build) — each r13-green but code-changed this round, each
-#   displacing one tier-B-eligible r12 row (mm01/mm02/mm03 →
-#   deferred r15; multimodal.py is file-frozen this round and
-#   pytest-oracle-covered at HEAD).
+#   sig build), s14_ivfpq_probe (engine default literal → arrow) —
+#   each r13-green but code-changed this round, each displacing one
+#   tier-B-eligible r12 row (mm01/mm02/mm03/mm04 → deferred r15;
+#   multimodal.py is file-frozen this round and pytest-oracle-covered
+#   at HEAD).
 #   rule (b): the remaining rows last scored r12 (46 total at their
 #   2-round ceiling; 13 + 6-already-counted + 37 others = 59 > 50),
 #   so 9 defer to r15 under tier B: q40/q42/q43/q44/q45/q46
@@ -115,6 +116,7 @@ _DEFERRED_DUE = {
     "mm01_decode_metadata": 15,
     "mm02_frame_sample": 15,
     "mm03_resize_payload": 15,
+    "mm04_feature_extract": 15,
 }
 
 _PRIORITY = [
@@ -145,6 +147,7 @@ _PRIORITY = [
     "d09_ngram_jaccard",
     "d09r_jaccard_recall",
     "d33_neardup_incremental",
+    "s14_ivfpq_probe",
     # rule (b): the other rows last scored r12, at their 2-round
     # ceiling (34 of 40; q40/q42-q46 + q21/q22/q23 + mm01/mm02/mm03
     # defer to r15)
@@ -167,7 +170,6 @@ _PRIORITY = [
     "d32_simhash_pairs",
     "d36_redact_pii",
     "d41_quality_classifier",
-    "mm04_feature_extract",
     "mm05_audio_frames",
     "q25_asof_join",
     "q27_salted_agg",

@@ -508,9 +508,10 @@ ORACLE = {"s13_pq_encode": S13_ORACLE_DRAFT}
 # coarse assign → residual PQ encode → broadcast ADC shortlist at R →
 # exact-cosine rerank at k. The operator lives in sources/
 # vector_store.py (it IS the vector store's query path); the registry
-# entry rides this module the way s13's does. engine="literal" (the
-# default) is the certified plan; the Arrow corpus-side engine is
-# pinned frame-equal in tests/test_ivfpq.py.
+# entry rides this module the way s13's does. engine="arrow" is the
+# default since r14 (the corpus side as one BLAS mapInPandas pass —
+# 1.59x at sf0.1); the literal Catalyst chain remains in-tree and the
+# two engines are pinned frame-equal in tests/test_ivfpq.py.
 from indexr_spark.sources.vector_store import (  # noqa: E402
     S14_ORACLE_DRAFT,
     s14_ivfpq_probe,

@@ -3467,6 +3467,7 @@ def bpe_train(
     slice_fold: bool = True,
     round_times: list | None = None,
     incremental_counts: bool = False,
+    eager_round_ckpt: bool = False,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, the
     standard subword algorithm): start from characters (+ an
@@ -3667,7 +3668,7 @@ def bpe_train(
         # exists) still lands before any second-round fold stacks on
         # top. The final round's pin simply never materializes (its
         # merges are already collected).
-        words = nxt.localCheckpoint(eager=False)
+        words = nxt.localCheckpoint(eager=eager_round_ckpt)
         if round_times is not None:
             round_times.append(_time.time() - _t0)
     return spark.createDataFrame(

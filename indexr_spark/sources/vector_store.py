@@ -753,7 +753,7 @@ def _s14_coded_arrow(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
 
 
 def s14_ivfpq_probe(
-    spark: SparkSession, sf_dir: str, engine: str = "literal"
+    spark: SparkSession, sf_dir: str, engine: str = "arrow"
 ) -> DataFrame:
     """The s14 registry form: fixed-model IVF-PQ probe over the
     embeddings table — (q_id, rank, vec_id, cell, adc, cosine).
@@ -767,14 +767,19 @@ def s14_ivfpq_probe(
     R, exact rerank at k). No when-chains: a thousand queries would
     run the identical plan.
 
-    `engine="arrow"` routes the corpus side (norm + assign + residual
-    + PQ encode — the dominant cost of the 1M probe, COVERAGE.md
-    ivfpq1m) through one BLAS mapInPandas pass (_s14_coded_arrow);
-    default "literal" keeps the oracle-certified Catalyst chain —
-    the two-engine protocol semdedup_arrow/kmeans_assign_arrow
+    `engine="arrow"` (the default since r14) routes the corpus side
+    (norm + assign + residual + PQ encode — the dominant cost of the
+    1M probe, COVERAGE.md ivfpq1m) through one BLAS mapInPandas pass
+    (_s14_coded_arrow); "literal" keeps the Catalyst expression chain
+    — the two-engine protocol semdedup_arrow/kmeans_assign_arrow
     established. Join, ADC lookups, and both ranking windows are the
     identical JVM plan under either engine; equality is
-    exceptAll-pinned in tests/test_ivfpq.py."""
+    exceptAll-pinned in tests/test_ivfpq.py (both directions, smoke +
+    oracle corpora, and checked once at sf0.1 before the r14 flip).
+    The flip's evidence (r14 A/B at sf0.1, interleaved ×5): arrow won
+    5/5, min 1.81 s vs 2.87 s (1.59×), and cold-run 2.6 s vs 24.9 s —
+    the literal chain's whole-stage codegen compile alone dwarfs the
+    Arrow boundary's cost at every scale measured."""
     from indexr_spark.operators.pq import pq_encode, s13_codebooks
     from indexr_spark.tables import load_table
 

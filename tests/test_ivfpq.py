@@ -398,16 +398,17 @@ def test_s14_arrow_engine_equals_literal_both_corpora(spark):
     coarse assign + residual + PQ encode) as one BLAS mapInPandas
     pass must reproduce the certified literal chain row-for-row —
     exceptAll in BOTH directions on the smoke and oracle corpora
-    (the semdedup_arrow equality protocol). The registered row keeps
-    engine='literal'; 'arrow' is the 1M deploy posture (COVERAGE.md
-    s14_arrow_ab)."""
+    (the semdedup_arrow equality protocol). Since r14 the registered
+    row defaults to engine='arrow' (A/B: 1.59x at sf0.1), so this
+    equality IS the certification bridge from the literal chain's
+    oracle history to the deployed default."""
     import pytest
 
     from indexr_spark.sources.vector_store import s14_ivfpq_probe
     from tests.conftest import ORACLE_SF
 
     for sf in (SMOKE_SF, ORACLE_SF):
-        lit = s14_ivfpq_probe(spark, sf)
+        lit = s14_ivfpq_probe(spark, sf, engine="literal")
         arr = s14_ivfpq_probe(spark, sf, engine="arrow")
         assert lit.schema == arr.schema
         assert lit.exceptAll(arr).isEmpty() and arr.exceptAll(lit).isEmpty(), sf
