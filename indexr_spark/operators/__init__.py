@@ -86,6 +86,14 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 #   tier-B-eligible r12 row (mm01/mm02/mm03/mm04 → deferred r15;
 #   multimodal.py is file-frozen this round and pytest-oracle-covered
 #   at HEAD).
+#   Cross-cutting note: tables.load_table gained a per-session
+#   RESOLVED-PLAN memo in r14 (metadata only — execution still scans
+#   parquet every run). It sits on EVERY row's build path, which no
+#   50-row window can hold; the risk is uniform (one shared 15-line
+#   function), the r14 window spans every operator family through it,
+#   and the full pytest oracle-parity suite (110 rows vs DuckDB)
+#   passed at HEAD with the memo in place — the same machine-check
+#   tier-B deferrals rest on.
 #   rule (b): the remaining rows last scored r12 (46 total at their
 #   2-round ceiling; 13 + 6-already-counted + 37 others = 59 > 50),
 #   so 9 defer to r15 under tier B: q40/q42/q43/q44/q45/q46
