@@ -7,6 +7,8 @@ tight shortlist."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 import json
@@ -88,6 +90,7 @@ def test_ivfpq_probe_with_full_shortlist_equals_ivf_probe(spark, tmp_path):
     assert approx == exact
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_columnar_economics(spark, tmp_path):
     """The returned (phase-2) plan must show BOTH scan-side savings:
     the cell partition filter and the pushed vec_id shortlist filter —
@@ -109,6 +112,7 @@ def test_ivfpq_probe_columnar_economics(spark, tmp_path):
     assert pushed and any("In(vec_id" in ln for ln in pushed), plan
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_tight_shortlist_recall(spark, tmp_path):
     """Under a tight shortlist (R=24 over ~125-vector probed sets) the
     ADC stage does real filtering; recall vs ivf_probe's exact ranking
@@ -164,6 +168,7 @@ def test_ivfpq_residual_store_full_shortlist_equals_ivf_probe(spark, tmp_path):
     assert all(1 <= r["rank"] <= 3 for r in rows)
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_tightens_adc_on_clustered_data(spark, tmp_path):
     """The reason residual encoding exists: after cell pruning, codes
     should spend their resolution WITHIN the cell. On data whose cells
@@ -215,6 +220,7 @@ def test_ivfpq_residual_tightens_adc_on_clustered_data(spark, tmp_path):
     assert r_res >= 0.5, (r_raw, r_res)
 
 
+@pytest.mark.slow
 def test_ivfpq_probe_df_matches_collect_path(spark, tmp_path):
     """The distributed probe must reproduce the collect path exactly —
     raw AND residual stores, tight shortlist AND full population (the

@@ -43,6 +43,7 @@ def _np_encode(X: np.ndarray, codebooks) -> np.ndarray:
     return codes
 
 
+@pytest.mark.slow
 def test_pq_train_converges_and_is_deterministic(spark):
     cbs, hist = pq_train(_corpus(spark), m=M, ksub=KSUB, iters=ITERS)
     assert len(cbs) == M and all(len(cb) == KSUB for cb in cbs)
@@ -71,6 +72,7 @@ def test_pq_encode_matches_numpy_reference(spark):
         assert got[vid] == list(want[i]), vid
 
 
+@pytest.mark.slow
 def test_pq_adc_values_match_numpy_and_recall_beats_floor(spark):
     ids, X = _np_corpus(spark)
     cbs, _ = pq_train(_corpus(spark), m=M, ksub=KSUB, iters=ITERS)
