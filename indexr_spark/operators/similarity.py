@@ -305,7 +305,16 @@ def _norm_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join), so the pin makes scan + norm + plane-dot cost
     once-per-query instead of once-per-consumer (s04's before-plan
     carried 4 scans, s10's 8). The first job to touch it (a broadcast
-    build everywhere) materializes the checkpoint."""
+    build everywhere) materializes the checkpoint.
+
+    Scale caveat (r13 ADVICE): localCheckpoint stores blocks in
+    NON-reliable executor-local storage with lineage truncated — an
+    executor loss or dynamic-allocation scale-down makes the pinned
+    frame unrecoverable and fails the job. It is the right lineage cut
+    for a single-box bench and for clusters without executor churn;
+    the churn-tolerant cluster forms of the same cut are reliable
+    checkpoint() (HDFS/object store) or persist(DISK_ONLY) with
+    recompute — the CSE structure above is unchanged under either."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     return emb.withColumn("bucket", _bucket_expr()).localCheckpoint(eager=False)
 

@@ -772,7 +772,15 @@ def jaccard_pairs(
     # r13 opt: tokenize ONCE for both stages — the shingle build here
     # and the canon-digest pass inside _lsh_doc_pairs each ran their
     # own regex split of the corpus; the pinned (doc_id, toks) frame
-    # feeds both (lazy checkpoint, materialized by the shs build).
+    # feeds both. Lazy checkpoint whose materializing job is the EAGER
+    # canon-base checkpoint inside _lsh_doc_pairs (it consumes tokd at
+    # construction time, before the shs checkpoint's job runs); the shs
+    # build then reads the cached frame (r13 ADVICE attribution fix).
+    # Footprint note (r13 ADVICE): unlike the deliberately narrow
+    # (doc_id, gid) base checkpoint, this pin caches corpus-sized token
+    # ARRAYS — the measured trade (one disk-backed materialization vs
+    # two regex tokenize passes) holds because localCheckpoint spills
+    # MEMORY_AND_DISK; budget ~tokenized-corpus bytes for it at scale.
     tokd = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
         eager=False
     )
