@@ -81,11 +81,14 @@ assert set(ORACLE) <= set(QUERIES), sorted(set(ORACLE) - set(QUERIES))
 #   rule (1), r14 optimization diffs: d09_ngram_jaccard (bitset
 #   verify + candidate-respread removal), d09r_jaccard_recall
 #   (embeds d09), d33_neardup_incremental (spread_scan before the
-#   sig build), s14_ivfpq_probe (engine default literal → arrow) —
-#   each r13-green but code-changed this round, each displacing one
-#   tier-B-eligible r12 row (mm01/mm02/mm03/mm04 → deferred r15;
-#   multimodal.py is file-frozen this round and pytest-oracle-covered
-#   at HEAD).
+#   sig build), s14_ivfpq_probe (engine default literal → arrow),
+#   d38_bigram_logprob + d42_perplexity_bucket (spread_scan before
+#   the exploded-stream pin; d42 embeds d38) — each r13-green but
+#   code-changed this round, each displacing one tier-B-eligible r12
+#   row (mm01-mm05 + q25 → deferred r15; multimodal.py and asof.py
+#   are file-frozen this round and pytest-oracle-covered at HEAD).
+#   d32_simhash_pairs also changed (spread_scan before the sig build)
+#   and was ALREADY in this window under rule (b) — no displacement.
 #   Cross-cutting note: tables.load_table gained a per-session
 #   RESOLVED-PLAN memo in r14 (metadata only — execution still scans
 #   parquet every run). It sits on EVERY row's build path, which no
@@ -125,6 +128,8 @@ _DEFERRED_DUE = {
     "mm02_frame_sample": 15,
     "mm03_resize_payload": 15,
     "mm04_feature_extract": 15,
+    "mm05_audio_frames": 15,
+    "q25_asof_join": 15,
 }
 
 _PRIORITY = [
@@ -156,6 +161,8 @@ _PRIORITY = [
     "d09r_jaccard_recall",
     "d33_neardup_incremental",
     "s14_ivfpq_probe",
+    "d38_bigram_logprob",
+    "d42_perplexity_bucket",
     # rule (b): the other rows last scored r12, at their 2-round
     # ceiling (34 of 40; q40/q42-q46 + q21/q22/q23 + mm01/mm02/mm03
     # defer to r15)
@@ -178,8 +185,6 @@ _PRIORITY = [
     "d32_simhash_pairs",
     "d36_redact_pii",
     "d41_quality_classifier",
-    "mm05_audio_frames",
-    "q25_asof_join",
     "q27_salted_agg",
     "q38_retention",
     "s03_label_centroids",

@@ -3326,7 +3326,15 @@ def d32_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's corpus every round). Scale shape is simhash_pairs':
     candidates shuffle only on (band, slice-value) through
     chunked_self_join — never all-pairs."""
-    sim = simhash_frame(load_table(spark, sf_dir, "documents"))
+    # r14 opt (guide §2.5, the d33 finding): simhash_frame's 32
+    # bit-tests × token-hash array per row is per-row CPU, and the
+    # bench-scale documents file scans as ONE task — the whole sig
+    # build ran single-core before the banded join. Interleaved A/B
+    # ×4 at sf0.1: spread won 4/4, min 1.233 s vs 1.873 s (cold run
+    # 2.43 s vs 8.68 s). No-op at real scale (spread_scan contract).
+    # d08 keeps the plain scan: its whole row is ~0.3 s and sorted
+    # output — below the respread's payoff line.
+    sim = simhash_frame(spread_scan(load_table(spark, sf_dir, "documents")))
     return simhash_pairs(
         sim, max_hamming=D32_MAX_HAMMING, bands=D32_MAX_HAMMING + 1
     ).orderBy("a_id", "b_id")
@@ -4068,7 +4076,16 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
     and skew-split when they don't — the standard shuffle-join
     remedies, none of which exist for a window. T is the one driver
     scalar (d27's contract)."""
-    base = d.select("doc_id", tokens("text").alias("toks")).filter(
+    # r14 opt (guide §2.5 input parallelism, the d33 finding): the
+    # exploded (doc_id, n, pos, w, w2) pin below materializes at the
+    # INPUT's partitioning, and bench-scale documents scan as one task
+    # — so the pin and every aggregation reading it ran single-core.
+    # spread_scan is a metadata no-op at real scale. Interleaved A/B
+    # ×4 at sf0.1: spread won 4/4, min 0.971 s vs 1.157 s, cold run
+    # 1.53 s vs 3.18 s. (d27's lighter pipeline measured the OPPOSITE
+    # — plain won 4/4, min 0.497 vs 0.816 — so the respread is applied
+    # here, where the five-consumer pin amortizes it, and not there.)
+    base = spread_scan(d).select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
     pairs = F.transform(
