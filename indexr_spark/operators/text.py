@@ -4076,16 +4076,20 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
     and skew-split when they don't — the standard shuffle-join
     remedies, none of which exist for a window. T is the one driver
     scalar (d27's contract)."""
-    # r14 opt (guide §2.5 input parallelism, the d33 finding): the
-    # exploded (doc_id, n, pos, w, w2) pin below materializes at the
-    # INPUT's partitioning, and bench-scale documents scan as one task
-    # — so the pin and every aggregation reading it ran single-core.
-    # spread_scan is a metadata no-op at real scale. Interleaved A/B
-    # ×4 at sf0.1: spread won 4/4, min 0.971 s vs 1.157 s, cold run
-    # 1.53 s vs 3.18 s. (d27's lighter pipeline measured the OPPOSITE
-    # — plain won 4/4, min 0.497 vs 0.816 — so the respread is applied
-    # here, where the five-consumer pin amortizes it, and not there.)
-    base = spread_scan(d).select("doc_id", tokens("text").alias("toks")).filter(
+    # r14 NEGATIVE (guide §2.5 offered, then reverted on calm
+    # evidence): a spread_scan here won its original A/B ×4 (min
+    # 0.971 vs 1.157 s) — but that session ran in a host throttle
+    # phase where the single-task pin materialization was the
+    # amplified bottleneck. Re-measured calm (cal ≈ 2.4): plain won
+    # 5/5 on d38 (min 1.064 vs 1.158, median 1.13 vs 2.03) and 5/5 on
+    # d42 (min 2.026 vs 2.680, with the spread arm spiking 8-16 s —
+    # the d09-respread burst-amplification pathology: the extra
+    # exchange + wider task fan gives steal bursts more surface). The
+    # tokenize+explode is too light to need the width; contrast
+    # d32_simhash_pairs, whose CPU-dense simhash build KEEPS its
+    # spread (5/5 calm win, min 1.23 vs 1.73). d27's pipeline measured
+    # the same way (plain 4/4) and stays plain too.
+    base = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
     pairs = F.transform(
